@@ -1,0 +1,94 @@
+"""Engine configuration — the subset of nutch-default.xml the rebuild honors.
+
+Defaults mirror ``conf/nutch-default.xml`` of the reference (citations per
+field).  All times are epoch **milliseconds** (the reference keeps epoch-ms
+longs throughout; we preserve that for bit-exact schedule parity —
+SURVEY.md §2.8 C8).  "now" is never read from the wall clock inside an
+operator: the cycle driver injects ``cur_time`` exactly as the reference
+does via ``generate.curTime`` / ``injector.current.time``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+DAY_MS = 24 * 3600 * 1000
+SEC_MS = 1000
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- injector (conf/nutch-default.xml, crawl/Injector.java) ---
+    score_injected: float = 1.0          # db.score.injected
+    interval_default_s: int = 30 * 86400  # db.fetch.interval.default (30d)
+    interval_max_s: int = 90 * 86400      # db.fetch.interval.max (90d)
+    inject_overwrite: bool = False        # db.injector.overwrite
+    inject_update: bool = False           # db.injector.update
+
+    # --- generator (crawl/Generator.java) ---
+    topn: int = 50_000                    # --size-fetchlist (src/bin/crawl:132)
+    num_partitions: int = 2               # numLists / reduce tasks (src/bin/crawl:131)
+    max_count: int = -1                   # generate.max.count (-1 = unlimited)
+    count_mode: str = "byHost"            # generate.count.mode (byHost|byDomain)
+    max_num_segments: int = 1             # -maxNumSegments
+    gen_delay_ms: int = 7 * DAY_MS        # crawl.gen.delay (7 days)
+    min_score: float = 0.0                # generate.min.score
+    min_interval_s: int = -1              # generate.min.interval
+    restrict_status: int | None = None    # generate.restrict.status
+    expr: str | None = None               # Jexl expr -> SQL string (C9)
+    filter_on_generate: bool = True
+    normalise_on_generate: bool = True
+    generate_update_crawldb: bool = False  # generate.update.crawldb (_ngt_ stamps)
+
+    # --- fetcher politeness (conf/nutch-default.xml:1028-1096) ---
+    server_delay_ms: int = 5000           # fetcher.server.delay (5.0 s)
+    min_crawl_delay_ms: int = 0           # fetcher.server.min.delay
+    threads_per_queue: int = 1            # fetcher.threads.per.queue
+    max_crawl_delay_ms: int = 30_000      # fetcher.max.crawl.delay (30 s)
+    queue_mode: str = "byHost"            # fetcher.queue.mode
+    time_limit_ms: int = 180 * 60 * 1000  # fetcher.timelimit.mins (180)
+    max_exceptions_per_queue: int = -1    # fetcher.max.exceptions.per.queue
+    robots_403_allow: bool = True         # http.robots.403.allow
+    redirect_max: int = 0                 # http.redirect.max (0 = emit linked)
+    content_limit: int = 1 << 20          # http.content.limit (1 MB)
+
+    # --- fetch schedule (crawl/AbstractFetchSchedule, AdaptiveFetchSchedule) ---
+    schedule: str = "default"             # default | adaptive
+    retry_max: int = 3                    # db.fetch.retry.max
+    adaptive_inc_rate: float = 0.4        # db.fetch.schedule.adaptive.inc_rate
+    adaptive_dec_rate: float = 0.2        # db.fetch.schedule.adaptive.dec_rate
+    adaptive_min_interval_s: int = 60     # .adaptive.min_interval
+    adaptive_max_interval_s: int = 365 * 86400  # .adaptive.max_interval
+    adaptive_sync_delta: bool = True      # .adaptive.sync_delta
+    adaptive_sync_delta_rate: float = 0.3
+
+    # --- updatedb (crawl/CrawlDbReducer, CrawlDbFilter) ---
+    max_inlinks: int = 10_000             # db.update.max.inlinks
+    additions_allowed: bool = True        # db.update.additions.allowed
+    purge_404: bool = False               # db.update.purge.404
+    purge_orphan: bool = False            # db.update.purge.orphan (fork)
+    purge_withdrawn: bool = False         # purge db_withdrawn rows (fork)
+    schedule_inject_modify: bool = False  # db.fetch.schedule.mime... n/a
+    score_internal: float = 1.0           # db.score.link.internal
+    score_external: float = 1.0           # db.score.link.external
+    score_count_filtered: bool = False    # db.score.count.filtered
+
+    # --- linkdb ---
+    linkdb_max_inlinks: int = 10_000      # linkdb.max.inlinks
+    linkdb_max_anchor_length: int = 100   # linkdb.max.anchor.length
+    linkdb_ignore_internal_links: bool = True   # linkdb.ignore.internal.links
+    linkdb_ignore_external_links: bool = False
+
+    # --- dedup (crawl/DeduplicationJob) ---
+    dedup_group_mode: str = "none"        # dedup.group.mode (none|host|domain)
+    dedup_compare_order: tuple[str, ...] = ("score", "fetchTime", "urlLength")
+
+    # --- partitioning / determinism ---
+    seed: int = 42                        # per-run partition seed (Generator.java:1017)
+    host_buckets: int = 64                # salted host-bucket count for fetch groups
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)
+
+
+DEFAULT = CrawlConfig()

@@ -1,0 +1,225 @@
+"""Vectorized hash functions for partitioning / ordering parity + Bloom filter.
+
+Crawl-ordering parity (SURVEY.md §4 invariant 2) requires reproducing two
+hashes from the reference bit-for-bit:
+
+* ``java_string_hashcode`` — Java ``String.hashCode`` over UTF-16 code
+  units; used by the host partitioner
+  (``crawl/URLPartitioner.java:75-107``: ``(host.hashCode() ^ seed)
+  & Integer.MAX_VALUE % numPartitions``).
+* ``nutch_tail_hash`` — the Generator's tail-weighted URL hash
+  (``crawl/Generator.java:629-636``): ``hash = 1; for i = len-1 .. 0:
+  hash = 31*hash + (signed byte)[i]`` — closed form
+  ``31^len + Σ_i 31^i * byte[i]`` (mod 2^32, viewed signed), which makes it
+  a single vectorized matrix-vector product.
+
+Both are implemented as whole-column numpy ops (no per-row Python), callable
+from pandas UDFs.
+
+The Bloom filter is the URL-seen pre-filter from the north rule: PySpark has
+no public Bloom builder, so we build a double-hashing Bloom (Kirsch-
+Mitzenmacher: g_i = h1 + i*h2 mod m) from two xxhash64 columns computed
+JVM-side, OR-ing per-partition bitmaps on the driver, and broadcast the bit
+array for membership tests inside a pandas UDF.  False positives are safe:
+"maybe-seen" URLs still flow through the exact full-outer updatedb join
+(SURVEY.md §2.3); only definite-new rows may short-circuit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POW31_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pow31(n: int) -> np.ndarray:
+    """[31^0, 31^1, ..., 31^(n-1)] as uint32 (wrapping, like Java int)."""
+    if n not in _POW31_CACHE:
+        out = np.empty(n, dtype=np.uint32)
+        v = np.uint32(1)
+        with np.errstate(over="ignore"):
+            for i in range(n):
+                out[i] = v
+                v = np.uint32(v) * np.uint32(31)
+        _POW31_CACHE[n] = out
+    return _POW31_CACHE[n]
+
+
+def _padded_codes(s: pd.Series, encoding: str) -> tuple[np.ndarray, np.ndarray]:
+    """Encode strings into a right-zero-padded 2D int64 matrix + lengths.
+
+    ``encoding='utf-16'`` yields UTF-16 code units (Java char values);
+    ``'bytes-signed'`` yields signed UTF-8 byte values (Java byte cast).
+    """
+    vals = s.fillna("").to_numpy(dtype=object)
+    n = len(vals)
+    if encoding == "utf-16":
+        encoded = [v.encode("utf-16-le") for v in vals]
+        arrs = [np.frombuffer(b, dtype="<u2").astype(np.int64) for b in encoded]
+    else:
+        encoded = [v.encode("utf-8") for v in vals]
+        arrs = [np.frombuffer(b, dtype=np.int8).astype(np.int64) for b in encoded]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(maxlen, 1)), dtype=np.int64)
+    for i, a in enumerate(arrs):
+        if len(a):
+            mat[i, : len(a)] = a
+    return mat, lens
+
+
+def java_string_hashcode(s: pd.Series) -> np.ndarray:
+    """Java String.hashCode, vectorized; returns int32 ndarray.
+
+    h = Σ_i char[i] * 31^(len-1-i)  (mod 2^32, signed view).
+    """
+    mat, lens = _padded_codes(s, "utf-16")
+    maxlen = mat.shape[1]
+    # coefficient of column j in a row of length L is 31^(L-1-j) for j < L;
+    # computed as a column scan — vectorized across rows (loop over ≤ maxlen
+    # columns of full-width vector ops).
+    h = np.zeros(len(mat), dtype=np.uint32)
+    cols = mat.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = j < lens
+            h = np.where(active, h * np.uint32(31) + cols[:, j], h)
+    return h.astype(np.uint32).view(np.int32).copy()
+
+
+def nutch_tail_hash(s: pd.Series) -> np.ndarray:
+    """Tail-weighted URL hash (Generator.java:629-636), vectorized int32.
+
+    Closed form: hash = 31^len + Σ_i 31^i * signed_byte[i] (mod 2^32).
+    Zero padding is harmless (contributes 0), so this is one dot product.
+    """
+    mat, lens = _padded_codes(s, "bytes-signed")
+    maxlen = mat.shape[1]
+    pw = _pow31(maxlen).astype(np.int64)
+    with np.errstate(over="ignore"):
+        dot = (mat * pw[None, :]).sum(axis=1).astype(np.uint32)
+        # 31^len term: 31^len mod 2^32
+        pow_len = np.empty(maxlen + 1, dtype=np.uint32)
+        v = np.uint32(1)
+        for i in range(maxlen + 1):
+            pow_len[i] = v
+            v = np.uint32(v * np.uint32(31))
+        total = dot + pow_len[lens]
+    return total.astype(np.uint32).view(np.int32).copy()
+
+
+def host_partition(host: pd.Series, seed: int, num_partitions: int) -> np.ndarray:
+    """Reference partition function: (hashCode(host) ^ seed) & MAX_INT % P."""
+    h = java_string_hashcode(host).view(np.uint32)
+    mixed = (h ^ np.uint32(seed & 0xFFFFFFFF)).view(np.int32)
+    return (mixed & np.int32(0x7FFFFFFF)) % np.int32(num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (URL-seen pre-filter, north rule)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Double-hashing Bloom over two 64-bit hashes (Kirsch-Mitzenmacher)."""
+
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, m: int, k: int, bits: np.ndarray | None = None):
+        self.m = m
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros((m + 63) // 64, dtype=np.uint64)
+
+    @staticmethod
+    def params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
+        m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+        m = (m + 63) // 64 * 64
+        k = max(1, round(m / capacity * math.log(2))) if capacity else 1
+        return m, min(k, 16)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions from two uint64 hash columns."""
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
+
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions(h1, h2).ravel()
+        np.bitwise_or.at(self.bits, pos // 64, np.uint64(1) << (pos % 64))
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1, h2)
+        word = self.bits[pos // np.uint64(64)]
+        bit = (word >> (pos % np.uint64(64))) & np.uint64(1)
+        return bit.all(axis=1).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+
+def _with_hashes(df: DataFrame, col: str) -> DataFrame:
+    # xxhash64 is JVM-side (whole-stage codegen); two independent seeds give
+    # the (h1, h2) pair for double hashing.
+    return df.select(
+        F.xxhash64(F.col(col)).cast("long").alias("_h1"),
+        F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long").alias("_h2"),
+    )
+
+
+def build_bloom(df: DataFrame, col: str, capacity: int, fpp: float = 0.01) -> BloomFilter:
+    """Build a Bloom filter over ``df[col]`` distributed-side.
+
+    Hashes are computed in the JVM (xxhash64); each partition builds a local
+    bitmap in numpy; bitmaps are OR-reduced on the driver.  For a 10^10-row
+    frontier the bitmap for fpp=0.01 is ~12 GB — production would shard the
+    filter by host-bucket (one bloom per bucket, each broadcast only to the
+    tasks handling that bucket); the sandbox build uses one filter.
+    """
+    m, k = BloomFilter.params(capacity, fpp)
+
+    def partition_bitmap(it):
+        bf = BloomFilter(m, k)
+        for pdf in it:
+            h1 = pdf["_h1"].to_numpy().astype(np.int64).view(np.uint64)
+            h2 = pdf["_h2"].to_numpy().astype(np.int64).view(np.uint64)
+            bf.add(h1, h2)
+        yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    parts = (
+        _with_hashes(df, col)
+        .mapInPandas(partition_bitmap, schema="bits binary")
+        .collect()
+    )
+    out = BloomFilter(m, k)
+    for row in parts:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return out
+
+
+def bloom_contains_col(spark, df: DataFrame, col: str, bloom: BloomFilter,
+                       out_col: str = "maybe_seen") -> DataFrame:
+    """Append a boolean column: True if ``col`` is possibly in the filter."""
+    bc = spark.sparkContext.broadcast((bloom.m, bloom.k, bloom.bits))
+
+    def check(it):
+        m, k, bits = bc.value
+        bf = BloomFilter(m, k, bits)
+        for pdf in it:
+            h1 = pdf["_h1"].to_numpy().astype(np.int64).view(np.uint64)
+            h2 = pdf["_h2"].to_numpy().astype(np.int64).view(np.uint64)
+            pdf = pdf.drop(columns=["_h1", "_h2"])
+            pdf[out_col] = bf.contains(h1, h2)
+            yield pdf
+
+    schema = df.schema.add(out_col, "boolean")
+    return (
+        df.withColumn("_h1", F.xxhash64(F.col(col)).cast("long"))
+        .withColumn("_h2", F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long"))
+        .mapInPandas(check, schema=schema)
+    )

@@ -1,0 +1,331 @@
+"""URL normalization / filtering / host-domain extraction — vectorized.
+
+Re-expresses the reference's plugin chains as whole-column pandas
+operations (SURVEY.md §2.2):
+
+* ``normalize_urls`` — the BasicURLNormalizer rules
+  (``urlnormalizer-basic/.../BasicURLNormalizer.java:170-259``): lowercase
+  scheme+host, strip default port, strip ``#fragment``, remove trailing
+  host dot, resolve ``/./ /../ //`` path segments, canonicalize
+  percent-escapes (uppercase hex, decode unreserved).
+* ``RegexURLFilter`` — first-match-wins ``+``/``-`` rules
+  (``urlfilter-regex/.../RegexURLFilter.java`` via ``lib-regex-filter``).
+* ``host_of`` / ``domain_of`` — ``util/URLUtil.java:97,431`` host and
+  registered-domain extraction with an embedded public-suffix subset
+  (the reference ships ``conf/domain-suffixes.xml``; we bundle the common
+  entries needed for the synthetic world + real-world two-level suffixes).
+
+Everything operates on ``pd.Series`` so it can be called inside any pandas
+UDF; Spark wrappers are at the bottom.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StringType
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<auth>[^/?#]*)(?P<path>[^?#]*)"
+    r"(?P<query>\?[^#]*)?(?P<frag>#.*)?$"
+)
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+# minimal public-suffix subset: multi-level suffixes where the registered
+# domain is label3.label2.label1 (everything else: last two labels).
+_MULTI_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com.sg", "com.tr",
+}
+
+_PCT_UNRESERVED = {
+    f"{b:02X}": chr(b)
+    for b in range(256)
+    if chr(b).isalnum() and b < 128 or chr(b) in "-._~"
+}
+
+
+def _split(url: str):
+    m = _URL_RE.match(url)
+    if not m:
+        return None
+    return m.group("scheme"), m.group("auth"), m.group("path"), m.group("query") or ""
+
+
+def _norm_path(path: str) -> str:
+    """Resolve /./, /../, // — ref BasicURLNormalizer.java:223-259."""
+    if not path:
+        return ""
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg == "" or seg == ".":
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+        else:
+            segs.append(seg)
+    out = "/" + "/".join(segs)
+    if path.endswith("/") and not out.endswith("/"):
+        out += "/"
+    return out
+
+
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _norm_escapes(s: str) -> str:
+    """Uppercase percent-escapes; decode unreserved chars
+    (BasicURLNormalizer.java:75-123 escape tables)."""
+
+    def sub(m: re.Match) -> str:
+        hx = m.group(1).upper()
+        return _PCT_UNRESERVED.get(hx, "%" + hx)
+
+    return _PCT_RE.sub(sub, s)
+
+
+def _normalize_one(url: str) -> str | None:
+    parts = _split(url.strip())
+    if parts is None:
+        return None
+    scheme, auth, path, query = parts
+    scheme = scheme.lower()
+    userinfo, _, hostport = auth.rpartition("@")
+    host, colon, port = hostport.partition(":")
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    if colon and port == _DEFAULT_PORTS.get(scheme):
+        colon, port = "", ""
+    auth = (userinfo + "@" if userinfo else "") + host + (":" + port if port else "")
+    path = _norm_path(path) or "/"
+    if "%" in path:
+        path = _norm_escapes(path)
+    if "%" in query:
+        query = _norm_escapes(query)
+    return f"{scheme}://{auth}{path}{query}"
+
+
+def normalize_urls(urls: pd.Series) -> pd.Series:
+    """Normalize a column of URLs; invalid URLs -> None (filter-rejected).
+
+    Whole-column fast paths: URLs that are already canonical (ascii-lower
+    scheme/host, no dot-segments, no %, no fragment, no default port) are
+    detected vectorized and skipped; only the residue takes the per-string
+    slow path.  On web corpora the fast path covers the large majority of
+    rows, keeping the pandas UDF close to pure-vector speed.
+    """
+    s = urls.astype("string")
+    # fast-path detector (conservative): scheme://host/path with no suspects
+    fast = s.str.match(
+        r"^(?:http|https|ftp)://[a-z0-9.-]+(?::[0-9]+)?/[^?#%]*(?:\?[^#%]*)?$",
+        na=False,
+    )
+    # fast rows may still carry default ports / dot-segments / trailing host dots
+    fast &= ~s.str.contains(r"(?::80/|:443/|/\.|//|\.@)", regex=True, na=False)
+    # ":443" with https is default; with http it isn't — keep simple: any
+    # explicit port goes slow-path.
+    fast &= ~s.str.contains(r"^[a-z]+://[^/]*:", regex=True, na=False)
+    out = s.copy()
+    slow_idx = out.index[~fast]
+    if len(slow_idx):
+        out.loc[slow_idx] = [
+            _normalize_one(u) if isinstance(u, str) else None
+            for u in s.loc[slow_idx]
+        ]
+    return out.astype(object).where(pd.notna(out), None)
+
+
+def host_of(urls: pd.Series) -> pd.Series:
+    """Extract lowercased host (ref util/URLUtil.java:431)."""
+    return (
+        urls.astype("string")
+        .str.extract(r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", expand=False)
+        .str.lower()
+        .str.rstrip(".")
+    )
+
+
+def domain_of(hosts: pd.Series) -> pd.Series:
+    """Registered domain of a host column (ref util/URLUtil.java:97)."""
+    h = hosts.astype("string").str.lower()
+    parts = h.str.split(".")
+
+    def reg_domain(p) -> str | None:
+        if not isinstance(p, list):
+            return None
+        p = list(p)
+        if len(p) <= 2:
+            return ".".join(p)
+        if ".".join(p[-2:]) in _MULTI_SUFFIXES:
+            return ".".join(p[-3:])
+        return ".".join(p[-2:])
+
+    return parts.map(reg_domain)
+
+
+# ---------------------------------------------------------------------------
+# Filter chain
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RegexRule:
+    accept: bool
+    pattern: str
+
+
+class RegexURLFilter:
+    """First-match-wins +/- regex filter (urlfilter-regex).
+
+    Rules use the reference's file syntax: lines of ``+regex`` / ``-regex``.
+    Default rule set mirrors ``conf/regex-urlfilter.txt.template``: reject
+    non-http(s)/ftp protocols, image/binary extensions, and query-string
+    loops; accept everything else.
+    """
+
+    DEFAULT_RULES = (
+        "-^(?:file|ftp|mailto|javascript|data):",
+        r"-\.(?:gif|jpg|png|ico|css|sit|eps|wmf|zip|ppt|mpg|gz|rpm|tgz|mov|exe|jpeg|bmp|js)$",
+        "-[?*!@=]{3,}",
+        r"-.*(/[^/]+)\1\1",  # path-loop heuristic (conf template's repeated-segment rule)
+        "+.",
+    )
+
+    def __init__(self, rules: tuple[str, ...] | None = None):
+        self.rules: list[RegexRule] = []
+        for line in rules if rules is not None else self.DEFAULT_RULES:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            self.rules.append(RegexRule(line[0] == "+", line[1:]))
+        self._compiled = [(r.accept, re.compile(r.pattern)) for r in self.rules]
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        """Vectorized first-match-wins: one str.contains per rule, applied to
+        the shrinking set of still-undecided rows."""
+        import warnings
+
+        s = urls.astype("string")
+        decided = pd.Series(False, index=s.index)
+        verdict = pd.Series(False, index=s.index)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)  # groups in pattern
+            for accept, rx in self._compiled:
+                if decided.all():
+                    break
+                undecided = ~decided
+                hits = s[undecided].str.contains(rx, regex=True, na=False)
+                hit_idx = hits[hits].index
+                verdict.loc[hit_idx] = accept
+                decided.loc[hit_idx] = True
+        # null urls are rejected
+        verdict[s.isna()] = False
+        return verdict
+
+
+class PrefixURLFilter:
+    """urlfilter-prefix: accept only URLs starting with one of the prefixes."""
+
+    def __init__(self, prefixes: list[str]):
+        self.prefixes = tuple(prefixes)
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        return urls.astype("string").str.startswith(self.prefixes, na=False)
+
+
+class SuffixURLFilter:
+    """urlfilter-suffix: REJECT URLs whose path ends with a listed suffix."""
+
+    def __init__(self, suffixes: list[str]):
+        self.suffixes = tuple(suffixes)
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        return ~urls.astype("string").str.lower().str.endswith(self.suffixes, na=True)
+
+
+class DomainURLFilter:
+    """urlfilter-domain: accept only URLs whose host or registered domain is
+    in the allow set."""
+
+    def __init__(self, domains: list[str]):
+        self.domains = frozenset(d.lower() for d in domains)
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        hosts = host_of(urls)
+        doms = domain_of(hosts)
+        return hosts.isin(self.domains) | doms.isin(self.domains)
+
+
+class DescendantURLFilter:
+    """CoherenceBot fork's urlfilter-descendants: restrict the crawl to
+    path-descendants of the seed URLs (SURVEY.md §2.2 F2c)."""
+
+    def __init__(self, seed_urls: list[str]):
+        # normalize seed prefixes: strip trailing filename, keep dir prefix
+        pref = []
+        for u in seed_urls:
+            base = u.split("?")[0].split("#")[0]
+            if not base.endswith("/"):
+                base = base.rsplit("/", 1)[0] + "/"
+            pref.append(base)
+        self.prefixes = tuple(sorted(set(pref)))
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        return urls.astype("string").str.startswith(self.prefixes, na=False)
+
+
+class URLFilterChain:
+    """Ordered AND of filters (ref net/URLFilters.java: null from any filter
+    drops the URL)."""
+
+    def __init__(self, filters: list | None = None):
+        self.filters = filters if filters is not None else [RegexURLFilter()]
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        ok = pd.Series(True, index=urls.index)
+        for f in self.filters:
+            still = ok[ok].index
+            if len(still) == 0:
+                break
+            ok.loc[still] &= f.accept(urls.loc[still])
+        return ok
+
+
+# ---------------------------------------------------------------------------
+# Spark wrappers
+# ---------------------------------------------------------------------------
+
+
+def with_normalized_url(df: DataFrame, in_col: str = "url",
+                        out_col: str = "url") -> DataFrame:
+    """Normalize a URL column via an Arrow-batched pandas UDF."""
+
+    @F.pandas_udf(StringType())
+    def _norm(u: pd.Series) -> pd.Series:
+        return normalize_urls(u)
+
+    return df.withColumn(out_col, _norm(F.col(in_col)))
+
+
+def with_filter_accept(df: DataFrame, chain: URLFilterChain | None = None,
+                       in_col: str = "url", out_col: str = "accepted") -> DataFrame:
+    chain = chain or URLFilterChain()
+
+    @F.pandas_udf(BooleanType())
+    def _acc(u: pd.Series) -> pd.Series:
+        return chain.accept(u)
+
+    return df.withColumn(out_col, _acc(F.col(in_col)))
+
+
+def with_host(df: DataFrame, url_col: str = "url", out_col: str = "host") -> DataFrame:
+    """host column via built-in parse_url (JVM-side, codegen) with lowercase."""
+    return df.withColumn(out_col, F.lower(F.expr(f"parse_url({url_col}, 'HOST')")))

@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's execution invariants.
+
+Invariants (SURVEY.md §4):
+  * AQE on (runtime re-plan, skew-join splitting) — but politeness
+    correctness never relies on it; host-bucket partitioning is explicit.
+  * Speculative execution off (politeness: a duplicate fetch task would
+    violate per-host crawl-delay; ref ``fetcher/Fetcher.java:483-484``).
+  * Arrow enabled — every per-row computation is a vectorized pandas UDF.
+  * shuffle.partitions sized for the test scale; production submits override
+    via ``spark-submit --conf`` (the code never hard-codes partition counts
+    into logic — parallelism is always read from the config or passed in).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "coherencebot-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster, leave it unset and let spark-submit provide it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # politeness invariant: never re-run a fetch partition speculatively
+        .config("spark.speculation", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # broadcast threshold: hostdb/robots/bloom joins are broadcast by
+        # explicit F.broadcast() hints, but keep the auto threshold sane
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
