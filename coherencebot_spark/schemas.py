@@ -45,9 +45,14 @@ FRONTIER = StructType(
 # ---------------------------------------------------------------------------
 # fetchlist — Generator output (segment crawl_generate analogue)
 # ---------------------------------------------------------------------------
-FETCHLIST = FRONTIER.add(StructField("segnum", IntegerType(), False)).add(
-    StructField("partition_id", IntegerType(), False)
-).add(StructField("sort_key", LongType(), False))
+FETCHLIST = StructType(
+    list(FRONTIER.fields)
+    + [
+        StructField("segnum", IntegerType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("sort_key", LongType(), False),
+    ]
+)
 
 # ---------------------------------------------------------------------------
 # fetch_log — per-cycle fetch outcomes (segment crawl_fetch analogue)

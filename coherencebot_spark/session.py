@@ -47,6 +47,9 @@ def build_session(
         # politeness invariant: never re-run a fetch partition speculatively
         .config("spark.speculation", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # metadata merges use map_concat with last-wins semantics
+        # (reference MapWritable.putAll overwrites existing keys)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # broadcast threshold: hostdb/robots/bloom joins are broadcast by
         # explicit F.broadcast() hints, but keep the auto threshold sane
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
