@@ -1,0 +1,287 @@
+"""Fetch — politeness-correct fetch engine (SURVEY.md §2.9 P1-P9).
+
+The reference runs one mapper per unsplittable fetchlist file with
+producer/consumer threads and per-host in-memory queues
+(``fetcher/Fetcher.java:106-123,193-425``).  None of that machinery is
+needed on Spark: politeness is a *partitioning invariant* plus a *virtual
+clock*, both expressible declaratively:
+
+* **Queue identity (P1)** — all URLs of a host share one window partition;
+  the fetchlist's ``partition_id`` (host-hash) already guarantees one host
+  never spans two tasks.  We never repartition between generate and fetch
+  (the reference's "unsplittable input" invariant, SURVEY.md §4).
+* **Crawl-delay pacing (P2)** — the per-host virtual clock is
+  ``fetch_ts = cycle_start + rank_in_host * delay_host`` — a window
+  ``row_number`` per host over the politeness order (``sort_key``, the
+  reference's HashComparator order), entirely in Tungsten.  Items whose
+  virtual time exceeds the cycle budget are not fetched this cycle (P9,
+  ``fetcher.timelimit.mins``) — they simply stay due in the frontier.
+* **robots.txt (P3-P5)** — one robots lookup per *distinct host* per cycle
+  (``mapInPandas`` over the distinct-host frame), broadcast-joined back.
+  403 ⇒ forbid-all unless ``http.robots.403.allow`` (default true);
+  404/5xx ⇒ allow-all (``HttpRobotRulesParser.java:99-189``).  Disallowed
+  URLs emit ``fetch_gone`` and consume no crawl-delay slot (the reference
+  finishes them "asap", ``FetcherThread.java:317-326``).
+  Crawl-delay > ``fetcher.max.crawl.delay`` ⇒ ``fetch_gone`` (P4);
+  otherwise ``max(robots_delay, server_delay)`` paces the host's clock.
+* **Exception circuit breaker (P8)** — running per-host count of exception
+  outcomes; once it reaches ``fetcher.max.exceptions.per.queue`` the rest
+  of the host's queue is purged (rows dropped, stay due next cycle).
+* **Status mapping (P7)** — a ``when()`` cascade over
+  ``PROTO_TO_FETCH`` (``FetcherThread.java:377-458``).
+* **Redirects (P6)** — default ``http.redirect.max = 0``: targets are not
+  followed; they surface as ``redirect_to`` and become ``linked`` rows in
+  parse/updatedb, matching the reference default.
+
+The protocol itself is an injectable backend; the sandbox uses the
+deterministic synthetic web (``synth.world``).  Payload bytes (image +
+caption) are produced only for successful fetches, in an Arrow-batched
+``mapInPandas`` stage, and are kept out of every shuffle that doesn't need
+them (SURVEY.md §7.3 risk 5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig, DEFAULT
+from ..status import Fetch, Proto
+from ..schemas import CONTENT, FETCH_LOG
+
+ProtocolBackend = Callable[[pd.Series], pd.DataFrame]
+PayloadFn = Callable[[int], dict]
+
+
+# ---------------------------------------------------------------------------
+# robots resolution: one lookup per distinct host, broadcast back
+# ---------------------------------------------------------------------------
+
+
+def resolve_robots(fetchlist: DataFrame, cfg: CrawlConfig,
+                   robots_provider: Callable[[pd.Series], pd.DataFrame] | None = None,
+                   ) -> DataFrame:
+    """distinct hosts → (host, forbid_all, disallow, crawl_delay_ms).
+
+    ``robots_provider(hosts) -> DataFrame[host, robots_status, disallow,
+    crawl_delay_ms]`` — defaults to the synthetic world.
+    """
+    if robots_provider is None:
+        from ..synth.world import robots_for_hosts
+        robots_provider = robots_for_hosts
+
+    allow_403 = cfg.robots_403_allow
+
+    def lookup(it):
+        for pdf in it:
+            r = robots_provider(pdf["host"])
+            status = r["robots_status"].to_numpy()
+            forbid = (status == 403) & (not allow_403)
+            ok = status == 200
+            dis = [
+                list(d) if ok[i] and isinstance(d, (list, np.ndarray)) else []
+                for i, d in enumerate(r["disallow"])
+            ]
+            delay = r["crawl_delay_ms"].where(pd.Series(ok, index=r.index), None)
+            yield pd.DataFrame(
+                {
+                    "host": r["host"],
+                    "forbid_all": forbid,
+                    "disallow": dis,
+                    "crawl_delay_ms": delay.astype("Int64"),
+                }
+            )
+
+    hosts = fetchlist.select("host").distinct()
+    return hosts.mapInPandas(
+        lookup,
+        schema="host string, forbid_all boolean, disallow array<string>, crawl_delay_ms long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# the fetch engine
+# ---------------------------------------------------------------------------
+
+
+def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
+          backend: ProtocolBackend | None = None,
+          payload_fn: PayloadFn | None = None,
+          robots: DataFrame | None = None,
+          robots_provider: Callable[[pd.Series], pd.DataFrame] | None = None,
+          n_images: int = 1_000_000, n_hosts: int = 1000,
+          ) -> tuple[DataFrame, DataFrame]:
+    """Run one fetch cycle over a fetchlist.
+
+    Returns ``(fetch_log, content)``.  ``fetch_log`` has FETCH_LOG schema;
+    ``content`` has CONTENT schema (success rows only).  Rows dropped by the
+    time limit or circuit breaker appear in neither — they stay due in the
+    frontier, exactly like the reference's purged queue items.
+    """
+    if backend is None:
+        from ..synth.world import proto_outcomes
+
+        def backend(urls: pd.Series) -> pd.DataFrame:
+            return proto_outcomes(urls, n_images=n_images, n_hosts=n_hosts)
+
+    if payload_fn is None:
+        from ..synth.world import payload_row as payload_fn
+
+    if robots is None:
+        robots = resolve_robots(fetchlist, cfg, robots_provider)
+
+    fl = fetchlist.join(F.broadcast(robots), "host", "left")
+
+    # --- protocol outcome (vectorized backend; synthetic = pure fn of URL) ---
+    be = backend
+
+    def outcomes(it):
+        for pdf in it:
+            o = be(pdf["url"])
+            pdf = pdf.copy()
+            pdf["proto_status"] = o["proto_status"].to_numpy()
+            pdf["redirect_to"] = o["redirect_to"].to_numpy()
+            pdf["image_idx"] = o["image_idx"].to_numpy()
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(fl.schema.fields)
+        + [
+            StructField("proto_status", IntegerType()),
+            StructField("redirect_to", StringType()),
+            StructField("image_idx", LongType()),
+        ]
+    )
+    fl = fl.mapInPandas(outcomes, schema=out_schema)
+
+    # --- robots gating (P3-P5) ---
+    path = F.expr("parse_url(url, 'PATH')")
+    denied_prefix = F.exists(
+        F.coalesce(F.col("disallow"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    delay_too_big = F.col("crawl_delay_ms").isNotNull() & (
+        F.col("crawl_delay_ms") > int(cfg.max_crawl_delay_ms)
+    )
+    robots_denied = (
+        F.coalesce(F.col("forbid_all"), F.lit(False)) | denied_prefix | delay_too_big
+    )
+    fl = fl.withColumn("robots_denied", robots_denied)
+
+    # --- per-host virtual clock (P2), robots-denied items pace-free ---
+    if cfg.threads_per_queue > 1:
+        base_delay = F.lit(int(cfg.min_crawl_delay_ms))
+    else:
+        base_delay = F.greatest(
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(int(cfg.server_delay_ms))),
+            F.lit(int(cfg.min_crawl_delay_ms)),
+        )
+    # hostdb-variable fetch delay (W3) overrides when present
+    var_delay = F.col("metadata").getItem("_variableFetchDelay_").cast("long")
+    delay = F.coalesce(var_delay, base_delay)
+
+    wh = Window.partitionBy("host").orderBy("sort_key", "url")
+    paced = Window.partitionBy("host", "robots_denied").orderBy("sort_key", "url")
+    fl = fl.withColumn(
+        "_k",
+        F.when(F.col("robots_denied"), F.lit(0))
+        .otherwise(F.row_number().over(paced) - 1),
+    ).withColumn(
+        "fetch_ts", F.lit(int(cycle_start)) + F.col("_k") * delay
+    )
+
+    # --- time limit (P9): unfetched overflow stays in the frontier ---
+    if cfg.time_limit_ms > 0:
+        fl = fl.filter(
+            F.col("robots_denied")
+            | (F.col("fetch_ts") <= int(cycle_start) + int(cfg.time_limit_ms))
+        )
+
+    # --- exception circuit breaker (P8) ---
+    if cfg.max_exceptions_per_queue >= 0:
+        is_exc = F.when(
+            F.col("proto_status").isin(Proto.EXCEPTION, Proto.RETRY), 1
+        ).otherwise(0)
+        prev_exc = F.sum(is_exc).over(
+            wh.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        fl = (
+            fl.withColumn("_prev_exc", F.coalesce(prev_exc, F.lit(0)))
+            .filter(F.col("_prev_exc") < int(cfg.max_exceptions_per_queue))
+            .drop("_prev_exc")
+        )
+
+    # --- status mapping (P7) ---
+    status_expr = F.when(F.col("robots_denied"), F.lit(int(Fetch.GONE)))
+    for proto, fstat in (
+        (Proto.SUCCESS, Fetch.SUCCESS),
+        (Proto.MOVED, Fetch.REDIR_PERM),
+        (Proto.TEMP_MOVED, Fetch.REDIR_TEMP),
+        (Proto.EXCEPTION, Fetch.RETRY),
+        (Proto.RETRY, Fetch.RETRY),
+        (Proto.WOULDBLOCK, Fetch.RETRY),
+        (Proto.BLOCKED, Fetch.RETRY),
+        (Proto.NOTMODIFIED, Fetch.NOTMODIFIED),
+    ):
+        status_expr = status_expr.when(F.col("proto_status") == proto, F.lit(int(fstat)))
+    status_expr = status_expr.otherwise(F.lit(int(Fetch.GONE)))  # GONE family
+
+    fl = fl.withColumn("fetch_status", status_expr).withColumn(
+        "proto_status",
+        F.when(F.col("robots_denied"), F.lit(int(Proto.ROBOTS_DENIED)))
+        .otherwise(F.col("proto_status")),
+    )
+
+    fetch_log = fl.select(
+        "url",
+        "host",
+        F.col("fetch_status").cast("int").alias("status"),
+        F.col("fetch_ts").cast("long").alias("fetch_time"),
+        F.col("retries").cast("int"),
+        F.col("fetch_interval").cast("long"),
+        F.col("score").cast("float"),
+        "signature",
+        F.col("modified_time").cast("long"),
+        "metadata",
+        F.col("proto_status").cast("int"),
+        "redirect_to",
+        "image_idx",
+    )
+
+    # --- payload materialization (image bytes + caption) for successes ---
+    pf = payload_fn
+
+    def materialize(it):
+        for pdf in it:
+            n = len(pdf)
+            cols = {k: [None] * n for k in
+                    ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+            for i, idx in enumerate(pdf["image_idx"].to_numpy()):
+                if idx is not None and idx >= 0:
+                    row = pf(int(idx))
+                    for k in cols:
+                        cols[k][i] = row[k]
+            out = pd.DataFrame({"url": pdf["url"]})
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    content = (
+        fetch_log.filter(F.col("status") == int(Fetch.SUCCESS))
+        .select("url", "image_idx")
+        .mapInPandas(materialize, schema=CONTENT)
+    )
+
+    return fetch_log.drop("image_idx"), content
+
+
+def fetch_metrics(fetch_log: DataFrame) -> DataFrame:
+    """Per-cycle fetch counters (A8; ref Fetcher.java:159-183): rows of
+    (status, count) plus bytes via content join done by the caller."""
+    return fetch_log.groupBy("status").count()

@@ -5,7 +5,13 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_TESTS)
+sys.path.insert(0, _REPO)
+# test-module closures (backends, robots providers) must unpickle on workers
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO, _TESTS, os.environ.get("PYTHONPATH", "")]
+)
 
 from coherencebot_spark.session import build_session  # noqa: E402
 

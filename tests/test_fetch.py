@@ -1,0 +1,179 @@
+"""Fetcher politeness / robots / payload-invariant tests
+(SURVEY.md §5.2 #4 and #8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_spark.config import DEFAULT
+from coherencebot_spark.operators.fetch import fetch
+from coherencebot_spark.schemas import FETCHLIST
+from coherencebot_spark.status import Db, Fetch, Proto
+from coherencebot_spark.synth import images, world
+from coherencebot_spark.synth.phash import phash64
+
+T = 1_700_000_000_000
+
+
+def flrow(url, host, sort_key=0, score=1.0, metadata=None):
+    return dict(url=url, host=host, status=Db.UNFETCHED, fetch_time=T - 10,
+                retries=0, fetch_interval=2_592_000, score=score,
+                signature=None, modified_time=0, metadata=metadata,
+                segnum=1, partition_id=0, sort_key=sort_key)
+
+
+def fldf(spark, rows):
+    return spark.createDataFrame(rows, schema=FETCHLIST)
+
+
+def all_success_backend(urls: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "proto_status": np.full(len(urls), Proto.SUCCESS, dtype=np.int32),
+            "redirect_to": [None] * len(urls),
+            "image_idx": np.arange(len(urls), dtype=np.int64),
+        },
+        index=urls.index,
+    )
+
+
+def open_robots(hosts: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "host": hosts,
+            "robots_status": 200,
+            "disallow": [[] for _ in range(len(hosts))],
+            "crawl_delay_ms": [None] * len(hosts),
+        }
+    )
+
+
+def test_per_host_spacing(spark):
+    # 5 urls on one host, 2 on another; server delay 5s
+    rows = [flrow(f"https://h1.example.org/p{i}", "h1.example.org", sort_key=i)
+            for i in range(5)]
+    rows += [flrow(f"https://h2.example.org/p{i}", "h2.example.org", sort_key=i)
+             for i in range(2)]
+    log, _ = fetch(fldf(spark, rows), T, DEFAULT, backend=all_success_backend,
+                   robots_provider=open_robots)
+    got = sorted(
+        [(r.host, r.fetch_time) for r in log.collect() if r.host == "h1.example.org"],
+        key=lambda x: x[1],
+    )
+    times = [t for _, t in got]
+    # inter-fetch spacing on one host ≥ server delay
+    diffs = np.diff(times)
+    assert (diffs >= DEFAULT.server_delay_ms).all()
+
+
+def test_robots_disallow_and_delay_cap(spark):
+    def provider(hosts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h in hosts:
+            if h == "deny.example.org":
+                rows.append(dict(host=h, robots_status=200,
+                                 disallow=["/private"], crawl_delay_ms=None))
+            elif h == "slow.example.org":
+                rows.append(dict(host=h, robots_status=200, disallow=[],
+                                 crawl_delay_ms=45_000))
+            else:
+                rows.append(dict(host=h, robots_status=200, disallow=[],
+                                 crawl_delay_ms=None))
+        return pd.DataFrame(rows)
+
+    rows = [
+        flrow("https://deny.example.org/private/x", "deny.example.org"),
+        flrow("https://deny.example.org/public/y", "deny.example.org", sort_key=1),
+        flrow("https://slow.example.org/z", "slow.example.org"),
+    ]
+    log, _ = fetch(fldf(spark, rows), T, DEFAULT, backend=all_success_backend,
+                   robots_provider=provider)
+    st = {r.url: (r.status, r.proto_status) for r in log.collect()}
+    assert st["https://deny.example.org/private/x"] == (Fetch.GONE, Proto.ROBOTS_DENIED)
+    assert st["https://deny.example.org/public/y"][0] == Fetch.SUCCESS
+    # crawl delay over fetcher.max.crawl.delay (30s) → gone
+    assert st["https://slow.example.org/z"] == (Fetch.GONE, Proto.ROBOTS_DENIED)
+
+
+def test_time_limit_drops_overflow(spark):
+    cfg = DEFAULT.with_(time_limit_ms=12_000)  # room for 3 fetches at 5s
+    rows = [flrow(f"https://h.example.org/p{i}", "h.example.org", sort_key=i)
+            for i in range(10)]
+    log, _ = fetch(fldf(spark, rows), T, cfg, backend=all_success_backend,
+                   robots_provider=open_robots)
+    assert log.count() == 3  # t=0,5000,10000 fit; 15000 > 12000
+
+
+def test_status_mapping_and_redirect(spark):
+    def backend(urls: pd.Series) -> pd.DataFrame:
+        states, red = [], []
+        for u in urls:
+            if "moved" in u:
+                states.append(Proto.MOVED); red.append("https://t.example.org/new")
+            elif "notfound" in u:
+                states.append(Proto.NOTFOUND); red.append(None)
+            elif "exc" in u:
+                states.append(Proto.EXCEPTION); red.append(None)
+            elif "notmod" in u:
+                states.append(Proto.NOTMODIFIED); red.append(None)
+            else:
+                states.append(Proto.SUCCESS); red.append(None)
+        return pd.DataFrame({"proto_status": states, "redirect_to": red,
+                             "image_idx": [0] * len(urls)}, index=urls.index)
+
+    rows = [flrow(f"https://h.example.org/{n}", "h.example.org", sort_key=i)
+            for i, n in enumerate(["ok", "moved", "notfound", "exc", "notmod"])]
+    log, content = fetch(fldf(spark, rows), T, DEFAULT, backend=backend,
+                         robots_provider=open_robots)
+    st = {r.url.rsplit("/", 1)[1]: r for r in log.collect()}
+    assert st["ok"].status == Fetch.SUCCESS
+    assert st["moved"].status == Fetch.REDIR_PERM
+    assert st["moved"].redirect_to == "https://t.example.org/new"
+    assert st["notfound"].status == Fetch.GONE
+    assert st["exc"].status == Fetch.RETRY
+    assert st["notmod"].status == Fetch.NOTMODIFIED
+    # content only for success rows
+    assert content.count() == 1
+
+
+def test_circuit_breaker(spark):
+    cfg = DEFAULT.with_(max_exceptions_per_queue=2)
+
+    def backend(urls: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"proto_status": [Proto.EXCEPTION] * len(urls),
+             "redirect_to": [None] * len(urls),
+             "image_idx": [-1] * len(urls)},
+            index=urls.index,
+        )
+
+    rows = [flrow(f"https://h.example.org/p{i}", "h.example.org", sort_key=i)
+            for i in range(6)]
+    log, _ = fetch(fldf(spark, rows), T, cfg, backend=backend,
+                   robots_provider=open_robots)
+    assert log.count() == 2  # queue purged after 2 exceptions
+
+
+def test_payload_per_row_invariant(spark):
+    """BASELINE.json input_hint: decoded-pixel allclose (PSNR≥40dB lossy),
+    caption equality, against the deterministic generator."""
+    rows = [flrow(f"https://host0000.example.org/seed/{i}",
+                  "host0000.example.org", sort_key=i) for i in range(9)]
+    _, content = fetch(fldf(spark, rows), T, DEFAULT,
+                       robots_provider=open_robots, n_images=100, n_hosts=10)
+    got = content.collect()
+    assert len(got) == 9  # /seed/ urls always succeed
+    for r in got:
+        i = int(r.image_id[3:])
+        ref = world.payload_row(i)
+        assert r.caption == ref["caption"]
+        assert r.phash == ref["phash"]
+        e = world.payload_effective_index(i)
+        src = images.gen_pixels(e, r.w, r.h)
+        dec = images.decode(bytes(r.bytes), r.fmt)
+        if r.fmt in images.LOSSY:
+            assert images.psnr(src, dec) >= 40.0
+        else:
+            assert (dec == src).all()
