@@ -1,0 +1,199 @@
+"""Parse — decode payload, extract caption/outlinks, emit updatedb rows
+(SURVEY.md §2 C3-C7, SC3, F6; ref ``parse/ParseSegment.java``,
+``parse/ParseOutputFormat.java:221-400``).
+
+In the graft, "parsing" a fetched document means decoding the image
+payload (validating bytes), extracting the caption (the ParseText
+analogue), computing the content signature, and producing the outlink set.
+The operator emits exactly what the reference's ParseOutputFormat writes
+into ``crawl_parse``:
+
+* one ``Msg.SIGNATURE`` row per parsed page (MD5 of raw bytes — the
+  ``MD5Signature`` default, ``crawl/MD5Signature.java:31-37`` — computed
+  JVM-side with ``F.md5``);
+* one ``Msg.LINKED`` row per kept outlink, carrying OPIC cash
+  (``score / n_outlinks``, × internal/external factor by host match —
+  ``OPICScoringFilter.distributeScoreToOutlinks``, SC3) — pure
+  ``explode`` + column arithmetic, no Python;
+* one ``Msg.PARSE_META`` row per page with parse metadata (decoded image
+  dims, format, phash — the graft's ParseData).
+
+Outlink policy mirrors ``ParseOutputFormat``: normalize+filter each target,
+optionally ignore internal/external links (``db.ignore.*.links``), cap per
+page (``db.max.outlinks.per.page``, default 100), truncate anchors.
+
+Truncation gate (F6, ``ParseSegment.java:176-209``): pages whose body is
+shorter than the declared Content-Length are skipped; in the graft the
+analogue is an image payload that fails to decode.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..config import CrawlConfig, DEFAULT
+from ..status import Fetch, Msg
+from ..functions.urls import URLFilterChain, normalize_urls
+
+OutlinkFn = Callable[[pd.Series], pd.Series]
+
+_OUTLINK = StructType(
+    [StructField("to_url", StringType()), StructField("anchor", StringType())]
+)
+
+
+def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
+          outlink_fn: OutlinkFn | None = None,
+          chain: URLFilterChain | None = None,
+          max_outlinks_per_page: int = 100) -> DataFrame:
+    """Produce the PARSE_OUT rows for updatedb.
+
+    ``outlink_fn(urls) -> Series[list[(to_url, anchor)]]`` is the outlink
+    extractor (C7); defaults to the synthetic web's deterministic links.
+    Only fetch_success pages are parsed (``ParseSegment.java:92-116``
+    skips non-success via the ``_fst_`` metadata check).
+    """
+    if outlink_fn is None:
+        from ..synth.world import outlinks_for
+        outlink_fn = outlinks_for
+
+    ok = fetch_log.filter(F.col("status") == int(Fetch.SUCCESS)).select(
+        "url", "host", "score", "metadata"
+    )
+    # join payload; pages with no decodable payload are skipped (F6 analogue)
+    c = content.select("url", "bytes", "w", "h", "fmt", "caption", "phash")
+    parsed = ok.join(c, "url", "inner").filter(F.col("bytes").isNotNull())
+    parsed = parsed.persist()
+
+    # --- signature rows (C3: md5 of raw content, JVM-side) ---
+    sig_rows = parsed.select(
+        "url", "host",
+        F.lit(int(Msg.SIGNATURE)).alias("status"),
+        F.lit(0.0).cast(FloatType()).alias("score"),
+        F.unhex(F.md5(F.col("bytes"))).alias("signature"),
+        F.lit(None).cast(StringType()).alias("from_url"),
+        F.lit(None).cast(StringType()).alias("anchor"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+
+    # --- parse-metadata rows (graft ParseData: dims/format/phash/caption md5) ---
+    meta_rows = parsed.select(
+        "url", "host",
+        F.lit(int(Msg.PARSE_META)).alias("status"),
+        F.lit(0.0).cast(FloatType()).alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(None).cast(StringType()).alias("from_url"),
+        F.lit(None).cast(StringType()).alias("anchor"),
+        F.create_map(
+            F.lit("img.w"), F.col("w").cast("string"),
+            F.lit("img.h"), F.col("h").cast("string"),
+            F.lit("img.fmt"), F.col("fmt"),
+            F.lit("img.phash"), F.col("phash").cast("string"),
+            F.lit("caption.md5"), F.md5(F.col("caption").cast("binary")),
+        ).alias("metadata"),
+    )
+
+    # --- outlink extraction (C7) + OPIC distribution (SC3) ---
+    olf = outlink_fn
+
+    def extract(it):
+        for pdf in it:
+            links = olf(pdf["url"])
+            yield pd.DataFrame(
+                {"url": pdf["url"], "score": pdf["score"], "host": pdf["host"],
+                 "outlinks": [
+                     [{"to_url": t, "anchor": a} for t, a in (l or [])]
+                     for l in links
+                 ]}
+            )
+
+    with_links = parsed.select("url", "score", "host").mapInPandas(
+        extract,
+        schema=StructType([
+            StructField("url", StringType()),
+            StructField("score", FloatType()),
+            StructField("host", StringType()),
+            StructField("outlinks", ArrayType(_OUTLINK)),
+        ]),
+    )
+
+    ex = (
+        with_links
+        .withColumn("outlinks", F.slice("outlinks", 1, int(max_outlinks_per_page)))
+        .withColumn("n_out", F.size("outlinks"))
+        .filter(F.col("n_out") > 0)
+        .withColumn("ol", F.explode("outlinks"))
+        .select(
+            F.col("url").alias("from_url"),
+            F.col("host").alias("from_host"),
+            "score", "n_out",
+            F.col("ol.to_url").alias("to_url_raw"),
+            F.left(F.col("ol.anchor"), F.lit(int(cfg.linkdb_max_anchor_length))).alias("anchor"),
+        )
+    )
+
+    # normalize + filter targets (ParseOutputFormat normalizes outlinks)
+    @F.pandas_udf(StringType())
+    def _norm(u: pd.Series) -> pd.Series:
+        return normalize_urls(u)
+
+    ex = ex.withColumn("to_url", _norm(F.col("to_url_raw"))).filter(
+        F.col("to_url").isNotNull()
+    )
+    if chain is not None:
+        fchain = chain
+
+        @F.pandas_udf("boolean")
+        def _acc(u: pd.Series) -> pd.Series:
+            return fchain.accept(u)
+
+        ex = ex.filter(_acc(F.col("to_url")))
+
+    ex = ex.withColumn("to_host", F.lower(F.expr("parse_url(to_url, 'HOST')")))
+
+    # OPIC cash (SC3): page score / n_outlinks, internal/external factor
+    cash = (F.col("score") / F.col("n_out")) * F.when(
+        F.col("to_host") == F.col("from_host"), F.lit(float(cfg.score_internal))
+    ).otherwise(F.lit(float(cfg.score_external)))
+
+    link_rows = ex.select(
+        F.col("to_url").alias("url"),
+        F.col("to_host").alias("host"),
+        F.lit(int(Msg.LINKED)).alias("status"),
+        cash.cast(FloatType()).alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        "from_url",
+        "anchor",
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+
+    return sig_rows.unionByName(meta_rows).unionByName(link_rows)
+
+
+def redirect_link_rows(fetch_log: DataFrame) -> DataFrame:
+    """Redirect targets as ``linked`` rows (P6 default http.redirect.max=0:
+    the fetcher emits STATUS_LINKED for the target instead of following —
+    ``FetcherThread.java:460-478``).  Cash 0 (redirect targets inherit no
+    OPIC cash in the default plugin chain)."""
+    red = fetch_log.filter(
+        F.col("status").isin(int(Fetch.REDIR_TEMP), int(Fetch.REDIR_PERM))
+        & F.col("redirect_to").isNotNull()
+        & (F.col("redirect_to") != F.col("url"))  # self-redirects dropped
+    )
+    return red.select(
+        F.col("redirect_to").alias("url"),
+        F.lower(F.expr("parse_url(redirect_to, 'HOST')")).alias("host"),
+        F.lit(int(Msg.LINKED)).alias("status"),
+        F.lit(0.0).cast(FloatType()).alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.col("url").alias("from_url"),
+        F.lit(None).cast(StringType()).alias("anchor"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )

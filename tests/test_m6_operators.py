@@ -1,0 +1,278 @@
+"""Tests for parse, dedup (comparator cascade golden cases), linkdb,
+hostdb, readdb, mergers — SURVEY.md §5.2 #5 and M6."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from coherencebot_spark.config import DEFAULT
+from coherencebot_spark.operators.dedup import dedup, dedup_by_phash
+from coherencebot_spark.operators.hostdb import update_hostdb
+from coherencebot_spark.operators.linkdb import invert_links, merge_linkdb
+from coherencebot_spark.operators.merge import merge_crawldbs, merge_segments
+from coherencebot_spark.operators.parse import parse, redirect_link_rows
+from coherencebot_spark.operators.readdb import dump, stats, topn
+from coherencebot_spark.schemas import CONTENT, FETCH_LOG, FRONTIER, PARSE_OUT
+from coherencebot_spark.status import Db, Fetch, Msg
+
+T = 1_700_000_000_000
+
+
+def frow(url, status=Db.FETCHED, score=1.0, fetch_time=T, signature=b"\x01",
+         host=None, metadata=None):
+    return dict(url=url, host=host or url.split("/")[2], status=int(status),
+                fetch_time=fetch_time, retries=0, fetch_interval=2_592_000,
+                score=float(score), signature=signature, modified_time=0,
+                metadata=metadata)
+
+
+# ---------------------------------------------------------------------------
+# dedup — comparator-cascade branches (DeduplicationJob.java:167-229)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_score_then_time_then_length(spark):
+    rows = [
+        frow("http://a/keep-best-score", score=9.0),
+        frow("http://a/lower-score", score=1.0),
+    ]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert out["http://a/keep-best-score"] == Db.FETCHED
+    assert out["http://a/lower-score"] == Db.DUPLICATE
+
+    # equal score → latest fetch time wins
+    rows = [
+        frow("http://a/old", fetch_time=T - 1000),
+        frow("http://a/new", fetch_time=T),
+    ]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert out["http://a/new"] == Db.FETCHED
+    assert out["http://a/old"] == Db.DUPLICATE
+
+    # equal score+time → shortest url wins
+    rows = [frow("http://a/longerurl"), frow("http://a/short")]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert out["http://a/short"] == Db.FETCHED
+    assert out["http://a/longerurl"] == Db.DUPLICATE
+
+    # full tie → pinned url-asc winner
+    rows = [frow("http://a/x1"), frow("http://a/x2")]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert out["http://a/x1"] == Db.FETCHED and out["http://a/x2"] == Db.DUPLICATE
+
+
+def test_dedup_https_over_http(spark):
+    cfg = DEFAULT.with_(dedup_compare_order=("httpsOverHttp", "score"))
+    rows = [frow("http://a/p", score=9.0), frow("https://a/p", score=1.0)]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER), cfg).collect()}
+    assert out["https://a/p"] == Db.FETCHED
+    assert out["http://a/p"] == Db.DUPLICATE
+
+
+def test_dedup_groups_and_unfetched_excluded(spark):
+    # different signatures never collide; unfetched rows don't compete
+    rows = [
+        frow("http://a/1", signature=b"\x01"),
+        frow("http://a/2", signature=b"\x02"),
+        frow("http://a/3", status=Db.UNFETCHED, signature=b"\x01"),
+    ]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert all(s != Db.DUPLICATE for s in out.values())
+    # host grouping: same signature on different hosts survives
+    cfg = DEFAULT.with_(dedup_group_mode="host")
+    rows = [frow("http://a/1"), frow("http://b/1")]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER), cfg).collect()}
+    assert all(s != Db.DUPLICATE for s in out.values())
+
+
+def test_dedup_by_phash(spark):
+    rows = [frow("http://a/1", score=2.0), frow("http://b/1", score=1.0),
+            frow("http://c/1", score=5.0)]
+    content = [
+        dict(url="http://a/1", image_id="i1", bytes=b"x", w=1, h=1,
+             fmt="png", caption="c", phash=42),
+        dict(url="http://b/1", image_id="i2", bytes=b"y", w=1, h=1,
+             fmt="png", caption="c", phash=42),
+        dict(url="http://c/1", image_id="i3", bytes=b"z", w=1, h=1,
+             fmt="png", caption="c", phash=7),
+    ]
+    out = {r.url: r.status for r in dedup_by_phash(
+        spark.createDataFrame(rows, FRONTIER),
+        spark.createDataFrame(content, CONTENT)).collect()}
+    assert out["http://a/1"] == Db.FETCHED   # higher score keeps
+    assert out["http://b/1"] == Db.DUPLICATE
+    assert out["http://c/1"] == Db.FETCHED   # unique phash
+
+
+# ---------------------------------------------------------------------------
+# parse
+# ---------------------------------------------------------------------------
+
+
+def fetch_row(url, status=Fetch.SUCCESS, redirect_to=None, score=1.0):
+    return dict(url=url, host=url.split("/")[2], status=int(status),
+                fetch_time=T, retries=0, fetch_interval=2_592_000,
+                score=float(score), signature=None, modified_time=0,
+                metadata=None, proto_status=1, redirect_to=redirect_to)
+
+
+def content_row(url, data=b"payload", caption="cap"):
+    return dict(url=url, image_id="img", bytes=data, w=8, h=8, fmt="png",
+                caption=caption, phash=1)
+
+
+def static_outlinks(urls: pd.Series) -> pd.Series:
+    return pd.Series(
+        [[(f"https://other.example.org/t{i}", "anchor text here")]
+         for i in range(len(urls))],
+        index=urls.index,
+    )
+
+
+def test_parse_emits_signature_meta_links(spark):
+    fl = spark.createDataFrame(
+        [fetch_row("https://h.example.org/p", score=2.0),
+         fetch_row("https://h.example.org/gone", status=Fetch.GONE)],
+        FETCH_LOG,
+    )
+    ct = spark.createDataFrame([content_row("https://h.example.org/p")], CONTENT)
+    out = parse(fl, ct, DEFAULT, outlink_fn=static_outlinks).collect()
+    kinds = {}
+    for r in out:
+        kinds.setdefault(r.status, []).append(r)
+    assert len(kinds[Msg.SIGNATURE]) == 1
+    import hashlib
+    assert bytes(kinds[Msg.SIGNATURE][0].signature) == hashlib.md5(b"payload").digest()
+    assert len(kinds[Msg.PARSE_META]) == 1
+    assert kinds[Msg.PARSE_META][0].metadata["img.fmt"] == "png"
+    # one outlink → full cash 2.0 (external factor 1.0)
+    assert len(kinds[Msg.LINKED]) == 1
+    link = kinds[Msg.LINKED][0]
+    assert link.url == "https://other.example.org/t0"
+    assert link.score == pytest.approx(2.0)
+    assert link.from_url == "https://h.example.org/p"
+
+
+def test_opic_cash_split(spark):
+    def two_links(urls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[("https://h.example.org/internal", "a"),
+              ("https://x.example.org/external", "b")] for _ in urls],
+            index=urls.index,
+        )
+
+    fl = spark.createDataFrame([fetch_row("https://h.example.org/p", score=3.0)],
+                               FETCH_LOG)
+    ct = spark.createDataFrame([content_row("https://h.example.org/p")], CONTENT)
+    cfg = DEFAULT.with_(score_internal=2.0, score_external=0.5)
+    links = {r.url: r.score for r in parse(fl, ct, cfg, outlink_fn=two_links)
+             .filter(f"status = {int(Msg.LINKED)}").collect()}
+    assert links["https://h.example.org/internal"] == pytest.approx(3.0 / 2 * 2.0)
+    assert links["https://x.example.org/external"] == pytest.approx(3.0 / 2 * 0.5)
+
+
+def test_redirect_link_rows(spark):
+    fl = spark.createDataFrame(
+        [fetch_row("https://h.example.org/m", status=Fetch.REDIR_PERM,
+                   redirect_to="https://t.example.org/new"),
+         fetch_row("https://h.example.org/self", status=Fetch.REDIR_TEMP,
+                   redirect_to="https://h.example.org/self")],
+        FETCH_LOG,
+    )
+    out = redirect_link_rows(fl).collect()
+    assert len(out) == 1  # self-redirect dropped
+    assert out[0].url == "https://t.example.org/new"
+    assert out[0].status == Msg.LINKED
+
+
+# ---------------------------------------------------------------------------
+# linkdb
+# ---------------------------------------------------------------------------
+
+
+def link_row(url, from_url, anchor="a" * 150):
+    return dict(url=url, host=url.split("/")[2], status=int(Msg.LINKED),
+                score=0.1, signature=None, from_url=from_url, anchor=anchor,
+                metadata=None)
+
+
+def test_invert_links_caps_and_truncates(spark):
+    rows = [link_row("https://t.example.org/p", f"https://s{i}.example.org/x")
+            for i in range(5)]
+    rows.append(link_row("https://t.example.org/p", "https://t.example.org/internal"))
+    ldb = invert_links(spark.createDataFrame(rows, PARSE_OUT)).collect()
+    assert len(ldb) == 1
+    inl = ldb[0].inlinks
+    assert len(inl) == 5  # internal link ignored (linkdb.ignore.internal.links)
+    assert all(len(i.anchor) == 100 for i in inl)  # anchor truncation
+
+    merged = merge_linkdb(
+        invert_links(spark.createDataFrame(rows, PARSE_OUT)),
+        invert_links(spark.createDataFrame(
+            [link_row("https://t.example.org/p", "https://new.example.org/y")],
+            PARSE_OUT)),
+    ).collect()
+    assert len(merged[0].inlinks) == 6
+
+
+# ---------------------------------------------------------------------------
+# hostdb / readdb / mergers
+# ---------------------------------------------------------------------------
+
+
+def test_update_hostdb(spark):
+    rows = [frow("http://a/1", status=Db.FETCHED),
+            frow("http://a/2", status=Db.UNFETCHED, signature=None),
+            frow("http://b/1", status=Db.GONE, signature=None)]
+    hdb = update_hostdb(spark.createDataFrame(rows, FRONTIER))
+    got = {r.host: r for r in hdb.collect()}
+    assert got["a"].fetched == 1 and got["a"].unfetched == 1
+    assert got["b"].gone == 1
+    # merge keeps failure counters accumulating
+    hdb2 = update_hostdb(spark.createDataFrame(rows, FRONTIER), hdb)
+    got2 = {r.host: r for r in hdb2.collect()}
+    assert got2["a"].fetched == 1
+
+
+def test_readdb_stats_and_topn(spark):
+    rows = [frow(f"http://h/{i}", score=float(i), signature=None,
+                 status=Db.UNFETCHED) for i in range(10)]
+    f = spark.createDataFrame(rows, FRONTIER)
+    s = stats(f)
+    g = s["global"].collect()[0]
+    assert g.urls == 10 and g.max_score == 9.0
+    t = topn(f, 3).collect()
+    assert [r.score for r in t] == [9.0, 8.0, 7.0]
+    d = dump(f, expr="score >= 8").collect()
+    assert len(d) == 2
+
+
+def test_merge_crawldbs_latest_wins(spark):
+    a = spark.createDataFrame(
+        [frow("http://h/1", fetch_time=T - 1000, score=1.0,
+              metadata={"k": "old", "x": "1"})], FRONTIER)
+    b = spark.createDataFrame(
+        [frow("http://h/1", fetch_time=T, score=2.0, metadata={"k": "new"})],
+        FRONTIER)
+    out = merge_crawldbs([a, b]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.score == 2.0 and r.fetch_time == T
+    assert r.metadata == {"k": "new", "x": "1"}  # merged, later wins
+
+
+def test_merge_segments(spark):
+    s1 = spark.createDataFrame([fetch_row("https://h.example.org/p")], FETCH_LOG)
+    s2 = spark.createDataFrame(
+        [dict(fetch_row("https://h.example.org/p", status=Fetch.GONE),
+              fetch_time=T + 5)], FETCH_LOG)
+    out = merge_segments([s1, s2]).collect()
+    assert len(out) == 1 and out[0].status == Fetch.GONE
