@@ -1,0 +1,227 @@
+"""Benchmark — URLs fetched+updated per second over a synthetic frontier
+(BASELINE.json metric), plus operator micro-benches and the two-cluster-
+size scaling proxy (north rule: N vs 4N executors ⇒ local[8] vs local[32]
+on identical input; report both throughputs + efficiency).
+
+Prints ONE JSON line:
+  {"metric": "urls_fetched_updated_per_sec", "value": <wall sec of the
+   headline cycle at local[CPUS]>, "unit": "sec", "queries": {...}, "sf": ...,
+   "throughput": {...}, "scaling": {...}}
+
+Input synthesis is deterministic (seed 42), entirely JVM-side (spark.range
++ hash arithmetic), written to parquet once and excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from coherencebot_spark.config import DEFAULT  # noqa: E402
+from coherencebot_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+# bench scale (FIXTURES.md bench tier, trimmed to per-round time budget)
+N_FRONTIER = int(os.environ.get("BENCH_FRONTIER", "1000000"))
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "20000"))
+TOPN = int(os.environ.get("BENCH_TOPN", "100000"))
+
+CFG = DEFAULT.with_(
+    topn=TOPN, num_partitions=8, max_count=50,
+    server_delay_ms=100,          # politeness delay scaled so the virtual
+    time_limit_ms=3_600_000_000,  # clock never starves the bench
+    host_buckets=256,
+)
+T0 = 1_700_000_000_000
+
+
+def synthesize_frontier(spark, path: str) -> None:
+    """Deterministic 1M-row frontier, all JVM expressions (no Python)."""
+    from coherencebot_spark.status import Db
+
+    df = spark.range(N_FRONTIER).select(
+        F.col("id"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % N_HOSTS).alias("h"),
+        F.abs(F.xxhash64(F.col("id"), F.lit(2))).alias("r1"),
+        F.abs(F.xxhash64(F.col("id"), F.lit(3))).alias("r2"),
+    )
+    host = F.concat(F.lit("host"), F.lpad(F.col("h").cast("string"), 4, "0"),
+                    F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/page/"), F.col("id").cast("string"))
+    status = F.when(F.col("r1") % 100 < 70, F.lit(int(Db.UNFETCHED))).otherwise(
+        F.lit(int(Db.FETCHED)))
+    due = F.col("r2") % 100 < 80
+    fetch_time = F.when(due, F.lit(T0) - (F.col("r2") % 86_400_000)).otherwise(
+        F.lit(T0) + (F.col("r2") % 86_400_000))
+    df.select(
+        url.alias("url"),
+        host.alias("host"),
+        status.cast("int").alias("status"),
+        fetch_time.cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(2_592_000).cast("long").alias("fetch_interval"),
+        ((F.col("r1") % 10_000).cast("float") / 100.0).alias("score"),
+        F.when(status == int(Db.FETCHED), F.unhex(F.md5(url))).alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def tiny_payload_row(i: int) -> dict:
+    """Bench payload: real pixels+phash, small fixed dims (keeps the
+    synthetic-protocol cost bounded; correctness tier uses full sizes)."""
+    import numpy as np
+    from coherencebot_spark.synth import images
+    from coherencebot_spark.synth.phash import phash64
+
+    px = images.gen_pixels(i % 10_000, 32, 32)
+    return {
+        "image_id": f"img{i:08d}", "bytes": images.encode_bmp(px),
+        "w": 32, "h": 32, "fmt": "bmp",
+        "caption": f"caption {i % 10_000}", "phash": phash64(px),
+    }
+
+
+def run_cycle(spark, frontier_path: str) -> tuple[float, dict]:
+    """One generate→fetch→parse→updatedb→dedup cycle; returns (sec, counts)."""
+    from coherencebot_spark.operators.dedup import dedup_by_phash
+    from coherencebot_spark.operators.fetch import fetch
+    from coherencebot_spark.operators.generate import generate
+    from coherencebot_spark.operators.parse import parse, redirect_link_rows
+    from coherencebot_spark.operators.updatedb import updatedb
+
+    frontier = spark.read.parquet(frontier_path)
+    t0 = time.time()
+    fl = generate(frontier, T0, CFG)
+    log, content = fetch(fl, T0, CFG, payload_fn=tiny_payload_row,
+                         n_images=1_000_000, n_hosts=N_HOSTS)
+    log = log.persist()
+    content = content.persist()
+    n_fetch_rows = log.count()
+    parse_out = parse(log, content, CFG).unionByName(redirect_link_rows(log))
+    nf = updatedb(frontier, log, parse_out, T0, CFG)
+    nf = dedup_by_phash(nf, content, CFG)
+    n_frontier = nf.count()
+    sec = time.time() - t0
+    log.unpersist()
+    content.unpersist()
+    return sec, {"fetch_rows": n_fetch_rows, "frontier_rows": n_frontier}
+
+
+def bench_ops(spark, frontier_path: str) -> dict[str, float]:
+    """Per-operator micro benches (seconds)."""
+    from coherencebot_spark.operators.generate import generate
+    from coherencebot_spark.operators.readdb import stats, topn
+    from coherencebot_spark.datapipe.dedup_text import minhash_lsh_pairs, simhash64
+    from coherencebot_spark.datapipe.similarity import cosine_topk_lsh
+    from coherencebot_spark.datapipe.text_quality import with_lang_id, with_quality
+
+    out: dict[str, float] = {}
+    frontier = spark.read.parquet(frontier_path)
+
+    t = time.time()
+    generate(frontier, T0, CFG).count()
+    out["generate"] = round(time.time() - t, 3)
+
+    t = time.time()
+    s = stats(frontier)
+    s["global"].collect()
+    s["by_status"].collect()
+    out["readdb_stats"] = round(time.time() - t, 3)
+
+    t = time.time()
+    topn(frontier, 1000).collect()
+    out["readdb_topn"] = round(time.time() - t, 3)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t = time.time()
+    with_quality(with_lang_id(docs)).agg(F.avg("quality_score")).collect()
+    out["text_quality"] = round(time.time() - t, 3)
+
+    t = time.time()
+    simhash64(docs).count()
+    out["simhash"] = round(time.time() - t, 3)
+
+    t = time.time()
+    minhash_lsh_pairs(docs, k=5, n_hashes=32, bands=8,
+                      verify_threshold=None).count()
+    out["minhash_lsh"] = round(time.time() - t, 3)
+
+    em = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    dim = len(em.select("embedding").first()[0])
+    q = em.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    t = time.time()
+    cosine_topk_lsh(em, q, k=10, dim=dim, n_planes=6, n_tables=4).count()
+    out["ann_lsh"] = round(time.time() - t, 3)
+    return out
+
+
+def main() -> None:
+    workdir = tempfile.mkdtemp(prefix="cbspark-bench-")
+    frontier_path = os.path.join(workdir, "frontier")
+    results_queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    # --- headline + micro benches at local[CPUS] ---
+    spark = build_session(master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8),
+                          app_name="cbspark-bench")
+    synthesize_frontier(spark, frontier_path)
+    sec, counts = run_cycle(spark, frontier_path)
+    results_queries["crawl_cycle"] = round(sec, 3)
+    thr_main = counts["fetch_rows"] / sec if sec > 0 else 0.0
+    throughput[f"urls_per_sec_local{CPUS}"] = round(thr_main, 1)
+    results_queries.update(bench_ops(spark, frontier_path))
+    spark.stop()
+
+    # --- scaling proxy: same cycle at local[8] vs local[32] ---
+    scaling: dict[str, float] = {}
+    cycle_secs: dict[int, float] = {}
+    cycle_counts: dict[int, int] = {}
+    for n in (8, 32):
+        s = build_session(master=f"local[{n}]", shuffle_partitions=max(n, 8),
+                          app_name=f"cbspark-scale-{n}")
+        sec_n, counts_n = run_cycle(s, frontier_path)
+        cycle_secs[n] = sec_n
+        cycle_counts[n] = counts_n["fetch_rows"]
+        s.stop()
+    thr8 = cycle_counts[8] / cycle_secs[8]
+    thr32 = cycle_counts[32] / cycle_secs[32]
+    scaling = {
+        "cores_n": 8,
+        "cores_4n": 32,
+        "urls_per_sec_n": round(thr8, 1),
+        "urls_per_sec_4n": round(thr32, 1),
+        "efficiency_n_to_4n": round((thr32 / thr8) / 4.0, 3),
+        "cycle_sec_n": round(cycle_secs[8], 3),
+        "cycle_sec_4n": round(cycle_secs[32], 3),
+    }
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    print(json.dumps({
+        "metric": "crawl_cycle_sec",
+        "value": results_queries["crawl_cycle"],
+        "unit": "sec",
+        "queries": results_queries,
+        "sf": SF_DIR,
+        "frontier_rows": N_FRONTIER,
+        "fetchlist_rows": counts["fetch_rows"],
+        "throughput": throughput,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,16 +146,21 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
     h = toks.select(id_col, F.xxhash64("tok").alias("h"))
-    # per bit: +1 if set else -1; sum; sign → bit
+    # per bit: +1 if set else -1; sum; sign → bit.  shiftleft (not 1<<i
+    # literals — bit 63 overflows a Java long literal)
     bit_sums = h.groupBy(id_col).agg(*[
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ])
     acc = F.lit(0).cast("long")
     for i in range(64):
-        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = acc + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select(id_col, acc.alias("simhash"))
 
 

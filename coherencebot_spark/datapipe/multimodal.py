@@ -1,0 +1,174 @@
+"""Multimodal column processing: image/audio/video as opaque ``binary``
+columns with typed metadata, transformed by Arrow-batched UDFs.
+
+The Spark-side plumbing (schemas, batch shapes, partition discipline,
+UDF signatures) is real and tested; where a heavyweight codec library
+would be required (general JPEG/PNG from the wild, audio, video), the
+decode step is stubbed behind ``NotImplementedError`` or a deterministic
+fake, clearly marked.  The synthetic payload formats (``png``/``bmp``/
+``jpeg``-tagged DCT) decode for real via ``synth.images``.
+
+Scale notes baked into the design:
+* bytes stay OUT of shuffles — every transform is a ``mapInPandas`` over
+  the scan, never after a ``groupBy``;
+* Arrow batch size bounds executor memory: rows ≤
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` and the decode loop
+  releases each image before the next (no batch-wide pixel tensor);
+* outputs are metadata/features unless pixels are requested, so the
+  downstream plan prunes the binary column away.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..synth import images
+from ..synth.phash import phash64
+
+_KNOWN_FMTS = frozenset({"png", "bmp", "jpeg"})
+
+
+def decode_rgb(data: bytes, fmt: str) -> np.ndarray:
+    """Decode payload bytes to (h, w, 3) uint8.
+
+    Synthetic-world formats decode for real; anything else would need a
+    codec library that is not in this container."""
+    if fmt in _KNOWN_FMTS:
+        return images.decode(data, fmt)
+    raise NotImplementedError(
+        f"decode for format {fmt!r} requires an image codec library "
+        "(PIL/libvips) not present in this sandbox — plug one in here."
+    )
+
+
+def with_image_features(content: DataFrame, bytes_col: str = "bytes",
+                        fmt_col: str = "fmt") -> DataFrame:
+    """Append decoded stats: (dec_w, dec_h, mean_r/g/b, phash64).
+
+    One pass over the scan, per-image numpy, Arrow-batched."""
+    cols = list(content.columns)
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            out = {k: [] for k in
+                   ("dec_w", "dec_h", "mean_r", "mean_g", "mean_b", "phash64")}
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                if data is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                px = decode_rgb(bytes(data), fmt)
+                out["dec_w"].append(px.shape[1])
+                out["dec_h"].append(px.shape[0])
+                m = px.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(float(m[0]))
+                out["mean_g"].append(float(m[1]))
+                out["mean_b"].append(float(m[2]))
+                out["phash64"].append(phash64(px))
+            res = pdf.copy()
+            for k, v in out.items():
+                res[k] = v
+            yield res
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in content.schema) \
+        + ", dec_w int, dec_h int, mean_r double, mean_g double, mean_b double, phash64 long"
+    return content.mapInPandas(feats, schema=schema)
+
+
+def resize_images(content: DataFrame, target: int = 32,
+                  bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Decode → bilinear resize to target×target → re-encode PNG.
+
+    Returns (url?, image_id, resized_png binary)."""
+    from ..synth.phash import _resize32  # 32×32 bilinear; general path below
+
+    keep = [c for c in content.columns if c != bytes_col]
+
+    def rs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                if data is None:
+                    out.append(None)
+                    continue
+                px = decode_rgb(bytes(data), fmt)
+                # per-channel bilinear to target×target
+                ch = []
+                for c in range(3):
+                    g = px[:, :, c].astype(np.float64)
+                    ys = np.clip((np.arange(target) + 0.5) * g.shape[0] / target - 0.5, 0, g.shape[0] - 1)
+                    xs = np.clip((np.arange(target) + 0.5) * g.shape[1] / target - 0.5, 0, g.shape[1] - 1)
+                    y0, x0 = np.floor(ys).astype(int), np.floor(xs).astype(int)
+                    y1, x1 = np.minimum(y0 + 1, g.shape[0] - 1), np.minimum(x0 + 1, g.shape[1] - 1)
+                    wy, wx = (ys - y0)[:, None], (xs - x0)[None, :]
+                    top = g[np.ix_(y0, x0)] * (1 - wx) + g[np.ix_(y0, x1)] * wx
+                    bot = g[np.ix_(y1, x0)] * (1 - wx) + g[np.ix_(y1, x1)] * wx
+                    ch.append(top * (1 - wy) + bot * wy)
+                small = np.clip(np.round(np.stack(ch, axis=-1)), 0, 255).astype(np.uint8)
+                out.append(images.encode_png(small))
+            res = pdf[keep].copy()
+            res["resized_png"] = out
+            yield res
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in content.schema if f.name != bytes_col
+    ) + ", resized_png binary"
+    return content.mapInPandas(rs, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# audio / video — plumbing real, decode stubbed
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = ("clip_id string, bytes binary, sample_rate int, n_channels int, "
+                "duration_ms long, codec string")
+VIDEO_SCHEMA = ("clip_id string, bytes binary, w int, h int, fps float, "
+                "n_frames int, codec string")
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """(clip_id, rms, zero_crossings) per clip.
+
+    STUB: real audio decode needs ffmpeg/librosa (absent here).  A clip
+    whose codec is 'pcm16' is interpreted as raw little-endian int16 —
+    that path is real and tested; all other codecs raise."""
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rms, zc = [], []
+            for data, codec in zip(pdf["bytes"], pdf["codec"]):
+                if codec != "pcm16":
+                    raise NotImplementedError(
+                        f"audio codec {codec!r}: decode requires ffmpeg/librosa"
+                    )
+                x = np.frombuffer(bytes(data), dtype="<i2").astype(np.float64)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                zc.append(int((np.diff(np.signbit(x)) != 0).sum()) if len(x) > 1 else 0)
+            yield pd.DataFrame(
+                {"clip_id": pdf["clip_id"], "rms": rms, "zero_crossings": zc}
+            )
+
+    return audio.mapInPandas(
+        feats, schema="clip_id string, rms double, zero_crossings long"
+    )
+
+
+def sample_video_frames(video: DataFrame, every_n: int = 30) -> DataFrame:
+    """(clip_id, frame_idx) sampling plan — one row per kept frame.
+
+    The *plan* (which frames to decode, batch shape) is real Spark;
+    decoding a frame from real container formats is stubbed."""
+    return video.select(
+        "clip_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                       F.lit(int(every_n)))
+        ).alias("frame_idx"),
+    )

@@ -107,8 +107,11 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int):
                 F.transform(
                     F.sequence(F.lit(0), F.lit(dim - 1)),
                     lambda i: (
-                        F.xxhash64(F.lit(seed * 1_000_003 + p) * F.lit(131_071) + i)
-                        .cast("double") / F.lit(float(2 ** 63))
+                        F.xxhash64(
+                            F.lit(seed * 1_000_003 + p).cast("long")
+                            * F.lit(131_071).cast("long")
+                            + i.cast("long")
+                        ).cast("double") / F.lit(float(2 ** 63))
                     ),
                 ),
                 lambda x, y: x * y,

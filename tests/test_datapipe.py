@@ -1,0 +1,159 @@
+"""Training-data pipeline operator tests: text dedup, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_spark.datapipe.dedup_text import (
+    exact_duplicates, minhash_lsh_pairs, ngram_jaccard, simhash_near_dups,
+)
+from coherencebot_spark.datapipe.similarity import (
+    cosine_topk_bruteforce, cosine_topk_lsh, cosine_topk_pandas,
+)
+from coherencebot_spark.datapipe.text_quality import (
+    with_fingerprint, with_lang_id, with_quality,
+)
+from coherencebot_spark.datapipe.multimodal import (
+    extract_audio_features, sample_video_frames, with_image_features,
+)
+from coherencebot_spark.synth import images, world
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest tonight")
+
+
+def docs_df(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),                                  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy"), "en"),        # near dup of 0
+        (3, "der hund und die katze sind nicht im haus mit den kindern", "de"),
+        (4, "le chat est dans la maison et il dort pour le moment", "fr"),
+        (5, "xyzzy plugh 42", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(spark):
+    pairs = exact_duplicates(docs_df(spark)).collect()
+    assert [(r.keep_id, r.dup_id) for r in pairs] == [(0, 1)]
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = minhash_lsh_pairs(docs_df(spark), k=4, n_hashes=32, bands=16,
+                              verify_threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(a < 3 and b < 3 for a, b in got)  # unrelated docs never pair
+
+
+def test_ngram_jaccard_values(spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 5)], "id_a long, id_b long")
+    j = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard(docs_df(spark), pairs, k=4).collect()}
+    assert j[(0, 1)] == pytest.approx(1.0)
+    assert j[(0, 5)] < 0.05
+
+
+def test_simhash_near_dups(spark):
+    got = {(r.id_a, r.id_b) for r in
+           simhash_near_dups(docs_df(spark), max_hamming=4).collect()}
+    assert (0, 1) in got
+    assert not any(5 in p for p in got)
+
+
+def test_lang_id_and_quality(spark):
+    out = {r.doc_id: r for r in
+           with_quality(with_lang_id(docs_df(spark))).collect()}
+    assert out[0].lang_pred == "en"
+    assert out[3].lang_pred == "de"
+    assert out[4].lang_pred == "fr"
+    assert out[5].lang_pred == "und"
+    assert out[0].n_tokens == len(BASE.split())
+    assert 0.0 <= out[5].quality_score <= out[0].quality_score <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def vectors_df(spark, n=64, dim=8):
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), m
+
+
+def test_cosine_topk_consistency(spark):
+    vecs, m = vectors_df(spark)
+    qv = m[:2]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in qv[i]]) for i in range(2)],
+        "query_id long, embedding array<float>",
+    )
+    brute = cosine_topk_bruteforce(vecs, queries, k=5)
+    got_b = {(r.query_id, r.rank): r.vec_id for r in brute.collect()}
+    # querying with vector i must return i as rank-1 (cosine 1.0)
+    assert got_b[(0, 1)] == 0 and got_b[(1, 1)] == 1
+
+    pand = cosine_topk_pandas(vecs, qv.astype(np.float64), k=5)
+    got_p = {(r.query_id, r.rank): r.vec_id for r in pand.collect()}
+    assert got_p == got_b  # pandas path identical to JVM brute force
+
+    lsh = cosine_topk_lsh(vecs, queries, k=5, dim=8, n_planes=6, n_tables=6)
+    got_l = {(r.query_id, r.rank): r.vec_id for r in lsh.collect()}
+    # ANN: self-match must survive bucketing (same sig for identical vecs)
+    assert got_l[(0, 1)] == 0 and got_l[(1, 1)] == 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_image_features_real_decode(spark):
+    rows = []
+    for i in range(4):
+        p = world.payload_row(i)
+        rows.append((p["image_id"], p["bytes"], p["w"], p["h"], p["fmt"],
+                     p["caption"], p["phash"]))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    out = {r.image_id: r for r in with_image_features(df).collect()}
+    for i in range(4):
+        r = out[f"img{i:08d}"]
+        assert (r.dec_w, r.dec_h) == (r.w, r.h)
+        if r.fmt not in images.LOSSY:
+            assert r.phash64 == r.phash  # lossless round-trip → same phash
+
+
+def test_audio_pcm16_and_video_plan(spark):
+    x = (np.sin(np.linspace(0, 20 * np.pi, 1000)) * 10000).astype("<i2")
+    audio = spark.createDataFrame(
+        [("c1", x.tobytes(), 16000, 1, 62, "pcm16")],
+        "clip_id string, bytes binary, sample_rate int, n_channels int, "
+        "duration_ms long, codec string")
+    r = extract_audio_features(audio).collect()[0]
+    assert r.rms == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+    assert r.zero_crossings == 19 or r.zero_crossings == 20
+
+    video = spark.createDataFrame(
+        [("v1", b"", 640, 360, 30.0, 91, "raw")],
+        "clip_id string, bytes binary, w int, h int, fps float, "
+        "n_frames int, codec string")
+    frames = sample_video_frames(video, every_n=30).collect()
+    assert [f.frame_idx for f in frames] == [0, 30, 60, 90]
