@@ -38,7 +38,7 @@ N_HOSTS = int(os.environ.get("BENCH_HOSTS", "20000"))
 TOPN = int(os.environ.get("BENCH_TOPN", "100000"))
 
 CFG = DEFAULT.with_(
-    topn=TOPN, num_partitions=8, max_count=50,
+    topn=TOPN, num_partitions=64, max_count=50,
     server_delay_ms=100,          # politeness delay scaled so the virtual
     time_limit_ms=3_600_000_000,  # clock never starves the bench
     host_buckets=256,
