@@ -32,10 +32,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
 
-# bench scale (FIXTURES.md bench tier, trimmed to per-round time budget)
-N_FRONTIER = int(os.environ.get("BENCH_FRONTIER", "1000000"))
-N_HOSTS = int(os.environ.get("BENCH_HOSTS", "20000"))
-TOPN = int(os.environ.get("BENCH_TOPN", "100000"))
+# bench scale (FIXTURES.md bench tier): large enough that the cycle is
+# CPU/shuffle-bound, not stage-overhead-bound — the honest proxy for the
+# 10^10-row target (at 1M rows the cycle is ~10s of fixed overhead and no
+# parallelism level can help; at 6M the compute dominates)
+N_FRONTIER = int(os.environ.get("BENCH_FRONTIER", "6000000"))
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "50000"))
+TOPN = int(os.environ.get("BENCH_TOPN", "600000"))
 
 CFG = DEFAULT.with_(
     topn=TOPN, num_partitions=64, max_count=50,
@@ -91,6 +94,29 @@ def tiny_payload_row(i: int) -> dict:
         "w": 32, "h": 32, "fmt": "bmp",
         "caption": f"caption {i % 10_000}", "phash": phash64(px),
     }
+
+
+def warmup(spark, frontier_path: str) -> None:
+    """Small warm-up cycle: spawns python workers, JIT-compiles the codegen
+    stages, so the measured run reflects steady state (the reference's
+    continuous-loop regime), not cold-start."""
+    from coherencebot_spark.operators.fetch import fetch
+    from coherencebot_spark.operators.generate import generate
+    from coherencebot_spark.operators.parse import parse, redirect_link_rows
+    from coherencebot_spark.operators.updatedb import updatedb
+
+    frontier = spark.read.parquet(frontier_path).limit(100_000)
+    cfg = CFG.with_(topn=20_000)
+    fl = generate(frontier, T0, cfg)
+    log, content = fetch(fl, T0, cfg, payload_fn=tiny_payload_row,
+                         n_images=1_000_000, n_hosts=N_HOSTS)
+    log = log.persist()
+    content = content.persist()
+    log.count()
+    po = parse(log, content, cfg).unionByName(redirect_link_rows(log))
+    updatedb(frontier, log, po, T0, cfg).count()
+    log.unpersist()
+    content.unpersist()
 
 
 def run_cycle(spark, frontier_path: str) -> tuple[float, dict]:
@@ -179,6 +205,7 @@ def main() -> None:
                           shuffle_partitions=max(CPUS, 8),
                           app_name="cbspark-bench")
     synthesize_frontier(spark, frontier_path)
+    warmup(spark, frontier_path)
     sec, counts = run_cycle(spark, frontier_path)
     results_queries["crawl_cycle"] = round(sec, 3)
     thr_main = counts["fetch_rows"] / sec if sec > 0 else 0.0
@@ -193,6 +220,7 @@ def main() -> None:
     for n in (8, 32):
         s = build_session(master=f"local[{n}]", shuffle_partitions=max(n, 8),
                           app_name=f"cbspark-scale-{n}")
+        warmup(s, frontier_path)
         sec_n, counts_n = run_cycle(s, frontier_path)
         cycle_secs[n] = sec_n
         cycle_counts[n] = counts_n["fetch_rows"]

@@ -171,6 +171,87 @@ def domain_of(hosts: pd.Series) -> pd.Series:
     return parts.map(reg_domain)
 
 
+class RegexURLNormalizer:
+    """urlnormalizer-regex: ordered sed-style substitutions from
+    ``regex-normalize.xml`` (``src/plugin/urlnormalizer-regex``).  Default
+    rules mirror the template: strip session ids, strip trailing ?, collapse
+    duplicate slashes in paths."""
+
+    DEFAULT_RULES = (
+        # (pattern, substitution) — conf/regex-normalize.xml.template
+        (r"(?i)(;?\b_?(l|j|bv_)?(sid|phpsessid|sessionid)=.*?)(\?|&|#|$)", r"\4"),
+        (r"&amp;", "&"),
+        (r"\?&", "?"),          # cleanup after removed leading query param
+        (r"&{2,}", "&"),
+        (r"(\?|&)\s*$", ""),
+        (r"(?<!:)/{2,}", "/"),  # duplicate slashes outside the scheme
+    )
+
+    def __init__(self, rules: tuple[tuple[str, str], ...] | None = None):
+        self.rules = [
+            (re.compile(p), s)
+            for p, s in (rules if rules is not None else self.DEFAULT_RULES)
+        ]
+
+    def normalize(self, urls: pd.Series) -> pd.Series:
+        s = urls.astype("string")
+        for rx, sub in self.rules:
+            s = s.str.replace(rx, sub, regex=True)
+        return s
+
+
+def choose_repr(src: pd.Series, dst: pd.Series, temp: pd.Series) -> pd.Series:
+    """Representative URL after a redirect (ref ``util/URLUtil.java:329``,
+    used at ``fetcher/FetcherThread.java:577``), vectorized over columns.
+
+    Rules: cross-domain ⇒ dst; permanent: src-root ⇒ src, else dst;
+    temporary: src-root & dst-not-root ⇒ src; dst-root & src-not-root ⇒ dst;
+    both root ⇒ shortest host; neither root ⇒ same host ? shortest path
+    (length, then slash count) : shortest host."""
+    src_host = host_of(src)
+    dst_host = host_of(dst)
+    src_dom = domain_of(src_host)
+    dst_dom = domain_of(dst_host)
+
+    def file_part(u: pd.Series) -> pd.Series:
+        return u.astype("string").str.replace(
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "", regex=True
+        ).fillna("")
+
+    src_file = file_part(src)
+    dst_file = file_part(dst)
+    src_root = (src_file == "") | (src_file == "/")
+    dst_root = (dst_file == "") | (dst_file == "/")
+    t = temp.astype(bool)
+
+    shorter_host = src.where(
+        src_host.str.len().fillna(1 << 30) <= dst_host.str.len().fillna(0), dst
+    )
+    path_src_shorter = (
+        (src_file.str.len() < dst_file.str.len())
+        | ((src_file.str.len() == dst_file.str.len())
+           & (src_file.str.count("/") <= dst_file.str.count("/")))
+    )
+    shorter_path = src.where(path_src_shorter, dst)
+    same_host = src_host == dst_host
+
+    out = dst.copy().astype(object)
+    cross = (src_dom != dst_dom) | src_dom.isna() | dst_dom.isna()
+    perm = ~t
+    # permanent: src root → src
+    out[(~cross) & perm & src_root] = src[(~cross) & perm & src_root]
+    # temp: src root & dst not root → src
+    out[(~cross) & t & src_root & ~dst_root] = src[(~cross) & t & src_root & ~dst_root]
+    # temp: both root → shortest host
+    m = (~cross) & t & src_root & dst_root
+    out[m] = shorter_host[m]
+    # temp: neither root → same host ? shortest path : shortest host
+    m = (~cross) & t & ~src_root & ~dst_root
+    out[m & same_host] = shorter_path[m & same_host]
+    out[m & ~same_host] = shorter_host[m & ~same_host]
+    return pd.Series(out, index=src.index)
+
+
 # ---------------------------------------------------------------------------
 # Filter chain
 # ---------------------------------------------------------------------------

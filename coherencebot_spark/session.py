@@ -29,6 +29,13 @@ def build_session(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
     real cluster, leave it unset and let spark-submit provide it.
     """
+    # one BLAS/OMP thread per python worker: Spark's process-per-core model
+    # already saturates the machine — nested numpy thread pools (32 workers
+    # × N BLAS threads) oversubscribe CPUs and invert scaling
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+              "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(v, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

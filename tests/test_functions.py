@@ -1,0 +1,178 @@
+"""Unit tests for hashing parity, normalizers, filters, signatures,
+choose_repr — no SparkSession needed (pure pandas/numpy paths)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_spark.functions.hashing import (
+    BloomFilter, host_partition, java_string_hashcode, nutch_tail_hash,
+)
+from coherencebot_spark.functions.signatures import (
+    text_profile_signature_one,
+)
+from coherencebot_spark.functions.urls import (
+    DescendantURLFilter, PrefixURLFilter, RegexURLFilter, RegexURLNormalizer,
+    SuffixURLFilter, URLFilterChain, choose_repr, domain_of, host_of,
+    normalize_urls,
+)
+
+
+def java_hash_ref(x: str) -> int:
+    h = 0
+    for u in memoryview(x.encode("utf-16-le")).cast("H"):
+        h = (h * 31 + u) & 0xFFFFFFFF
+    return h - 2**32 if h >= 2**31 else h
+
+
+def tail_ref(x: str) -> int:
+    b = x.encode("utf-8")
+    h = 1
+    for i in range(len(b) - 1, -1, -1):
+        sb = b[i] - 256 if b[i] >= 128 else b[i]
+        h = (31 * h + sb) & 0xFFFFFFFF
+    return h - 2**32 if h >= 2**31 else h
+
+
+def test_hash_parity_random_strings():
+    rng = np.random.default_rng(7)
+    strings = [
+        "".join(chr(rng.integers(32, 1000)) for _ in range(rng.integers(0, 40)))
+        for _ in range(200)
+    ] + ["", "hello", "host0001.example.org"]
+    s = pd.Series(strings)
+    assert list(java_string_hashcode(s)) == [java_hash_ref(x) for x in strings]
+    assert list(nutch_tail_hash(s)) == [tail_ref(x) for x in strings]
+
+
+def test_host_partition_matches_reference_formula():
+    hosts = pd.Series(["aaa", "bbb", "example.org", "host0042.example.org"])
+    seed = 987654321
+    got = host_partition(hosts, seed, 7)
+    for h, g in zip(hosts, got):
+        expect = ((java_hash_ref(h) ^ seed) & 0x7FFFFFFF) % 7
+        assert g == expect
+
+
+def test_bloom_no_false_negatives():
+    m, k = BloomFilter.params(10_000, 0.01)
+    bf = BloomFilter(m, k)
+    rng = np.random.default_rng(1)
+    h1 = rng.integers(0, 2**63, 10_000).astype(np.uint64)
+    h2 = rng.integers(0, 2**63, 10_000).astype(np.uint64)
+    bf.add(h1, h2)
+    assert bf.contains(h1, h2).all()
+    q1 = rng.integers(0, 2**63, 50_000).astype(np.uint64)
+    q2 = rng.integers(0, 2**63, 50_000).astype(np.uint64)
+    assert bf.contains(q1, q2).mean() < 0.02
+
+
+def test_normalizer_table():
+    # ported from TestBasicURLNormalizer scenarios
+    cases = {
+        "HTTP://Example.ORG/": "http://example.org/",
+        "http://example.org:80/x": "http://example.org/x",
+        "https://example.org:443/x": "https://example.org/x",
+        "https://example.org:8443/x": "https://example.org:8443/x",
+        "http://example.org/a/./b": "http://example.org/a/b",
+        "http://example.org/a/../b": "http://example.org/b",
+        "http://example.org/a//b": "http://example.org/a/b",
+        "http://example.org/#frag": "http://example.org/",
+        "http://example.org": "http://example.org/",
+        "http://example.org./x": "http://example.org/x",
+        "http://example.org/%7Euser": "http://example.org/~user",
+        "http://example.org/%2fpath": "http://example.org/%2Fpath",
+        "not a url": None,
+    }
+    got = normalize_urls(pd.Series(list(cases.keys())))
+    for (src, want), g in zip(cases.items(), got):
+        assert g == want, (src, g, want)
+
+
+def test_regex_normalizer_session_ids():
+    n = RegexURLNormalizer()
+    s = pd.Series([
+        "http://e.org/p?PHPSESSID=abc123&x=1",
+        "http://e.org/p?",
+        "http://e.org/a//b",
+    ])
+    out = n.normalize(s).tolist()
+    assert out[0] == "http://e.org/p?x=1"
+    assert out[1] == "http://e.org/p"
+    assert out[2] == "http://e.org/a/b"
+
+
+def test_filters():
+    urls = pd.Series([
+        "https://a.example.org/docs/x.html",
+        "https://a.example.org/img/y.gif",
+        "ftp://a.example.org/z",
+        "https://other.org/docs/q",
+    ])
+    # default template rejects image extensions AND non-http(s) protocols
+    assert RegexURLFilter().accept(urls).tolist() == [True, False, False, True]
+    assert PrefixURLFilter(["https://a.example.org/"]).accept(urls).tolist() == \
+        [True, True, False, False]
+    assert SuffixURLFilter([".gif"]).accept(urls).tolist() == \
+        [True, False, True, True]
+    d = DescendantURLFilter(["https://a.example.org/docs/index.html"])
+    assert d.accept(urls).tolist() == [True, False, False, False]
+    chain = URLFilterChain([RegexURLFilter(), PrefixURLFilter(["https://"])])
+    assert chain.accept(urls).tolist() == [True, False, False, True]
+
+
+def test_host_domain():
+    h = host_of(pd.Series(["https://a.b.example.co.uk/x", "http://example.org/"]))
+    assert h.tolist() == ["a.b.example.co.uk", "example.org"]
+    assert domain_of(h).tolist() == ["example.co.uk", "example.org"]
+
+
+def test_choose_repr_rules():
+    src = pd.Series([
+        "http://a.com/page",        # cross-domain → dst
+        "http://a.com/",            # perm, src root → src
+        "http://a.com/x/i.html",    # perm, not root → dst
+        "http://a.com/",            # temp, src root, dst not → src
+        "http://a.com/x/i.html",    # temp, dst root → dst
+        "http://www.a.com/",        # temp, both root → shortest host
+        "http://a.com/long/path/x", # temp, same host, neither root → shortest path
+    ])
+    dst = pd.Series([
+        "http://b.com/page",
+        "http://a.com/x?y=1",
+        "http://a.com/y/j.html",
+        "http://a.com/x/i.html",
+        "http://a.com/",
+        "http://www.news.a.com/",
+        "http://a.com/p",
+    ])
+    temp = pd.Series([False, False, False, True, True, True, True])
+    out = choose_repr(src, dst, temp).tolist()
+    assert out == [
+        "http://b.com/page",
+        "http://a.com/",
+        "http://a.com/y/j.html",
+        "http://a.com/",
+        "http://a.com/",
+        "http://www.a.com/",
+        "http://a.com/p",
+    ]
+
+
+def test_text_profile_signature():
+    # small-edit robustness: quantized profiles collapse minor changes
+    base = ("spark spark spark frontier frontier crawl " * 30)
+    edited = base + " extra"
+    assert text_profile_signature_one(base) == text_profile_signature_one(edited)
+    # different content → different signature
+    assert text_profile_signature_one(base) != text_profile_signature_one(
+        "completely different words here " * 30)
+    # deterministic, md5-shaped
+    sig = text_profile_signature_one("hello world hello")
+    assert isinstance(sig, bytes) and len(sig) == 16
+    # token rules: tokens of len <= 2 ignored
+    assert text_profile_signature_one("ab cd ef") == hashlib.md5(b"").digest()
