@@ -21,6 +21,10 @@ import sys
 import tempfile
 import time
 
+# local-mode driver == executor: give the single JVM enough heap that the
+# 32-thread hash aggregations don't spill where the 8-thread run fits
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -217,13 +221,19 @@ def main() -> None:
     scaling: dict[str, float] = {}
     cycle_secs: dict[int, float] = {}
     cycle_counts: dict[int, int] = {}
+    # the sandbox VM has visible CPU steal + frequency noise (single-thread
+    # benchmarks vary up to 2× run-to-run) — measure best-of-2 per level
     for n in (8, 32):
         s = build_session(master=f"local[{n}]", shuffle_partitions=max(n, 8),
                           app_name=f"cbspark-scale-{n}")
         warmup(s, frontier_path)
-        sec_n, counts_n = run_cycle(s, frontier_path)
-        cycle_secs[n] = sec_n
-        cycle_counts[n] = counts_n["fetch_rows"]
+        best, rows = None, 0
+        for _ in range(2):
+            sec_n, counts_n = run_cycle(s, frontier_path)
+            rows = counts_n["fetch_rows"]
+            best = sec_n if best is None else min(best, sec_n)
+        cycle_secs[n] = best
+        cycle_counts[n] = rows
         s.stop()
     thr8 = cycle_counts[8] / cycle_secs[8]
     thr32 = cycle_counts[32] / cycle_secs[32]

@@ -255,6 +255,10 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     )
 
     # --- payload materialization (image bytes + caption) for successes ---
+    # host/score/metadata ride along so parse never joins the byte-bearing
+    # frame back to the fetch log (bytes must not cross a shuffle —
+    # SURVEY.md §7.3 risk 5); the cycle driver projects CONTENT columns
+    # when persisting.
     pf = payload_fn
 
     def materialize(it):
@@ -267,15 +271,26 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
                     row = pf(int(idx))
                     for k in cols:
                         cols[k][i] = row[k]
-            out = pd.DataFrame({"url": pdf["url"]})
+            out = pdf[["url", "host", "score", "metadata"]].copy()
             for k, v in cols.items():
                 out[k] = v
             yield out
 
+    from pyspark.sql.types import FloatType, MapType
+
+    content_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("host", StringType()),
+            StructField("score", FloatType()),
+            StructField("metadata", MapType(StringType(), StringType())),
+        ]
+        + [f for f in CONTENT.fields if f.name != "url"]
+    )
     content = (
         fetch_log.filter(F.col("status") == int(Fetch.SUCCESS))
-        .select("url", "image_idx")
-        .mapInPandas(materialize, schema=CONTENT)
+        .select("url", "host", "score", "metadata", "image_idx")
+        .mapInPandas(materialize, schema=content_schema)
     )
 
     return fetch_log.drop("image_idx"), content

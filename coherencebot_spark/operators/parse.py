@@ -64,13 +64,19 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
         from ..synth.world import outlinks_for
         outlink_fn = outlinks_for
 
-    ok = fetch_log.filter(F.col("status") == int(Fetch.SUCCESS)).select(
-        "url", "host", "score", "metadata"
-    )
-    # join payload; pages with no decodable payload are skipped (F6 analogue)
-    c = content.select("url", "bytes", "w", "h", "fmt", "caption", "phash")
-    parsed = ok.join(c, "url", "inner").filter(F.col("bytes").isNotNull())
-    parsed = parsed.persist()
+    if {"host", "score"}.issubset(set(content.columns)):
+        # fast path: fetch carried host/score through the content frame, so
+        # the byte-bearing side never shuffles (SURVEY.md §7.3 risk 5)
+        parsed = content
+    else:
+        # resume path (content reloaded from a CONTENT-schema snapshot):
+        # broadcast the lite fetch-log side — bytes still don't shuffle
+        ok = fetch_log.filter(F.col("status") == int(Fetch.SUCCESS)).select(
+            "url", "host", "score"
+        )
+        parsed = content.join(F.broadcast(ok), "url", "inner")
+    # pages with no decodable payload are skipped (F6 truncation analogue)
+    parsed = parsed.filter(F.col("bytes").isNotNull()).persist()
 
     # --- signature rows (C3: md5 of raw content, JVM-side) ---
     sig_rows = parsed.select(

@@ -61,6 +61,10 @@ def build_session(
         # explicit F.broadcast() hints, but keep the auto threshold sane
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # split scans finer than the 128MB default: pre-shuffle stages chain
+        # Arrow UDFs onto scan tasks, and a mid-size table must not starve a
+        # 32-core executor with 6 scan partitions (cluster deploys override)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
