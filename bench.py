@@ -269,7 +269,7 @@ def main() -> None:
         "cycle_sec_n": round(cycle_secs[8], 3),
         "cycle_sec_4n": round(cycle_secs[32], 3),
     }
-    results_queries["crawl_cycle"] = cycle_secs[32]
+    results_queries["crawl_cycle"] = round(cycle_secs[32], 3)
 
     shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps({

@@ -61,6 +61,10 @@ class CrawlConfig:
     adaptive_max_interval_s: int = 365 * 86400  # .adaptive.max_interval
     adaptive_sync_delta: bool = True      # .adaptive.sync_delta
     adaptive_sync_delta_rate: float = 0.3
+    # MimeAdaptiveFetchSchedule (T3): per-format (inc, dec) overrides keyed
+    # by the parse metadata 'img.fmt' (the reference keys by MIME type from
+    # conf/adaptive-mimetypes.txt; crawl/MimeAdaptiveFetchSchedule.java)
+    mime_rates: tuple[tuple[str, float, float], ...] = ()
 
     # --- updatedb (crawl/CrawlDbReducer, CrawlDbFilter) ---
     max_inlinks: int = 10_000             # db.update.max.inlinks

@@ -56,10 +56,22 @@ def topn(frontier: DataFrame, n: int, min_score: float | None = None) -> DataFra
     return df.select("url", "score").orderBy(F.desc("score"), F.asc("url")).limit(n)
 
 
-def url_lookup(frontier: DataFrame, url: str) -> DataFrame:
-    """`readdb -url` point lookup (CrawlDbReader.java:769-798) — with a
-    bucketed/partitioned frontier this partition-prunes to one file."""
-    return frontier.filter(F.col("url") == url)
+def url_lookup(frontier: DataFrame, url: str,
+               host_buckets: int | None = None) -> DataFrame:
+    """`readdb -url` point lookup (CrawlDbReader.java:769-798).
+
+    When the frontier is stored host-bucketed (plans/cycle writes
+    ``partition_by=["bucket"]``), the bucket predicate constant-folds to a
+    literal and parquet partition pruning reads exactly one bucket — the
+    MapFile-binary-search analogue."""
+    df = frontier.filter(F.col("url") == url)
+    if host_buckets and "bucket" in frontier.columns:
+        host = url.split("/")[2].lower() if "//" in url else None
+        if host:
+            df = df.filter(
+                F.col("bucket") == F.pmod(F.xxhash64(F.lit(host)), F.lit(int(host_buckets)))
+            )
+    return df
 
 
 def dump(frontier: DataFrame, status: int | None = None,

@@ -227,15 +227,28 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
     interval0 = F.when(eff_interval == 0, F.lit(default_int_s)).otherwise(eff_interval)
 
     if cfg.schedule == "adaptive":
-        inc, dec = float(cfg.adaptive_inc_rate), float(cfg.adaptive_dec_rate)
         mn, mx = int(cfg.adaptive_min_interval_s), int(cfg.adaptive_max_interval_s)
         sd_rate = float(cfg.adaptive_sync_delta_rate)
+        # T2 global rates, with T3 per-format overrides from parse metadata
+        # (MimeAdaptiveFetchSchedule.java: rate table keyed by content type)
+        inc = F.lit(float(cfg.adaptive_inc_rate))
+        dec = F.lit(float(cfg.adaptive_dec_rate))
+        if cfg.mime_rates:
+            fmt = succ_meta.getItem("img.fmt")
+            inc_map = F.create_map(
+                *[x for f_, i_, _ in cfg.mime_rates for x in (F.lit(f_), F.lit(float(i_)))]
+            )
+            dec_map = F.create_map(
+                *[x for f_, _, d_ in cfg.mime_rates for x in (F.lit(f_), F.lit(float(d_)))]
+            )
+            inc = F.coalesce(inc_map.getItem(fmt), inc)
+            dec = F.coalesce(dec_map.getItem(fmt), dec)
         fixed = succ_meta.getItem("fixedInterval").cast("float")
         m0 = F.when(eff_modified <= 0, eff_fetch_time).otherwise(eff_modified)
         intf = interval0.cast("float")
         intf = (
-            F.when(mod_state == _MODIFIED, intf * (1.0 - dec))
-            .when(mod_state == _NOTMODIFIED, intf * (1.0 + inc))
+            F.when(mod_state == _MODIFIED, intf * (F.lit(1.0) - dec))
+            .when(mod_state == _NOTMODIFIED, intf * (F.lit(1.0) + inc))
             .otherwise(intf)
         )
         sched_modified = F.when(mod_state == _MODIFIED, eff_fetch_time).otherwise(m0)

@@ -77,13 +77,28 @@ class CrawlDriver:
         self.hostdb = SnapshotTable(os.path.join(workdir, "hostdb"), "hostdb")
 
     # ------------------------------------------------------------------
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        """Host-bucket column for partitioned frontier storage: point
+        lookups and per-bucket MERGE-style rewrites prune to one bucket
+        (SnapshotTable partition_by; Iceberg bucket(N, host) analogue)."""
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("host"), F.lit(int(self.cfg.host_buckets)))
+        )
+
+    def _write_frontier(self, df: DataFrame, **kw) -> int:
+        return self.frontier.write(
+            self._with_bucket(df.drop("bucket")) if "bucket" not in df.columns
+            else df,
+            partition_by=["bucket"], **kw,
+        )
+
     def inject(self, seeds: DataFrame, cur_time: int) -> int:
         if self.frontier.exists():
-            base = self.frontier.read(self.spark)
+            base = self.frontier.read(self.spark).drop("bucket")
         else:
             base = self.spark.createDataFrame([], FRONTIER)
         new = inject(base, seeds, cur_time, self.cfg)
-        return self.frontier.write(new, cycle_id=f"inject@{cur_time}")
+        return self._write_frontier(new, cycle_id=f"inject@{cur_time}")
 
     # ------------------------------------------------------------------
     def should_stop(self) -> bool:
@@ -111,11 +126,11 @@ class CrawlDriver:
             csnap = self.content.snapshot_for_cycle(cycle_id)
             content = self.content.read(self.spark, csnap["id"])
         else:
-            frontier = self.frontier.read(self.spark)
+            frontier = self.frontier.read(self.spark).drop("bucket")
             fetchlist = generate(frontier, cur_time, cfg)
             if cfg.generate_update_crawldb:
                 stamped = stamp_generated(frontier, fetchlist, cur_time)
-                self.frontier.write(stamped, cycle_id=f"gen@{cycle_id}")
+                self._write_frontier(stamped, cycle_id=f"gen@{cycle_id}")
             log, content = fetch(fetchlist, cur_time, cfg, **self.fetch_kwargs)
             # durable midpoint: the "segment" commit (checkpoint/resume)
             self.fetch_log.write(log, cycle_id=cycle_id)
@@ -123,7 +138,7 @@ class CrawlDriver:
             log = self.fetch_log.read(self.spark)
             content = self.content.read(self.spark)
 
-        frontier = self.frontier.read(self.spark)
+        frontier = self.frontier.read(self.spark).drop("bucket")
 
         # parse + redirect-linked rows
         parse_out = parse(log, content, cfg).unionByName(redirect_link_rows(log))
@@ -152,7 +167,7 @@ class CrawlDriver:
         new_frontier = new_frontier.persist()
         m.frontier_size = new_frontier.count()
 
-        self.frontier.write(
+        self._write_frontier(
             new_frontier, cycle_id=cycle_id,
             metrics={k: v for k, v in m.as_dict().items() if k != "per_partition"},
             lineage=m.per_partition,
@@ -165,7 +180,7 @@ class CrawlDriver:
         self.linkdb.write(merge_linkdb(old_ldb, new_links, cfg), cycle_id=cycle_id)
         old_hdb = self.hostdb.read(self.spark) if self.hostdb.exists() else None
         self.hostdb.write(
-            update_hostdb(self.frontier.read(self.spark), old_hdb, cfg),
+            update_hostdb(self.frontier.read(self.spark).drop("bucket"), old_hdb, cfg),
             cycle_id=cycle_id,
         )
 
