@@ -64,10 +64,19 @@ class CycleMetrics:
 
 class CrawlDriver:
     def __init__(self, spark: SparkSession, workdir: str,
-                 cfg: CrawlConfig = DEFAULT, **fetch_kwargs):
+                 cfg: CrawlConfig = DEFAULT, bucketed: bool = False,
+                 full_rewrite_every: int = 16, **fetch_kwargs):
+        """``bucketed=True`` enables MERGE-style frontier commits: updatedb
+        runs only over the buckets touched by this cycle's fetchlist +
+        discovered links, and the snapshot carries untouched buckets forward
+        by reference — cycle cost ∝ touched data, not frontier size (the
+        10^10-row requirement).  Every ``full_rewrite_every`` cycles a full
+        snapshot compacts the merge chain."""
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg
+        self.bucketed = bucketed
+        self.full_rewrite_every = full_rewrite_every
         self.fetch_kwargs = fetch_kwargs
         os.makedirs(workdir, exist_ok=True)
         self.frontier = SnapshotTable(os.path.join(workdir, "frontier"), "frontier")
@@ -138,10 +147,39 @@ class CrawlDriver:
             log = self.fetch_log.read(self.spark)
             content = self.content.read(self.spark)
 
-        frontier = self.frontier.read(self.spark).drop("bucket")
-
         # parse + redirect-linked rows
         parse_out = parse(log, content, cfg).unionByName(redirect_link_rows(log))
+
+        use_merge = (
+            self.bucketed
+            and self.frontier.exists()
+            and (len(self.frontier.history()) % self.full_rewrite_every != 0)
+        )
+        touched: list[int] = []
+        if use_merge:
+            # buckets touched this cycle: every host the fetchlist selected
+            # (incl. time-limit-dropped rows) ∪ every link/redirect target
+            # host.  Rows of untouched buckets are identity under updatedb,
+            # so rewriting only touched buckets is exact.
+            parse_out = parse_out.persist()
+            hosts = (
+                log.select("host")
+                .unionByName(parse_out.select("host"))
+                .filter(F.col("host").isNotNull())
+                .distinct()
+                .select(
+                    F.pmod(F.xxhash64("host"), F.lit(int(cfg.host_buckets)))
+                    .alias("b")
+                )
+                .distinct()
+            )
+            touched = [r["b"] for r in hosts.collect()]
+            frontier_all = self.frontier.read(self.spark)
+            frontier = (
+                frontier_all.filter(F.col("bucket").isin(touched)).drop("bucket")
+            )
+        else:
+            frontier = self.frontier.read(self.spark).drop("bucket")
 
         new_frontier = updatedb(frontier, log, parse_out, cur_time, cfg,
                                 seeds_in_service=seeds_in_service)
@@ -165,13 +203,24 @@ class CrawlDriver:
             m.per_partition.setdefault(str(r["p"]), {})[str(r["status"])] = r["count"]
 
         new_frontier = new_frontier.persist()
-        m.frontier_size = new_frontier.count()
-
-        self._write_frontier(
-            new_frontier, cycle_id=cycle_id,
-            metrics={k: v for k, v in m.as_dict().items() if k != "per_partition"},
-            lineage=m.per_partition,
-        )
+        meta = {k: v for k, v in m.as_dict().items() if k != "per_partition"}
+        if use_merge:
+            self.frontier.merge_write(
+                self._with_bucket(new_frontier), touched, cycle_id=cycle_id,
+                metrics=meta, lineage=m.per_partition,
+            )
+            m.frontier_size = self.frontier.read(self.spark).count()
+            # patch the recorded metric now that the merged size is known
+            hist = self.frontier._load()
+            hist["snapshots"][-1]["metrics"]["frontier_size"] = m.frontier_size
+            self.frontier._commit(hist)
+        else:
+            m.frontier_size = new_frontier.count()
+            meta["frontier_size"] = m.frontier_size
+            self._write_frontier(
+                new_frontier, cycle_id=cycle_id,
+                metrics=meta, lineage=m.per_partition,
+            )
         new_frontier.unpersist()
 
         # ancillary tables (optional steps in the reference loop)

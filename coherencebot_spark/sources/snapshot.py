@@ -89,15 +89,74 @@ class SnapshotTable:
         self._commit(m)
         return sid
 
+    def merge_write(self, df: DataFrame, touched_buckets: list[int],
+                    cycle_id=None, metrics: dict | None = None,
+                    lineage: dict | None = None,
+                    bucket_col: str = "bucket") -> int:
+        """MERGE-style commit (the Iceberg ``MERGE INTO`` analogue): write
+        only the touched buckets; untouched buckets are carried forward by
+        reference to the parent snapshot.  ``df`` must contain exactly the
+        rows of the touched buckets (whole-bucket rewrite).
+
+        Cycle cost becomes ∝ touched data, not table size — the
+        10^10-frontier requirement (SURVEY.md §7.3 risk 3)."""
+        m = self._load()
+        if m["current"] is None:
+            raise ValueError("merge_write needs an existing parent snapshot")
+        sid = len(m["snapshots"])
+        dirname = f"s{sid:04d}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.path, "snapshots", dirname)
+        df.write.mode("overwrite").partitionBy(bucket_col).parquet(data_dir)
+        entry = {
+            "id": sid,
+            "dir": dirname,
+            "cycle_id": cycle_id,
+            "parent": m["current"],
+            "metrics": metrics or {},
+            "lineage": lineage or {},
+            "merge": {
+                "touched": sorted(int(b) for b in touched_buckets),
+                "bucket_col": bucket_col,
+            },
+        }
+        m["snapshots"].append(entry)
+        m["current"] = sid
+        self._commit(m)
+        return sid
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         m = self._load()
         sid = m["current"] if snapshot_id is None else snapshot_id
         if sid is None:
             raise FileNotFoundError(f"{self.name}: no snapshot committed yet")
+        return self._read_entry(spark, m, sid, exclude=frozenset(),
+                                bucket_col=None)
+
+    def _read_entry(self, spark: SparkSession, m: dict, sid: int,
+                    exclude: frozenset, bucket_col: str | None) -> DataFrame:
+        """Resolve a snapshot, following merge-parent references.  A merge
+        snapshot contributes its own (touched) buckets minus any bucket a
+        *newer* snapshot already provided (``exclude``); the chain ends at
+        the nearest full snapshot, which contributes everything else."""
+        from pyspark.sql import functions as F
+
         entry = m["snapshots"][sid]
-        return spark.read.parquet(
-            os.path.join(self.path, "snapshots", entry["dir"])
+        path = os.path.join(self.path, "snapshots", entry["dir"])
+        df = spark.read.parquet(path)
+        merge = entry.get("merge")
+        if merge is None:
+            if exclude:
+                df = df.filter(
+                    ~F.col(bucket_col).isin([int(b) for b in exclude])
+                )
+            return df
+        bcol = merge["bucket_col"]
+        own = set(merge["touched"]) - set(exclude)
+        df = df.filter(F.col(bcol).isin([int(b) for b in own]))
+        parent = self._read_entry(
+            spark, m, entry["parent"], exclude | set(merge["touched"]), bcol
         )
+        return df.unionByName(parent)
 
     def exists(self) -> bool:
         return self._load()["current"] is not None
@@ -122,13 +181,27 @@ class SnapshotTable:
         m["current"] = snapshot_id
         self._commit(m)
 
+    def _reachable(self, m: dict, sid: int) -> set[int]:
+        """Snapshots the given snapshot's data depends on (merge parents)."""
+        out = set()
+        cur: int | None = sid
+        while cur is not None:
+            out.add(cur)
+            entry = m["snapshots"][cur]
+            cur = entry["parent"] if entry.get("merge") is not None else None
+        return out
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Frontier-compaction maintenance: drop data of all but the last N
-        snapshots (RewriteDataFiles/expire_snapshots analogue)."""
+        snapshots (RewriteDataFiles/expire_snapshots analogue).  Merge
+        parents of kept snapshots are always retained."""
         m = self._load()
         if m["current"] is None:
             return 0
-        keep_ids = {s["id"] for s in m["snapshots"][-keep_last:]} | {m["current"]}
+        keep_ids: set[int] = set()
+        for s in m["snapshots"][-keep_last:]:
+            keep_ids |= self._reachable(m, s["id"])
+        keep_ids |= self._reachable(m, m["current"])
         removed = 0
         for s in m["snapshots"]:
             d = os.path.join(self.path, "snapshots", s["dir"])

@@ -1,0 +1,59 @@
+"""MERGE-style bucketed frontier commits: exact equivalence with the full
+rewrite, carry-forward of untouched buckets, snapshot-chain reads."""
+
+from __future__ import annotations
+
+from coherencebot_spark.config import DEFAULT
+from coherencebot_spark.plans.cycle import CrawlDriver
+from coherencebot_spark.schemas import SEEDS
+from coherencebot_spark.synth import world
+
+T0 = world.T0
+CFG = DEFAULT.with_(topn=150, num_partitions=2, server_delay_ms=100,
+                    host_buckets=16)
+KW = dict(n_images=200, n_hosts=20)
+
+
+def seeds_df(spark, n=40):
+    return spark.createDataFrame(world.gen_seed_lines(n, 20), schema=SEEDS)
+
+
+def snap(driver, spark):
+    return sorted(
+        (r.url, r.status, r.fetch_time, r.retries, r.fetch_interval,
+         float(r.score), bytes(r.signature) if r.signature else None)
+        for r in driver.frontier.read(spark).collect()
+    )
+
+
+def test_bucketed_equals_full(spark, tmp_path):
+    full = CrawlDriver(spark, str(tmp_path / "full"), CFG, bucketed=False, **KW)
+    merged = CrawlDriver(spark, str(tmp_path / "merge"), CFG, bucketed=True,
+                         full_rewrite_every=1000, **KW)
+    for d in (full, merged):
+        d.inject(seeds_df(spark), T0)
+    for k in range(2):
+        t = T0 + 1000 + k * 3_600_000
+        full.run_cycle(k, t)
+        merged.run_cycle(k, t)
+        assert snap(full, spark) == snap(merged, spark), f"cycle {k} diverged"
+    # the merged table's latest snapshots are MERGE commits
+    hist = merged.frontier.history()
+    assert hist[-1].get("merge") is not None
+    assert 0 < len(hist[-1]["merge"]["touched"]) <= CFG.host_buckets
+    # resume/no-op on a committed cycle still works in bucketed mode
+    m = merged.run_cycle(0, T0 + 1000)
+    assert m.generated == 0
+
+
+def test_expire_keeps_merge_parents(spark, tmp_path):
+    d = CrawlDriver(spark, str(tmp_path / "m2"), CFG, bucketed=True,
+                    full_rewrite_every=1000, **KW)
+    d.inject(seeds_df(spark), T0)
+    d.run_cycle(0, T0 + 1000)
+    d.run_cycle(1, T0 + 7_200_000)
+    before = snap(d, spark)
+    removed = d.frontier.expire_snapshots(keep_last=1)
+    # the merge chain's full parent must survive expiry
+    assert snap(d, spark) == before
+    assert removed == 0 or d.frontier.read(spark).count() > 0
