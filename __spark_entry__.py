@@ -21,7 +21,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# python workers must be able to unpickle UDF closures that reference
+# coherencebot_spark regardless of how the harness launched the session
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) once per session."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from scripts.package import build
+
+        spark.sparkContext.addPyFile(build())
+    except Exception:
+        pass  # local-mode with inherited PYTHONPATH still works
+    _SHIPPED.add(key)
 
 _STOP_EN = "the|and|of|to|in|is|that|it|was|for"
 _STOP_DE = "der|die|und|das|ist|nicht|von|mit|den|ein"
@@ -41,6 +61,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
+    _ensure_shipped(spark)
     from coherencebot_spark.config import DEFAULT
     from coherencebot_spark.operators.generate import generate
 
@@ -320,9 +341,31 @@ def _q_union_sources(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
+    # synthesize guaranteed duplicates: every doc unioned once with a
+    # shifted id, so the hash-groupBy keeps the original and flags the copy
     from coherencebot_spark.datapipe.dedup_text import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return exact_duplicates(d.unionByName(dup))
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup pairs (restricted block, exact)
+    em = _t(spark, sf_dir, "embeddings").filter("vec_id < 60").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = em.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = em.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        j.select("id_a", "id_b", F.round(dot / (na * nb), 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -459,8 +502,17 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _shipped(fn):
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _shipped(fn) for name, fn in {
         "readdb_status_counts": _q_readdb_status_counts,
         "readdb_stats": _q_readdb_stats,
         "readdb_topn": _q_readdb_topn,
@@ -479,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_gates": _q_expr_gates,
         "union_sources": _q_union_sources,
         "dedup_exact": _q_dedup_exact,
+        "embedding_near_dup": _q_embedding_near_dup,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -487,7 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -655,12 +708,32 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY key
         """,
         "dedup_exact": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
             SELECT keep_id, doc_id AS dup_id FROM (
               SELECT doc_id,
                      FIRST_VALUE(doc_id) OVER (PARTITION BY md5(text)
                                                ORDER BY doc_id ASC) AS keep_id
-              FROM documents
+              FROM all_docs
             ) WHERE doc_id <> keep_id
+        """,
+        "embedding_near_dup": """
+            WITH em AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 60
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+            FROM em a, em b
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
         """,
         "dedup_ngram_jaccard": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
