@@ -60,13 +60,13 @@ def find_duplicates(frontier: DataFrame, cfg: CrawlConfig = DEFAULT,
         keys = [F.col("signature"), F.col("host")]
     elif cfg.dedup_group_mode == "domain":
         from ..functions.urls import domain_of
-        import pandas as pd
 
-        @F.pandas_udf("string")
-        def _dom(host: pd.Series) -> pd.Series:
+        def _dom(host):
             return domain_of(host).astype(object)
 
-        eligible = eligible.withColumn("_dom", _dom(F.col("host")))
+        eligible = eligible.withColumn(
+            "_dom", F.pandas_udf(_dom, "string")(F.col("host"))
+        )
         keys = [F.col("signature"), F.col("_dom")]
     else:
         keys = [F.col("signature")]

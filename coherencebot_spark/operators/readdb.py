@@ -110,14 +110,12 @@ def domain_statistics(frontier: DataFrame, mode: str = "host") -> DataFrame:
     if mode == "host":
         key = F.col("host")
     elif mode == "domain":
-        import pandas as pd
         from ..functions.urls import domain_of
 
-        @F.pandas_udf("string")
-        def _dom(h: pd.Series) -> pd.Series:
+        def _dom(h):
             return domain_of(h).astype(object)
 
-        key = _dom(F.col("host"))
+        key = F.pandas_udf(_dom, "string")(F.col("host"))
     elif mode == "suffix":
         key = F.substring_index(F.col("host"), ".", -1)
     else:
