@@ -246,6 +246,17 @@ def _q_opic_distribute(spark, sf_dir):
     )
 
 
+def _q_politeness_clock(spark, sf_dir):
+    # P2: the per-host virtual clock — fetch_ts = cycle_start + k·delay,
+    # k = politeness rank within host (host ≍ user_id, order ≍ event_id)
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    delay = 5000
+    return e.select("user_id", "event_id").withColumn(
+        "k", F.row_number().over(w) - 1
+    ).withColumn("fetch_ts", F.lit(1_700_000_000_000) + F.col("k") * delay)
+
+
 def _q_hostdb_agg(spark, sf_dir):
     # A3: per-host conditional status counters
     c = _t(spark, sf_dir, "customer")
@@ -523,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlink_topk": _q_inlink_topk,
         "dedup_argmax": _q_dedup_argmax,
         "opic_distribute": _q_opic_distribute,
+        "politeness_clock": _q_politeness_clock,
         "hostdb_agg": _q_hostdb_agg,
         "merge_latest": _q_merge_latest,
         "schedule_default": _q_schedule_default,
@@ -644,6 +656,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg USING (l_orderkey)
             JOIN orders ON o_orderkey = l_orderkey
             GROUP BY l_partkey
+        """,
+        "politeness_clock": """
+            SELECT user_id, event_id,
+                   (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                    - 1)::INT AS k,
+                   1700000000000
+                   + (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                      - 1) * 5000 AS fetch_ts
+            FROM events
         """,
         "hostdb_agg": """
             SELECT c_nationkey,
