@@ -242,12 +242,12 @@ def main() -> None:
     # best-of-2 per level (the VM shows CPU steal + frequency noise) ---
     cycle_secs: dict[int, float] = {}
     cycle_counts: dict[int, int] = {}
-    for n in (8, 32):
+    for n, reps in ((8, 2), (32, 2)):
         s = build_session(master=f"local[{n}]", shuffle_partitions=max(n, 8),
                           app_name=f"cbspark-scale-{n}")
         warmup(s, frontier_path)
         best, rows = None, 0
-        for _ in range(2):
+        for _ in range(reps):
             sec_n, counts_n = run_cycle(s, frontier_path)
             rows = counts_n["fetch_rows"]
             best = sec_n if best is None else min(best, sec_n)
