@@ -260,31 +260,53 @@ def outlinks_for(urls: pd.Series, n_hosts: int = 1000,
                  max_links: int = 4) -> pd.Series:
     """Deterministic outlinks per URL: 0..max_links links, ~70% same host.
 
-    Returns a Series of list[(to_url, anchor)].
+    Returns a Series of list[(to_url, anchor)].  Fully vectorized: link
+    hashes, hosts, pages and anchor words are numpy matrices; URL strings
+    are built with one pandas str-concat over the flattened links.
     """
+    n = len(urls)
+    if n == 0:
+        return pd.Series([], index=urls.index, dtype=object)
     h = fnv1a64(urls)
     hostidx = (
         urls.astype("string")
         .str.extract(r"host(\d+)\.", expand=False)
         .fillna("0")
-        .astype(int)
+        .astype(np.int64)
         .to_numpy()
     )
     n_links = (h % np.uint64(max_links + 1)).astype(np.int64)
-    words = _words()
-    out: list[list[tuple[str, str]]] = []
-    for i in range(len(urls)):
-        k = int(n_links[i])
-        links = []
-        hv = int(h[i])
-        for j in range(k):
-            g = (hv ^ (0x9E3779B97F4A7C15 * (j + 1))) & 0xFFFFFFFFFFFFFFFF
-            same = (g % 10) < 7
-            th = hostidx[i] if same else g % n_hosts
-            tp = (g >> 20) % 10_000
-            anchor = words[g % len(words)] + " " + words[(g >> 8) % len(words)]
-            links.append((page_url(int(th), int(tp)), anchor))
-        out.append(links)
+    words = np.array(_words(), dtype=object)
+    with np.errstate(over="ignore"):
+        j = np.arange(1, max_links + 1, dtype=np.uint64)
+        g = h[:, None] ^ (np.uint64(0x9E3779B97F4A7C15) * j[None, :])  # (n, L)
+    same = (g % np.uint64(10)) < np.uint64(7)
+    th = np.where(same, hostidx[:, None], (g % np.uint64(n_hosts)).astype(np.int64))
+    tp = ((g >> np.uint64(20)) % np.uint64(10_000)).astype(np.int64)
+    valid = np.arange(max_links)[None, :] < n_links[:, None]
+
+    flat_idx = np.nonzero(valid.ravel())[0]
+    fth = th.ravel()[flat_idx]
+    ftp = tp.ravel()[flat_idx]
+    fg = g.ravel()[flat_idx]
+    to_urls = (
+        "https://host"
+        + pd.Series(fth).astype(str).str.zfill(4)
+        + ".example.org/page/"
+        + pd.Series(ftp).astype(str)
+    ).to_numpy(dtype=object)
+    anchors = (
+        pd.Series(words[(fg % np.uint64(len(words))).astype(np.int64)])
+        + " "
+        + pd.Series(words[((fg >> np.uint64(8)) % np.uint64(len(words))).astype(np.int64)])
+    ).to_numpy(dtype=object)
+
+    pairs = np.empty(len(flat_idx), dtype=object)
+    for i in range(len(flat_idx)):
+        pairs[i] = (to_urls[i], anchors[i])
+    row_of = flat_idx // max_links
+    splits = np.searchsorted(row_of, np.arange(1, n))
+    out = [list(x) for x in np.split(pairs, splits)]
     return pd.Series(out, index=urls.index)
 
 
