@@ -246,6 +246,41 @@ def _q_opic_distribute(spark, sf_dir):
     )
 
 
+def _q_generate_operator(spark, sf_dir):
+    # the REAL generate operator (gates + host cap + quota) under the
+    # oracle: frontier synthesized from documents, num_partitions=1 so the
+    # partition hash doesn't enter the comparison, sort_key omitted
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.generate import generate
+
+    docs = _t(spark, sf_dir, "documents")
+    t0 = 1_700_000_000_000
+    frontier = docs.select(
+        F.concat(F.lit("https://host"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 4, "0"),
+                 F.lit(".example.org/page/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        F.concat(F.lit("host"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 4, "0"),
+                 F.lit(".example.org")).alias("host"),
+        F.lit(1).alias("status"),
+        # ~80% due, deterministic from doc_id
+        F.when(F.col("doc_id") % 5 < 4, t0 - 1000).otherwise(t0 + 1_000_000)
+        .cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(2592000).cast("long").alias("fetch_interval"),
+        (F.col("n_chars").cast("float") / 100.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    cfg = DEFAULT.with_(topn=120, num_partitions=1, max_count=4,
+                        filter_on_generate=False)
+    return generate(frontier, t0, cfg).select(
+        "url", "host", F.round("score", 4).alias("score"), "segnum"
+    )
+
+
 def _q_politeness_clock(spark, sf_dir):
     # P2: the per-host virtual clock — fetch_ts = cycle_start + k·delay,
     # k = politeness rank within host (host ≍ user_id, order ≍ event_id)
@@ -534,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlink_topk": _q_inlink_topk,
         "dedup_argmax": _q_dedup_argmax,
         "opic_distribute": _q_opic_distribute,
+        "generate_operator": _q_generate_operator,
         "politeness_clock": _q_politeness_clock,
         "hostdb_agg": _q_hostdb_agg,
         "merge_latest": _q_merge_latest,
@@ -656,6 +692,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg USING (l_orderkey)
             JOIN orders ON o_orderkey = l_orderkey
             GROUP BY l_partkey
+        """,
+        "generate_operator": """
+            WITH frontier AS (
+              SELECT 'https://host' || lpad((doc_id % 50)::VARCHAR, 4, '0')
+                       || '.example.org/page/' || doc_id::VARCHAR AS url,
+                     'host' || lpad((doc_id % 50)::VARCHAR, 4, '0')
+                       || '.example.org' AS host,
+                     CASE WHEN doc_id % 5 < 4 THEN 1699999999000
+                          ELSE 1700001000000 END AS fetch_time,
+                     ROUND(n_chars / 100.0, 4) AS score
+              FROM documents
+            ), due AS (
+              SELECT * FROM frontier WHERE fetch_time <= 1700000000000
+            ), capped AS (
+              SELECT url, host, score,
+                     ROW_NUMBER() OVER (PARTITION BY host
+                                        ORDER BY score DESC, url ASC) AS hrn
+              FROM due
+            ), quota AS (
+              SELECT url, host, score,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, url ASC) AS rn
+              FROM capped WHERE hrn <= 4
+            )
+            SELECT url, host, score, 1 AS segnum FROM quota WHERE rn <= 120
         """,
         "politeness_clock": """
             SELECT user_id, event_id,

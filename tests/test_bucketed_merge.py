@@ -46,6 +46,30 @@ def test_bucketed_equals_full(spark, tmp_path):
     assert m.generated == 0
 
 
+def test_bucketed_mid_cycle_resume(spark, tmp_path):
+    """Crash after the segment commit, resume in bucketed mode → identical
+    frontier to the uninterrupted bucketed run."""
+    from coherencebot_spark.operators.fetch import fetch
+    from coherencebot_spark.operators.generate import generate
+
+    a = CrawlDriver(spark, str(tmp_path / "ba"), CFG, bucketed=True,
+                    full_rewrite_every=1000, **KW)
+    a.inject(seeds_df(spark), T0)
+    a.run_cycle(0, T0 + 1000)
+    fa = snap(a, spark)
+
+    b = CrawlDriver(spark, str(tmp_path / "bb"), CFG, bucketed=True,
+                    full_rewrite_every=1000, **KW)
+    b.inject(seeds_df(spark), T0)
+    fl = generate(b.frontier.read(spark).drop("bucket"), T0 + 1000, CFG)
+    log, content = fetch(fl, T0 + 1000, CFG, **KW)
+    b.fetch_log.write(log, cycle_id=0)
+    b.content.write(content, cycle_id=0)
+    # --- crash here; resume: ---
+    b.run_cycle(0, T0 + 1000)
+    assert snap(b, spark) == fa
+
+
 def test_expire_keeps_merge_parents(spark, tmp_path):
     d = CrawlDriver(spark, str(tmp_path / "m2"), CFG, bucketed=True,
                     full_rewrite_every=1000, **KW)
