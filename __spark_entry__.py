@@ -281,6 +281,55 @@ def _q_generate_operator(spark, sf_dir):
     )
 
 
+def _q_updatedb_operator(spark, sf_dir):
+    # the REAL updatedb state machine under the oracle: frontier +
+    # fetch_log synthesized deterministically from documents (no links /
+    # parse rows, null signatures → the success/retry/gone + passthrough
+    # branches with the default schedule, all SQL-expressible)
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.updatedb import updatedb
+    from coherencebot_spark.schemas import FETCH_LOG, FRONTIER
+    from coherencebot_spark.status import Db, Fetch
+
+    docs = _t(spark, sf_dir, "documents")
+    t0 = 1_700_000_000_000
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example.org/p/"), F.col("doc_id").cast("string"))
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example.org"))
+    frontier = docs.select(
+        url.alias("url"), host.alias("host"),
+        F.when(F.col("doc_id") % 3 == 0, int(Db.UNFETCHED))
+        .otherwise(int(Db.FETCHED)).cast("int").alias("status"),
+        F.lit(t0 - 1000).cast("long").alias("fetch_time"),
+        (F.col("doc_id") % 4).cast("int").alias("retries"),
+        F.lit(2_592_000).cast("long").alias("fetch_interval"),
+        F.lit(1.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    fetched = docs.filter(F.col("doc_id") % 2 == 0)
+    flog = fetched.select(
+        url.alias("url"), host.alias("host"),
+        F.when(F.col("doc_id") % 7 < 5, int(Fetch.SUCCESS))
+        .when(F.col("doc_id") % 7 == 5, int(Fetch.RETRY))
+        .otherwise(int(Fetch.GONE)).cast("int").alias("status"),
+        F.lit(t0 + 100).cast("long").alias("fetch_time"),
+        (F.col("doc_id") % 4).cast("int").alias("retries"),
+        F.lit(2_592_000).cast("long").alias("fetch_interval"),
+        F.lit(1.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(1).cast("int").alias("proto_status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+    )
+    _ = (FRONTIER, FETCH_LOG)  # schemas documented above; frames match them
+    out = updatedb(frontier, flog, None, t0, DEFAULT)
+    return out.select("url", "status", "fetch_time", "retries", "fetch_interval")
+
+
 def _q_politeness_clock(spark, sf_dir):
     # P2: the per-host virtual clock — fetch_ts = cycle_start + k·delay,
     # k = politeness rank within host (host ≍ user_id, order ≍ event_id)
@@ -570,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_argmax": _q_dedup_argmax,
         "opic_distribute": _q_opic_distribute,
         "generate_operator": _q_generate_operator,
+        "updatedb_operator": _q_updatedb_operator,
         "politeness_clock": _q_politeness_clock,
         "hostdb_agg": _q_hostdb_agg,
         "merge_latest": _q_merge_latest,
@@ -716,6 +766,45 @@ def oracle_sql() -> dict[str, str]:
               FROM capped WHERE hrn <= 4
             )
             SELECT url, host, score, 1 AS segnum FROM quota WHERE rn <= 120
+        """,
+        "updatedb_operator": """
+            -- closed-form expectation of the state machine on this input:
+            -- unfetched-this-cycle rows pass through; success → db_fetched
+            -- + next = ft + interval; retry → +1 day & retries+1 until
+            -- retry_max(3) → db_gone with interval*1.5; gone → db_gone
+            WITH f AS (
+              SELECT doc_id,
+                     'https://h' || (doc_id % 50)::VARCHAR || '.example.org/p/'
+                       || doc_id::VARCHAR AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS old_status,
+                     (doc_id % 4)::INT AS old_retries
+              FROM documents
+            )
+            SELECT url,
+                   (CASE WHEN doc_id % 2 <> 0 THEN old_status
+                         WHEN doc_id % 7 < 5 THEN 2
+                         WHEN doc_id % 7 = 5 THEN
+                           CASE WHEN old_retries + 1 >= 3 THEN 3 ELSE 1 END
+                         ELSE 3 END)::INT AS status,
+                   (CASE WHEN doc_id % 2 <> 0 THEN 1699999999000
+                         WHEN doc_id % 7 < 5 THEN 1700000000100 + 2592000000
+                         WHEN doc_id % 7 = 5 THEN
+                           CASE WHEN old_retries + 1 >= 3
+                                THEN 1700000000100 + 3888000000
+                                ELSE 1700000000100 + 86400000 END
+                         ELSE 1700000000100 + 3888000000 END)::BIGINT
+                     AS fetch_time,
+                   (CASE WHEN doc_id % 2 <> 0 THEN old_retries
+                         WHEN doc_id % 7 < 5 THEN 0
+                         WHEN doc_id % 7 = 5 THEN old_retries + 1
+                         ELSE old_retries END)::INT AS retries,
+                   (CASE WHEN doc_id % 2 <> 0 THEN 2592000
+                         WHEN doc_id % 7 < 5 THEN 2592000
+                         WHEN doc_id % 7 = 5 THEN
+                           CASE WHEN old_retries + 1 >= 3 THEN 3888000
+                                ELSE 2592000 END
+                         ELSE 3888000 END)::BIGINT AS fetch_interval
+            FROM f
         """,
         "politeness_clock": """
             SELECT user_id, event_id,
