@@ -500,18 +500,26 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    # portable-hash variant (md5_long60, 60 bits) so the bit arithmetic
+    # runs under the DuckDB oracle; production default is xxhash64/64-bit
+    # (same code path, different hash_fn — tests/test_datapipe.py)
     from coherencebot_spark.datapipe.dedup_text import simhash64
+    from coherencebot_spark.functions.hashing import md5_long60
 
-    return simhash64(_t(spark, sf_dir, "documents").filter("doc_id < 200"))
+    return simhash64(_t(spark, sf_dir, "documents").filter("doc_id < 200"),
+                     hash_fn=md5_long60, n_bits=60)
 
 
 def _q_minhash_lsh(spark, sf_dir):
     from coherencebot_spark.datapipe.dedup_text import minhash_lsh_pairs
+    from coherencebot_spark.functions.hashing import md5_long60
 
-    return minhash_lsh_pairs(
+    out = minhash_lsh_pairs(
         _t(spark, sf_dir, "documents").filter("doc_id < 500"),
         k=5, n_hashes=32, bands=8, verify_threshold=0.5,
+        hash_fn=md5_long60,
     )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_ann_cosine(spark, sf_dir):
@@ -538,8 +546,10 @@ def _q_ann_cosine(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # the scale path (bucketed ANN) — rows-only check (hyperplane hashes
-    # aren't SQL-portable); recall vs brute force is asserted in pytest
+    # the scale path (bucketed ANN) under the full oracle: portable
+    # md5-derived hyperplanes + identical left-fold dot products mean
+    # DuckDB reproduces the BUCKET ASSIGNMENT bit-for-bit, not just the
+    # rerank (recall vs brute force is additionally asserted in pytest)
     from coherencebot_spark.datapipe.similarity import cosine_topk_lsh
 
     em = _t(spark, sf_dir, "embeddings")
@@ -547,7 +557,10 @@ def _q_ann_lsh(spark, sf_dir):
     q = em.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_lsh(em, q, k=5, dim=dim, n_planes=6, n_tables=6)
+    out = cosine_topk_lsh(em, q, k=5, dim=dim, n_planes=6, n_tables=6,
+                          portable=True)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
 
 
 def _q_lang_id(spark, sf_dir):
@@ -590,11 +603,12 @@ def _q_quality(spark, sf_dir):
 
 
 def _q_fingerprint(spark, sf_dir):
+    # portable chained-md5 fold (DuckDB list_reduce twin); production
+    # default is the xxhash64 combine — same fold shape
     from coherencebot_spark.datapipe.text_quality import with_fingerprint
 
-    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint"
-    )
+    return with_fingerprint(_t(spark, sf_dir, "documents"),
+                            portable=True).select("doc_id", "fingerprint")
 
 
 def _shipped(fn):
@@ -925,9 +939,131 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = id_b
             WHERE ROUND(inter / (na.n + nb.n - inter), 4) >= 0.05
         """,
-        # simhash / minhash_lsh / ann_lsh / fingerprint: xxhash64-based —
-        # not SQL-portable; the driver records rows-only checks and pytest
-        # asserts their semantics (tests/test_datapipe.py).
+        # simhash / minhash_lsh / ann_lsh / fingerprint run their PORTABLE
+        # hash variant (md5_long60: first 15 hex chars of md5 as BIGINT —
+        # identical in Spark's conv(substring(md5..)) and DuckDB's
+        # ('0x'||substring(md5..))::BIGINT), so the full operator logic
+        # (bit votes, banding, bucket assignment, chained fold) is under
+        # the hard oracle; production uses xxhash64 through the same code.
+        "simhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> length(t) > 0)) AS tok
+              FROM documents WHERE doc_id < 200
+            ), th AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, i,
+                     SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th, (SELECT unnest(range(0, 60)) AS i)
+              GROUP BY doc_id, i
+            )
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+                     AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "minhash_lsh": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+            sh AS (  -- char 5-shingles: first 2048 positions, then distinct
+              SELECT doc_id,
+                     unnest(list_distinct(list_slice(
+                       list_transform(range(1, GREATEST(length(text) - 4, 0) + 1),
+                                      i -> substring(text, i, 5)),
+                       1, 2048))) AS shingle
+              FROM d
+            ), mh AS (  -- minhash_i = min over shingles of md5_long60(shingle#i)
+              SELECT doc_id, i,
+                     MIN(CAST(('0x' || substring(md5(shingle || '#' || i::VARCHAR),
+                                                 1, 15)) AS BIGINT)) AS h
+              FROM sh, (SELECT unnest(range(0, 32)) AS i)
+              GROUP BY doc_id, i
+            ), bands AS (  -- 8 bands x 4 rows; band hash of comma-joined sig
+              SELECT doc_id, (i // 4) AS band,
+                     CAST(('0x' || substring(
+                       md5(string_agg(h::VARCHAR, ',' ORDER BY i)), 1, 15))
+                       AS BIGINT) AS bh
+              FROM mh GROUP BY doc_id, (i // 4)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band, bh)
+              WHERE a.doc_id < b.doc_id
+            ), sizes AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+              FROM sh s1 JOIN sh s2 USING (shingle)
+              JOIN pairs p ON p.id_a = s1.doc_id AND p.id_b = s2.doc_id
+              GROUP BY s1.doc_id, s2.doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   ROUND(COALESCE(i.inter, 0)
+                         / (na.n + nb.n - COALESCE(i.inter, 0)), 4) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes na ON na.doc_id = p.id_a
+            JOIN sizes nb ON nb.doc_id = p.id_b
+            WHERE COALESCE(i.inter, 0)
+                  / (na.n + nb.n - COALESCE(i.inter, 0)) >= 0.5
+        """,
+        "ann_lsh": """
+            WITH em AS (SELECT vec_id, embedding FROM embeddings),
+            -- bucket: 6 sign bits of left-fold dot(v, plane_p), planes from
+            -- md5_long60((42+tbl)*1000003+p || ':' || dim_idx)/2^59 - 1
+            bk AS (
+              SELECT vec_id, embedding, t.tbl,
+                     (SELECT SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(embedding, (x, i) -> x::DOUBLE *
+                           (CAST(('0x' || substring(md5(
+                              (((42 + t.tbl) * 1000003 + p.p)::VARCHAR || ':'
+                               || (i - 1)::VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+                            / 576460752303423488.0 - 1.0))),
+                         (a, b) -> a + b) >= 0
+                       THEN (1 << p.p) ELSE 0 END)
+                      FROM (SELECT unnest(range(0, 6)) AS p) p) AS bkt
+              FROM em, (SELECT unnest(range(0, 6)) AS tbl) t
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qemb, tbl, bkt
+                  FROM bk WHERE vec_id < 3),
+            cand AS (
+              SELECT DISTINCT q.query_id, v.vec_id, v.embedding, q.qemb
+              FROM bk v JOIN q ON v.tbl = q.tbl AND v.bkt = q.bkt
+            ),
+            scored AS (
+              SELECT query_id, vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(list_zip(embedding, qemb),
+                                      z -> z[1]::DOUBLE * z[2]::DOUBLE)),
+                       (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+                          (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(qemb, x -> x::DOUBLE * x::DOUBLE)),
+                            (a, b) -> a + b))) AS c
+              FROM cand
+            )
+            SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rank FROM (
+              SELECT query_id, vec_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   CAST(list_reduce(
+                     list_prepend('0',
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> length(t) > 0)),
+                     (a, b) -> CAST(CAST(('0x' || substring(md5(a || ':' || b),
+                                                            1, 15)) AS BIGINT)
+                               AS VARCHAR)) AS BIGINT) AS fingerprint
+            FROM documents
+        """,
         "ann_cosine_topk": """
             WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM em WHERE vec_id < 3),

@@ -85,19 +85,36 @@ def synthesize_frontier(spark, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
-def tiny_payload_row(i: int) -> dict:
-    """Bench payload: real pixels+phash, small fixed dims (keeps the
-    synthetic-protocol cost bounded; correctness tier uses full sizes)."""
+def tiny_payload_batch(idx, _cache: dict = {}) -> "pd.DataFrame":
+    """Bench payload batch fn: real pixels+phash, small fixed dims, the
+    expensive pixel/phash work memoized per worker over the 10k-image
+    universe (fetch's payload_batch_fn contract).  ``_cache`` is the
+    intentional mutable-default memo — it rides along when cloudpickle
+    ships the function and persists across Arrow batches in a worker."""
     import numpy as np
+    import pandas as pd
     from coherencebot_spark.synth import images
     from coherencebot_spark.synth.phash import phash64
 
-    px = images.gen_pixels(i % 10_000, 32, 32)
-    return {
-        "image_id": f"img{i:08d}", "bytes": images.encode_bmp(px),
-        "w": 32, "h": 32, "fmt": "bmp",
-        "caption": f"caption {i % 10_000}", "phash": phash64(px),
-    }
+    def core(e: int) -> tuple[bytes, int]:
+        r = _cache.get(e)
+        if r is None:
+            px = images.gen_pixels(e, 32, 32)
+            r = _cache[e] = (images.encode_bmp(px), phash64(px))
+        return r
+
+    idx = np.asarray(idx, dtype=np.int64)
+    eff = idx % 10_000
+    rows = [core(int(e)) for e in eff]
+    return pd.DataFrame({
+        "image_id": [f"img{int(i):08d}" for i in idx],
+        "bytes": [r[0] for r in rows],
+        "w": np.full(len(idx), 32, dtype=np.int32),
+        "h": np.full(len(idx), 32, dtype=np.int32),
+        "fmt": ["bmp"] * len(idx),
+        "caption": [f"caption {int(e)}" for e in eff],
+        "phash": np.array([r[1] for r in rows], dtype=np.int64),
+    })
 
 
 def warmup(spark, frontier_path: str) -> None:
@@ -112,7 +129,7 @@ def warmup(spark, frontier_path: str) -> None:
     frontier = spark.read.parquet(frontier_path).limit(100_000)
     cfg = CFG.with_(topn=20_000)
     fl = generate(frontier, T0, cfg)
-    log, content = fetch(fl, T0, cfg, payload_fn=tiny_payload_row,
+    log, content = fetch(fl, T0, cfg, payload_batch_fn=tiny_payload_batch,
                          n_images=1_000_000, n_hosts=N_HOSTS)
     log = log.persist()
     content = content.persist()
@@ -134,7 +151,7 @@ def run_cycle(spark, frontier_path: str) -> tuple[float, dict]:
     frontier = spark.read.parquet(frontier_path)
     t0 = time.time()
     fl = generate(frontier, T0, CFG)
-    log, content = fetch(fl, T0, CFG, payload_fn=tiny_payload_row,
+    log, content = fetch(fl, T0, CFG, payload_batch_fn=tiny_payload_batch,
                          n_images=1_000_000, n_hosts=N_HOSTS)
     log = log.persist()
     content = content.persist()

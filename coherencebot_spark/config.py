@@ -38,6 +38,10 @@ class CrawlConfig:
     expr: str | None = None               # Jexl expr -> SQL string (C9)
     filter_on_generate: bool = True
     normalise_on_generate: bool = True
+    # partition_id/hostordomain via distinct-host broadcast (see
+    # generate._with_host_attrs); turn off when the host universe itself
+    # is too large to broadcast (falls back to per-row pandas UDFs)
+    host_attrs_broadcast: bool = True
     generate_update_crawldb: bool = False  # generate.update.crawldb (_ngt_ stamps)
 
     # --- fetcher politeness (conf/nutch-default.xml:1028-1096) ---

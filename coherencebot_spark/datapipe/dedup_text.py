@@ -22,6 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import xxh64_hash
+
+# hash_fn(col, seed|None) -> Column.  Default xxh64_hash (JVM intrinsic);
+# pass functions.hashing.md5_long60 to run the SAME operator logic under
+# the DuckDB oracle (md5-prefix hash is computable in both engines).
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
@@ -57,11 +63,12 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str, k: int,
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 5,
                        n_hashes: int = 32,
-                       max_shingles: int = 2048) -> DataFrame:
+                       max_shingles: int = 2048,
+                       hash_fn=xxh64_hash) -> DataFrame:
     """(doc_id, sig array<long>[n_hashes]) — one explode + one groupBy."""
     sh = _shingles(docs, id_col, text_col, k, max_shingles)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(hash_fn(F.col("shingle"), i)).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -74,37 +81,71 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 5,
                       n_hashes: int = 32, bands: int = 8,
                       verify_threshold: float | None = 0.7,
-                      max_shingles: int = 2048) -> DataFrame:
+                      max_shingles: int = 2048,
+                      hash_fn=xxh64_hash,
+                      max_bucket: int | None = None,
+                      pair_mode: str = "all") -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH; optionally verified
-    with exact shingle-Jaccard.  Returns (id_a, id_b[, jaccard]), id_a < id_b."""
+    with exact shingle-Jaccard.  Returns (id_a, id_b[, jaccard]), id_a < id_b.
+
+    Skew controls for the 10^10-doc tier (hot bands = boilerplate text
+    sharing a band hash → quadratic self-join blowup):
+
+    * ``max_bucket`` — cap each (band, bh) bucket to its first N members
+      (by id); overflow members are dropped from THAT band but usually
+      recovered by their other bands.  Bounded worst case per bucket.
+    * ``pair_mode="star"`` — emit only (bucket-min-id, other) pairs:
+      O(bucket) instead of O(bucket²) candidates, connected-component
+      equivalent to all-pairs for grouping dedup decisions.
+    """
     assert n_hashes % bands == 0
+    assert pair_mode in ("all", "star")
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes, max_shingles)
+    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes,
+                             max_shingles, hash_fn)
     banded = sig.select(
         id_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    hash_fn(
                         F.concat_ws(",", *[
                             F.element_at("sig", b * rows + r + 1).cast("string")
                             for r in range(rows)
-                        ])
+                        ]),
+                        None,
                     ).alias("bh"),
                 )
                 for b in range(bands)
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bh").orderBy(F.asc(id_col))
+        banded = (
+            banded.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= int(max_bucket))
+            .drop("_bn")
+        )
+    if pair_mode == "star":
+        wb = Window.partitionBy("band", "bh")
+        pairs = (
+            banded.withColumn("_rep", F.min(id_col).over(wb))
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+            .distinct()
+        )
+    else:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(b, ["band", "bh"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
     if verify_threshold is None:
         return pairs
     jac = ngram_jaccard(docs, pairs, id_col, text_col, k, max_shingles)
@@ -114,8 +155,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 5,
                   max_shingles: int = 2048) -> DataFrame:
-    """Exact shingle-Jaccard for given (id_a, id_b) pairs."""
-    sh = _shingles(docs, id_col, text_col, k, max_shingles)
+    """Exact shingle-Jaccard for given (id_a, id_b) pairs.
+
+    Only docs that actually appear in ``pairs`` are shingled: a semi-join
+    prunes the corpus BEFORE the explode, so verifying a handful of LSH
+    candidates never re-shingles 10^10 documents."""
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = docs.join(pair_ids, id_col, "left_semi")
+    sh = _shingles(needed, id_col, text_col, k, max_shingles)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -138,14 +189,16 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long): 64-bit SimHash over whitespace tokens —
-    explode + per-bit weighted sums, all JVM expressions."""
+              text_col: str = "text",
+              hash_fn=xxh64_hash, n_bits: int = 64) -> DataFrame:
+    """(doc_id, simhash long): n-bit SimHash over whitespace tokens —
+    explode + per-bit weighted sums, all JVM expressions.  ``n_bits=60``
+    with ``md5_long60`` gives the DuckDB-portable variant."""
     toks = docs.select(
         id_col,
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    h = toks.select(id_col, hash_fn(F.col("tok"), None).alias("h"))
     # per bit: +1 if set else -1; sum; sign → bit.  shiftleft (not 1<<i
     # literals — bit 63 overflows a Java long literal)
     bit_sums = h.groupBy(id_col).agg(*[
@@ -154,45 +207,143 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
                 F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
             ).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ])
     acc = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         acc = acc + F.when(
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select(id_col, acc.alias("simhash"))
 
 
+def _simhash_block_keys(n_chunks: int, max_hamming: int) -> list[tuple[int, ...]]:
+    """All (n_chunks - max_hamming)-sized chunk combinations.
+
+    Pigeonhole: a pair within hamming ≤ h differs in at most h chunks, so
+    at least (n_chunks - h) chunks match exactly — the pair shares at least
+    one combination key.  Wider keys (more chunks per key) shrink buckets
+    exponentially: with 6 chunks / h=3, keys carry ~32 significant bits vs
+    16 for the round-1 single-chunk scheme → ~65 000× smaller buckets at
+    10^10 docs, at the cost of C(6,3)=20 keys per doc."""
+    from itertools import combinations
+
+    return list(combinations(range(n_chunks), n_chunks - max_hamming))
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4×16-bit chunks (any pair within
-    hamming ≤3 shares at least one exact chunk), verify hamming distance."""
-    sh = simhash64(docs, id_col, text_col)
-    chunks = sh.select(
+                      max_hamming: int = 3,
+                      n_chunks: int = 6,
+                      n_bits: int = 64,
+                      max_bucket: int | None = None,
+                      pair_mode: str = "all",
+                      hash_fn=xxh64_hash,
+                      sigs: DataFrame | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash with scale-safe multi-chunk blocking.
+
+    The simhash is split into ``n_chunks`` chunks; every combination of
+    ``n_chunks - max_hamming`` chunks is a block key (exact recall at
+    hamming ≤ max_hamming by pigeonhole — see :func:`_simhash_block_keys`).
+    Candidates join on the combination key, then verify the true hamming
+    distance.  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Skew controls (same contract as :func:`minhash_lsh_pairs`):
+    ``max_bucket`` caps each block bucket (overflow usually recovered via
+    the other C-1 keys); ``pair_mode='star'`` emits only representative
+    pairs — O(bucket) candidates, connected-component equivalent.
+    Bucket-size distribution for tuning: :func:`simhash_block_stats`.
+    """
+    assert pair_mode in ("all", "star")
+    sh = sigs if sigs is not None else simhash64(docs, id_col, text_col,
+                                                hash_fn, n_bits)
+    keys = _simhash_block_keys(n_chunks, max_hamming)
+    width = n_bits // n_chunks
+    mask = (1 << width) - 1
+
+    def chunk(c: int):
+        return F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask))
+
+    blocked = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                F.lit(ki).alias("bkey"),
+                F.concat_ws("|", *[chunk(c).cast("string") for c in combo]).alias("v"),
             )
-            for c in range(4)
+            for ki, combo in enumerate(keys)
         ])).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk", "cc.v")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(b, ["chunk", "v"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+    ).select(id_col, "simhash", "cc.bkey", "cc.v")
+    if max_bucket is not None:
+        wb = Window.partitionBy("bkey", "v").orderBy(F.asc(id_col))
+        blocked = (
+            blocked.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= int(max_bucket))
+            .drop("_bn")
         )
-        .distinct()
-    )
+    if pair_mode == "star":
+        wb = Window.partitionBy("bkey", "v")
+        rep = blocked.withColumn("_rep", F.min(id_col).over(wb)).withColumn(
+            "_rep_sh", F.min_by("simhash", id_col).over(wb)
+        )
+        cand = (
+            rep.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"),
+                F.col("_rep_sh").alias("ha"), F.col("simhash").alias("hb"),
+            )
+            .distinct()
+        )
+    else:
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        cand = (
+            a.join(b, ["bkey", "v"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("ha"),
+                F.col("b.simhash").alias("hb"),
+            )
+            .distinct()
+        )
     return cand.withColumn(
         "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     ).filter(F.col("hamming") <= int(max_hamming)).select("id_a", "id_b", "hamming")
+
+
+def simhash_block_stats(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", max_hamming: int = 3,
+                        n_chunks: int = 6, n_bits: int = 64,
+                        hash_fn=xxh64_hash) -> DataFrame:
+    """Per-block-bucket sizes + implied candidate counts — the skew
+    monitor a pipeline operator watches before choosing max_bucket.
+    Returns (bkey, v, bucket_size, implied_pairs) sorted descending."""
+    sh = simhash64(docs, id_col, text_col, hash_fn, n_bits)
+    keys = _simhash_block_keys(n_chunks, max_hamming)
+    width = n_bits // n_chunks
+    mask = (1 << width) - 1
+
+    def chunk(c: int):
+        return F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask))
+
+    blocked = sh.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(ki).alias("bkey"),
+                F.concat_ws("|", *[chunk(c).cast("string") for c in combo]).alias("v"),
+            )
+            for ki, combo in enumerate(keys)
+        ])).alias("cc"),
+    ).select(id_col, "cc.bkey", "cc.v")
+    return (
+        blocked.groupBy("bkey", "v")
+        .agg(F.count("*").alias("bucket_size"))
+        .withColumn(
+            "implied_pairs",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long"),
+        )
+        .orderBy(F.desc("bucket_size"))
+    )

@@ -93,27 +93,52 @@ def cosine_topk_pandas(vectors: DataFrame, query_vecs: np.ndarray, k: int,
     )
 
 
-def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int):
+def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
+                    portable: bool = False):
     """h-bit random-hyperplane signature as a JVM expression.
 
     Plane weights are deterministic pseudo-randoms:
-    w[p][i] = (xxhash64(seed*1e6 + p*dim + i) / 2^63) ∈ (-1, 1).
+    default  w[p][i] = xxhash64(seed', i) / 2^63 ∈ (-1, 1);
+    portable w[p][i] = md5_long60("seed':i") / 2^59 - 1 ∈ [-1, 1) — the
+    md5-based form is computable bit-identically in DuckDB (same
+    left-fold dot product → same sign bits), which puts the ANN bucket
+    assignment itself under the oracle.
     """
+    # NOTE: F.transform dispatches on lambda ARITY (2 params = (elem, idx))
+    # — the weight fn must be strictly single-argument, so close over p via
+    # a factory, never a default arg.
+    def make_weight(p: int):
+        if portable:
+            prefix = f"{seed * 1_000_003 + p}:"
+
+            def weight(i):
+                h = F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(prefix), i.cast("string"))
+                              .cast("binary")),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long")
+                return h.cast("double") / F.lit(float(1 << 59)) - F.lit(1.0)
+        else:
+            def weight(i):
+                return (
+                    F.xxhash64(
+                        F.lit(seed * 1_000_003 + p).cast("long")
+                        * F.lit(131_071).cast("long")
+                        + i.cast("long")
+                    ).cast("double") / F.lit(float(2 ** 63))
+                )
+        return weight
+
     bits = []
     for p in range(n_planes):
+        weight = make_weight(p)
+
         dot = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: (
-                        F.xxhash64(
-                            F.lit(seed * 1_000_003 + p).cast("long")
-                            * F.lit(131_071).cast("long")
-                            + i.cast("long")
-                        ).cast("double") / F.lit(float(2 ** 63))
-                    ),
-                ),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), weight),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
@@ -129,7 +154,8 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int):
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_planes: int = 8,
-                    n_tables: int = 4, seed: int = 42) -> DataFrame:
+                    n_tables: int = 4, seed: int = 42,
+                    portable: bool = False) -> DataFrame:
     """ANN: random-hyperplane LSH bucketing + exact rerank inside buckets.
 
     Recall is tunable via (n_planes, n_tables); candidates shuffle only by
@@ -140,7 +166,8 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
             F.explode(F.array(*[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    _hyperplane_sig(F.col(vc), dim, n_planes, seed + t).alias("bkt"),
+                    _hyperplane_sig(F.col(vc), dim, n_planes, seed + t,
+                                    portable).alias("bkt"),
                 )
                 for t in range(n_tables)
             ])).alias("_b"),

@@ -85,11 +85,28 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 2))
 
 
-def fingerprint64(text: Column) -> Column:
-    """Order-sensitive 64-bit document fingerprint: xxhash64 chained over
-    xxhash64 of each whitespace token (a rolling-hash analogue that stays
-    JVM-side: fold tokens with hash-combine)."""
+def fingerprint64(text: Column, portable: bool = False) -> Column:
+    """Order-sensitive 64-bit document fingerprint: hash chained over each
+    whitespace token (a rolling-hash analogue that stays JVM-side: fold
+    tokens with hash-combine).
+
+    Default combines with xxhash64 (fast, intrinsic).  ``portable=True``
+    folds ``acc' = md5_long60(acc ":" token)`` starting from "0" — the
+    exact same fold is expressible in DuckDB as ``list_reduce`` over a
+    '0'-prepended token list, putting the chained fingerprint under the
+    oracle."""
     toks = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    if portable:
+        return F.aggregate(
+            toks,
+            F.lit("0"),
+            lambda acc, t: F.conv(
+                F.substring(
+                    F.md5(F.concat(acc, F.lit(":"), t).cast("binary")), 1, 15
+                ), 16, 10,
+            ).cast("long").cast("string"),
+            lambda acc: acc.cast("long"),
+        )
     return F.aggregate(
         toks,
         F.lit(-3750763034362895579),  # FNV offset basis as int64
@@ -97,5 +114,7 @@ def fingerprint64(text: Column) -> Column:
     )
 
 
-def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("fingerprint", fingerprint64(F.col(text_col)))
+def with_fingerprint(docs: DataFrame, text_col: str = "text",
+                     portable: bool = False) -> DataFrame:
+    return docs.withColumn("fingerprint",
+                           fingerprint64(F.col(text_col), portable))

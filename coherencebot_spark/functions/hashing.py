@@ -121,6 +121,31 @@ def host_partition(host: pd.Series, seed: int, num_partitions: int) -> np.ndarra
 
 
 # ---------------------------------------------------------------------------
+# Spark column hash expressions (injectable into the datapipe operators)
+# ---------------------------------------------------------------------------
+
+
+def xxh64_hash(col, seed: int | None = None):
+    """Default 64-bit column hash: JVM xxhash64 (whole-stage codegen)."""
+    return F.xxhash64(col, F.lit(seed)) if seed is not None else F.xxhash64(col)
+
+
+def md5_long60(col, seed: int | None = None):
+    """Portable 60-bit column hash: first 15 hex chars of md5 as a long.
+
+    Slower than xxhash64 (no codegen-level intrinsic) but computable
+    bit-identically in DuckDB as
+    ``CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)`` — the bridge that
+    lets hash-dependent operators (minhash/simhash/ann-lsh/fingerprint) run
+    under the DuckDB oracle.  Production uses :func:`xxh64_hash`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(c.cast("string"), F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter (URL-seen pre-filter, north rule)
 # ---------------------------------------------------------------------------
 

@@ -113,6 +113,25 @@ def _normalize_one(url: str) -> str | None:
     return f"{scheme}://{auth}{path}{query}"
 
 
+def _fast_canonical_mask(s: pd.Series) -> pd.Series:
+    """True where the URL is provably already canonical (vectorized).
+
+    Conservative: any suspect construct (explicit port, dot-segment,
+    duplicate slash AFTER the scheme separator, trailing host dot, %,
+    fragment, userinfo) falls through to the per-string slow path.
+    """
+    fast = s.str.match(
+        r"^(?:http|https|ftp)://[a-z0-9.-]+/[^?#%]*(?:\?[^#%]*)?$",
+        na=False,
+    )
+    # dot-segments (/.), trailing host dot (./ — host is always followed by
+    # / in the fast regex), duplicate slash not part of :// ((?<!:)//)
+    fast &= ~s.str.contains(r"(?:/\.|\./|(?<!:)//)", regex=True, na=False)
+    # any explicit port goes slow-path (default-port stripping)
+    fast &= ~s.str.contains(r"^[a-z]+://[^/]*:", regex=True, na=False)
+    return fast
+
+
 def normalize_urls(urls: pd.Series) -> pd.Series:
     """Normalize a column of URLs; invalid URLs -> None (filter-rejected).
 
@@ -123,16 +142,7 @@ def normalize_urls(urls: pd.Series) -> pd.Series:
     rows, keeping the pandas UDF close to pure-vector speed.
     """
     s = urls.astype("string")
-    # fast-path detector (conservative): scheme://host/path with no suspects
-    fast = s.str.match(
-        r"^(?:http|https|ftp)://[a-z0-9.-]+(?::[0-9]+)?/[^?#%]*(?:\?[^#%]*)?$",
-        na=False,
-    )
-    # fast rows may still carry default ports / dot-segments / trailing host dots
-    fast &= ~s.str.contains(r"(?::80/|:443/|/\.|//|\.@)", regex=True, na=False)
-    # ":443" with https is default; with http it isn't — keep simple: any
-    # explicit port goes slow-path.
-    fast &= ~s.str.contains(r"^[a-z]+://[^/]*:", regex=True, na=False)
+    fast = _fast_canonical_mask(s)
     out = s.copy()
     slow_idx = out.index[~fast]
     if len(slow_idx):

@@ -55,6 +55,9 @@ from ..schemas import CONTENT, FETCH_LOG
 
 ProtocolBackend = Callable[[pd.Series], pd.DataFrame]
 PayloadFn = Callable[[int], dict]
+# batch variant: ndarray[int64] of image indices -> DataFrame with columns
+# (image_id, bytes, w, h, fmt, caption, phash) aligned row-for-row
+PayloadBatchFn = Callable[["np.ndarray"], pd.DataFrame]
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +114,7 @@ def resolve_robots(fetchlist: DataFrame, cfg: CrawlConfig,
 def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
           backend: ProtocolBackend | None = None,
           payload_fn: PayloadFn | None = None,
+          payload_batch_fn: PayloadBatchFn | None = None,
           robots: DataFrame | None = None,
           robots_provider: Callable[[pd.Series], pd.DataFrame] | None = None,
           n_images: int = 1_000_000, n_hosts: int = 1000,
@@ -128,8 +132,8 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         def backend(urls: pd.Series) -> pd.DataFrame:
             return proto_outcomes(urls, n_images=n_images, n_hosts=n_hosts)
 
-    if payload_fn is None:
-        from ..synth.world import payload_row as payload_fn
+    if payload_fn is None and payload_batch_fn is None:
+        from ..synth.world import payload_rows_batch as payload_batch_fn
 
     if robots is None:
         robots = resolve_robots(fetchlist, cfg, robots_provider)
@@ -259,18 +263,35 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     # frame back to the fetch log (bytes must not cross a shuffle —
     # SURVEY.md §7.3 risk 5); the cycle driver projects CONTENT columns
     # when persisting.
-    pf = payload_fn
+    pf, pbf = payload_fn, payload_batch_fn
+    _COLS = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
     def materialize(it):
         for pdf in it:
             n = len(pdf)
-            cols = {k: [None] * n for k in
-                    ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
-            for i, idx in enumerate(pdf["image_idx"].to_numpy()):
-                if idx is not None and idx >= 0:
-                    row = pf(int(idx))
+            cols = {k: [None] * n for k in _COLS}
+            idx = pdf["image_idx"].to_numpy()
+            valid = np.fromiter(
+                (x is not None and not pd.isna(x) and int(x) >= 0 for x in idx),
+                dtype=bool, count=n,
+            )
+            pos = np.nonzero(valid)[0]
+            if len(pos):
+                vidx = np.fromiter((int(idx[i]) for i in pos),
+                                   dtype=np.int64, count=len(pos))
+                if pbf is not None:
+                    # vectorized payload production over the whole Arrow
+                    # batch — no per-row Python loop in the hot path
+                    rows_df = pbf(vidx)
                     for k in cols:
-                        cols[k][i] = row[k]
+                        vals = rows_df[k].tolist()
+                        for j, i in enumerate(pos):
+                            cols[k][i] = vals[j]
+                else:
+                    for i, u in zip(pos, vidx):
+                        row = pf(int(u))
+                        for k in cols:
+                            cols[k][i] = row[k]
             out = pdf[["url", "host", "score", "metadata"]].copy()
             for k, v in cols.items():
                 out[k] = v

@@ -110,6 +110,44 @@ def _with_hostordomain(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return df.withColumn("hostordomain", F.col("host"))
 
 
+def _with_host_attrs(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """partition_id + hostordomain via the DISTINCT-host side channel.
+
+    Both columns are pure functions of ``host``, so the Java-hash Arrow
+    round-trip only needs to touch |distinct hosts| rows (≈10^4-10^6),
+    not |frontier| (≈10^10) — computed per distinct host and
+    broadcast-joined back.  Falls back to the per-row pandas UDFs
+    (:func:`_with_partition`/:func:`_with_hostordomain`, linear but
+    fully distributed) when ``cfg.host_attrs_broadcast`` is off — the
+    right choice if the host universe itself is too big to broadcast.
+    """
+    if not getattr(cfg, "host_attrs_broadcast", True):
+        return _with_hostordomain(_with_partition(df, cfg), cfg)
+
+    seed, nparts = cfg.seed, cfg.num_partitions
+    by_domain = cfg.count_mode == "byDomain"
+
+    def attrs(it):
+        for pdf in it:
+            h = pdf["_hkey"]
+            out = pd.DataFrame({"_hkey": h})
+            out["partition_id"] = host_partition(h, seed, nparts).astype("int32")
+            out["hostordomain"] = (
+                domain_of(h).astype(object) if by_domain else h
+            )
+            yield out
+
+    hosts = df.select(F.coalesce("host", F.lit("")).alias("_hkey")).distinct()
+    hattrs = hosts.mapInPandas(
+        attrs, schema="_hkey string, partition_id int, hostordomain string"
+    )
+    return (
+        df.withColumn("_hkey", F.coalesce("host", F.lit("")))
+        .join(F.broadcast(hattrs), "_hkey", "left")
+        .drop("_hkey")
+    )
+
+
 def _select_window(df: DataFrame, cfg: CrawlConfig, limit: int) -> DataFrame:
     """Exact selection via windows (single-segment, or no per-host cap)."""
     order = [F.desc("sort_score"), F.asc("url")]
@@ -209,8 +247,7 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
     over the joined hostdb columns (SURVEY.md C9/W3).
     """
     df = _gates(frontier, cur_time, cfg, chain)
-    df = _with_partition(df, cfg)
-    df = _with_hostordomain(df, cfg)
+    df = _with_host_attrs(df, cfg)
 
     if hostdb is not None:
         hcols = [c for c in hostdb.columns if c != "host"]

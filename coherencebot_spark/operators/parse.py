@@ -107,17 +107,51 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
     )
 
     # --- outlink extraction (C7) + OPIC distribution (SC3) ---
-    olf = outlink_fn
+    # ParseOutputFormat.java:319-371: the outlink loop normalizes + filters
+    # FIRST; only ACCEPTED links count toward the maxOutlinks cap
+    # (``validCount < outlinksToStore``), and the OPIC divisor is the
+    # accepted count (targets.size()) — or the RAW pre-filter count
+    # (allCount = links.length) when db.score.count.filtered is set
+    # (OPICScoringFilter.java:120-141).  Extraction, normalization,
+    # filtering and the accepted-cap all happen in ONE Arrow stage,
+    # vectorized over the whole flattened batch — no per-link window,
+    # no second Python round-trip.
+    olf, fchain = outlink_fn, chain
+    cap = int(max_outlinks_per_page)
 
     def extract(it):
+        import numpy as np
+
         for pdf in it:
             links = olf(pdf["url"])
+            raw = [list(l or []) for l in links]
+            n_all = np.fromiter((len(r) for r in raw), dtype=np.int64,
+                                count=len(raw))
+            flat = pd.Series(
+                [t for r in raw for t, _ in r], dtype=object)
+            anchors = [a for r in raw for _, a in r]
+            normed = normalize_urls(flat) if len(flat) else flat
+            ok = normed.notna().to_numpy() if len(flat) else np.zeros(0, bool)
+            if fchain is not None and len(flat):
+                ok &= fchain.accept(normed.fillna("")).to_numpy()
+            # regroup by page offsets; cap counts accepted links only
+            out_links, out_nvalid = [], np.zeros(len(raw), dtype=np.int64)
+            normed_np = normed.to_numpy(dtype=object) if len(flat) else normed
+            off = 0
+            for i, cnt in enumerate(n_all):
+                kept = []
+                for j in range(off, off + cnt):
+                    if ok[j]:
+                        kept.append({"to_url": normed_np[j],
+                                     "anchor": anchors[j]})
+                        if len(kept) == cap:
+                            break
+                off += cnt
+                out_links.append(kept)
+                out_nvalid[i] = len(kept)
             yield pd.DataFrame(
                 {"url": pdf["url"], "score": pdf["score"], "host": pdf["host"],
-                 "outlinks": [
-                     [{"to_url": t, "anchor": a} for t, a in (l or [])]
-                     for l in links
-                 ]}
+                 "outlinks": out_links, "n_all": n_all, "n_valid": out_nvalid}
             )
 
     with_links = parsed.select("url", "score", "host").mapInPandas(
@@ -127,45 +161,32 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
             StructField("score", FloatType()),
             StructField("host", StringType()),
             StructField("outlinks", ArrayType(_OUTLINK)),
+            StructField("n_all", LongType()),
+            StructField("n_valid", LongType()),
         ]),
     )
 
     ex = (
         with_links
-        .withColumn("outlinks", F.slice("outlinks", 1, int(max_outlinks_per_page)))
-        .withColumn("n_out", F.size("outlinks"))
-        .filter(F.col("n_out") > 0)
-        .withColumn("ol", F.explode("outlinks"))
+        .filter(F.col("n_valid") > 0)
         .select(
             F.col("url").alias("from_url"),
             F.col("host").alias("from_host"),
-            "score", "n_out",
-            F.col("ol.to_url").alias("to_url_raw"),
+            "score", "n_all", "n_valid",
+            F.explode("outlinks").alias("ol"),
+        )
+        .select(
+            "from_url", "from_host", "score", "n_all", "n_valid",
+            F.col("ol.to_url").alias("to_url"),
             F.left(F.col("ol.anchor"), F.lit(int(cfg.linkdb_max_anchor_length))).alias("anchor"),
         )
     )
 
-    # normalize + filter targets (ParseOutputFormat normalizes outlinks)
-    @F.pandas_udf(StringType())
-    def _norm(u: pd.Series) -> pd.Series:
-        return normalize_urls(u)
-
-    ex = ex.withColumn("to_url", _norm(F.col("to_url_raw"))).filter(
-        F.col("to_url").isNotNull()
-    )
-    if chain is not None:
-        fchain = chain
-
-        @F.pandas_udf("boolean")
-        def _acc(u: pd.Series) -> pd.Series:
-            return fchain.accept(u)
-
-        ex = ex.filter(_acc(F.col("to_url")))
-
     ex = ex.withColumn("to_host", F.lower(F.expr("parse_url(to_url, 'HOST')")))
 
-    # OPIC cash (SC3): page score / n_outlinks, internal/external factor
-    cash = (F.col("score") / F.col("n_out")) * F.when(
+    # OPIC cash (SC3): page score / divisor, internal/external factor
+    divisor = F.col("n_all") if cfg.score_count_filtered else F.col("n_valid")
+    cash = (F.col("score") / divisor) * F.when(
         F.col("to_host") == F.col("from_host"), F.lit(float(cfg.score_internal))
     ).otherwise(F.lit(float(cfg.score_external)))
 

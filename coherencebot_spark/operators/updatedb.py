@@ -74,19 +74,38 @@ def _crawldb_filter(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
 def updatedb(frontier: DataFrame, fetch_log: DataFrame,
              parse_out: DataFrame | None, cur_time: int,
              cfg: CrawlConfig = DEFAULT,
-             seeds_in_service: list[str] | None = None) -> DataFrame:
+             seeds_in_service: list[str] | None = None,
+             frontier_unique: bool = True) -> DataFrame:
     """Produce the next frontier snapshot.  Pure function of its inputs.
 
     ``parse_out`` carries Msg.SIGNATURE / Msg.LINKED / Msg.PARSE_META rows
     (PARSE_OUT schema); pass None when parse did not run.
+
+    Physical shape: only the DELTA (fetch + parse rows, ≈|fetchlist|)
+    goes through the classify aggregation; the frontier (≈10^10 rows)
+    joins it by url with a plain projection — never an object-hash agg
+    over map-carrying structs on the big side.  ``frontier_unique=True``
+    (the engine's own snapshots — every snapshot is the output of this
+    very merge, hence url-unique) skips even the old-side dedup;
+    pass False when merging external/hand-built crawldbs that may carry
+    duplicate urls (reference semantics: latest fetch_time wins).
     """
-    db = _crawldb_filter(frontier, cfg).select(
-        "url", "host",
-        F.lit("db").alias("kind"),
-        "status", "fetch_time", "retries", "fetch_interval", "score",
-        "signature", "modified_time", "metadata",
-        F.lit(None).cast(StringType()).alias("from_url"),
+    row_struct = F.struct(
+        "fetch_time", "status", "retries", "fetch_interval",
+        "score", "signature", "modified_time", "metadata", "host",
     )
+    # "latest by fetch_time", ties pinned by (status, retries, interval,
+    # score) — max_by because the value struct carries a map (not orderable)
+    order_key = F.struct("fetch_time", "status", "retries", "fetch_interval", "score")
+
+    old_src = _crawldb_filter(frontier, cfg)
+    if frontier_unique:
+        old = old_src.select("url", row_struct.alias("old"))
+    else:
+        old = old_src.groupBy("url").agg(
+            F.max_by(row_struct, order_key).alias("old")
+        )
+
     fetch = fetch_log.select(
         "url", "host",
         F.lit("fetch").alias("kind"),
@@ -94,7 +113,7 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
         "signature", "modified_time", "metadata",
         F.lit(None).cast(StringType()).alias("from_url"),
     )
-    parts = [db, fetch]
+    parts = [fetch]
     if parse_out is not None:
         po = parse_out.select(
             "url", "host",
@@ -128,21 +147,12 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
     for p in parts[1:]:
         u = u.unionByName(p)
 
-    is_db = F.col("kind") == "db"
     is_fetch = F.col("kind") == "fetch"
     is_link = F.col("kind") == "linked"
     is_sig = F.col("kind") == "signature"
     is_meta = F.col("kind") == "parse_meta"
 
-    row_struct = F.struct(
-        "fetch_time", "status", "retries", "fetch_interval",
-        "score", "signature", "modified_time", "metadata", "host",
-    )
-    # "latest by fetch_time", ties pinned by (status, retries, interval,
-    # score) — max_by because the value struct carries a map (not orderable)
-    order_key = F.struct("fetch_time", "status", "retries", "fetch_interval", "score")
-    g = u.groupBy("url").agg(
-        F.max_by(F.when(is_db, row_struct), F.when(is_db, order_key)).alias("old"),
+    delta = u.groupBy("url").agg(
         F.max_by(F.when(is_fetch, row_struct), F.when(is_fetch, order_key)).alias("fetch"),
         # top link by (score desc, from_url asc): min_by over inverted key
         F.min_by(
@@ -150,19 +160,18 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
             F.when(is_link, F.struct((-F.col("score")).alias("negscore"), "from_url")),
         ).alias("top_link"),
         F.sum(F.when(is_link, F.col("score"))).alias("link_cash"),
-        F.count(F.when(is_link, F.lit(1))).alias("link_count"),
         F.max(F.when(is_sig, F.col("signature"))).alias("parse_sig"),
         # parse emits at most one meta row per url (ParseSegment dedups)
         F.any_value(F.when(is_meta, F.col("metadata")), True).alias("parse_meta"),
-        F.max(F.when(is_fetch | is_db, F.col("host"))).alias("any_host"),
     )
+
+    # additions_allowed decides whether delta-only urls (discovered links /
+    # out-of-db fetches) enter the frontier (CrawlDbReducer.java:145-146)
+    g = old.join(delta, "url", "full_outer" if cfg.additions_allowed else "left_outer")
 
     has_old = F.col("old").isNotNull()
     has_fetch = F.col("fetch").isNotNull()
     has_link = F.col("top_link").isNotNull()
-
-    if not cfg.additions_allowed:
-        g = g.filter(has_old)
 
     # rows with neither fetch nor link: pass old through unchanged
     # (CrawlDbReducer.java:155-171; orphan hook is a no-op by default)
@@ -363,8 +372,14 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
         + F.coalesce(F.col("link_cash"), F.lit(0.0))
     ).cast("float")
 
-    # drop the generate marker (reducer:315-316)
-    meta_out = F.map_filter(_mcoal(meta_out), lambda k, _: k != F.lit("_ngt_"))
+    # drop the generate marker (reducer:319-320) — ONLY on the fetch/link
+    # path; old-only pass-through rows (generated but not fetched this
+    # cycle) keep their metadata untouched (reducer:154-172 writes `old`
+    # unchanged), preserving the gen_delay guard on in-flight URLs
+    meta_out = F.when(
+        has_fetch | has_link,
+        F.map_filter(_mcoal(meta_out), lambda k, _: k != F.lit("_ngt_")),
+    ).otherwise(_mcoal(meta_out))
 
     result = g.select(
         "url",

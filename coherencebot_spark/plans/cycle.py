@@ -42,7 +42,7 @@ from ..operators.parse import parse, redirect_link_rows
 from ..operators.updatedb import updatedb
 from ..schemas import FRONTIER
 from ..sources.snapshot import SnapshotTable
-from ..status import Fetch
+from ..status import Fetch, Msg
 
 
 @dataclass
@@ -195,6 +195,14 @@ class CrawlDriver:
         m.retry = status_counts.get(int(Fetch.RETRY), 0)
         m.notmodified = status_counts.get(int(Fetch.NOTMODIFIED), 0)
         m.generated = sum(status_counts.values())
+        # newly discovered URLs: linked targets not present in the (touched
+        # part of the) frontier — broadcast-anti join, linked side is tiny
+        m.new_links = (
+            parse_out.filter(F.col("status") == int(Msg.LINKED))
+            .select("url").distinct()
+            .join(frontier.select("url"), "url", "left_anti")
+            .count()
+        )
         per_part = (
             log.withColumn("p", F.spark_partition_id())
             .groupBy("p", "status").count().collect()

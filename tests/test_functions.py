@@ -93,6 +93,38 @@ def test_normalizer_table():
         assert g == want, (src, g, want)
 
 
+def test_fast_canonical_mask_live_and_safe():
+    """The vectorized fast path must (a) actually activate on canonical
+    URLs (it was dead code in round 1: '//' matched every '://') and
+    (b) never claim a URL the slow path would rewrite."""
+    from coherencebot_spark.functions.urls import _fast_canonical_mask, _normalize_one
+
+    canonical = pd.Series([
+        "https://example.org/a/b?x=1",
+        "http://example.org/",
+        "ftp://files.example.org/pub/file.txt",
+    ])
+    assert _fast_canonical_mask(canonical).all()
+
+    suspects = pd.Series([
+        "http://example.org:80/x",      # default port
+        "https://example.org:8443/x",   # explicit port
+        "http://example.org/a/./b",     # dot segment
+        "http://example.org/a//b",      # duplicate slash
+        "http://example.org./x",        # trailing host dot
+        "http://example.org/%7Euser",   # escapes
+        "HTTP://Example.ORG/",          # case
+        "http://user@example.org/x",    # userinfo
+        "http://example.org/#frag",     # fragment
+        "http://example.org",           # no path
+    ])
+    assert not _fast_canonical_mask(suspects).any()
+
+    # invariant: every fast-claimed URL is a fixed point of the slow path
+    for u in canonical:
+        assert _normalize_one(u) == u
+
+
 def test_regex_normalizer_session_ids():
     n = RegexURLNormalizer()
     s = pd.Series([
