@@ -227,6 +227,87 @@ def build_bloom(df: DataFrame, col: str, capacity: int, fpp: float = 0.01) -> Bl
     return out
 
 
+def build_bloom_sharded(df: DataFrame, col: str, capacity: int,
+                        n_buckets: int = 256, fpp: float = 0.01,
+                        bucket_expr=None) -> DataFrame:
+    """Sharded Bloom build: one bitmap per bucket, NEVER driver-collected.
+
+    Returns a DataFrame ``(bucket int, m long, k int, bits binary)`` — the
+    10^10-scale shape the monolithic :func:`build_bloom` can't reach (a
+    single 1%-fpp filter over 10^10 URLs is ~12 GB on the driver; 256
+    host-bucket shards are ~47 MB each, built where the data lives and
+    only ever co-shuffled with their own bucket's probes).
+
+    ``bucket_expr`` defaults to ``pmod(xxhash64(col), n_buckets)`` — pass
+    the frontier's host-bucket expression to align shards with the crawl's
+    bucket layout (seen.py).
+    """
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    m, k = BloomFilter.params(max(capacity // n_buckets, 1024), fpp)
+
+    hashed = df.select(
+        bucket_expr.alias("bucket"),
+        F.xxhash64(F.col(col)).cast("long").alias("_h1"),
+        F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long").alias("_h2"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m, k)
+        bf.add(pdf["_h1"].to_numpy().astype(np.int64).view(np.uint64),
+               pdf["_h2"].to_numpy().astype(np.int64).view(np.uint64))
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "m": [m], "k": [k], "bits": [bf.bits.tobytes()],
+        })
+
+    return hashed.groupBy("bucket").applyInPandas(
+        build, schema="bucket int, m long, k int, bits binary"
+    )
+
+
+def bloom_contains_sharded(probe: DataFrame, col: str, blooms: DataFrame,
+                           out_col: str = "maybe_seen",
+                           n_buckets: int = 256,
+                           bucket_expr=None) -> DataFrame:
+    """Membership test against a sharded bloom: cogroup by bucket, so each
+    shard's bitmap crosses the wire once per bucket-group, not per row.
+    Probes whose bucket has no shard (nothing ever inserted) are
+    definitely-new → False."""
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    p = probe.withColumn("_bkt", bucket_expr).withColumn(
+        "_h1", F.xxhash64(F.col(col)).cast("long")
+    ).withColumn("_h2", F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long"))
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # fresh StructType — StructType.add MUTATES the frame's cached schema
+    out_schema = StructType(
+        list(probe.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    probe_cols = probe.columns
+
+    def check(pl: pd.DataFrame, bl: pd.DataFrame) -> pd.DataFrame:
+        out = pl[probe_cols].copy()
+        if len(bl):
+            bf = BloomFilter(int(bl["m"].iloc[0]), int(bl["k"].iloc[0]),
+                             np.frombuffer(bl["bits"].iloc[0], dtype=np.uint64))
+            out[out_col] = bf.contains(
+                pl["_h1"].to_numpy().astype(np.int64).view(np.uint64),
+                pl["_h2"].to_numpy().astype(np.int64).view(np.uint64),
+            )
+        else:
+            out[out_col] = False
+        return out
+
+    return (
+        p.groupBy("_bkt")
+        .cogroup(blooms.groupBy("bucket"))
+        .applyInPandas(check, schema=out_schema)
+    )
+
+
 def bloom_contains_col(spark, df: DataFrame, col: str, bloom: BloomFilter,
                        out_col: str = "maybe_seen") -> DataFrame:
     """Append a boolean column: True if ``col`` is possibly in the filter."""
@@ -242,7 +323,12 @@ def bloom_contains_col(spark, df: DataFrame, col: str, bloom: BloomFilter,
             pdf[out_col] = bf.contains(h1, h2)
             yield pdf
 
-    schema = df.schema.add(out_col, "boolean")
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # fresh StructType — StructType.add MUTATES the frame's cached schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BooleanType())]
+    )
     return (
         df.withColumn("_h1", F.xxhash64(F.col(col)).cast("long"))
         .withColumn("_h2", F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long"))

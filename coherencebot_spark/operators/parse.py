@@ -52,11 +52,15 @@ _OUTLINK = StructType(
 def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
           outlink_fn: OutlinkFn | None = None,
           chain: URLFilterChain | None = None,
-          max_outlinks_per_page: int = 100) -> DataFrame:
+          max_outlinks_per_page: int = 100,
+          outlink_source: str = "url") -> DataFrame:
     """Produce the PARSE_OUT rows for updatedb.
 
-    ``outlink_fn(urls) -> Series[list[(to_url, anchor)]]`` is the outlink
-    extractor (C7); defaults to the synthetic web's deterministic links.
+    ``outlink_fn(col) -> Series[list[(to_url, anchor)]]`` is the outlink
+    extractor (C7), applied to the ``outlink_source`` column of the parsed
+    frame — ``"url"`` (default) feeds the synthetic web's deterministic
+    link graph; ``"caption"`` + ``functions.outlinks.extract_outlinks_text``
+    is the real-text path (the OutlinkExtractor regex port).
     Only fetch_success pages are parsed (``ParseSegment.java:92-116``
     skips non-success via the ``_fst_`` metadata check).
     """
@@ -116,14 +120,14 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
     # filtering and the accepted-cap all happen in ONE Arrow stage,
     # vectorized over the whole flattened batch — no per-link window,
     # no second Python round-trip.
-    olf, fchain = outlink_fn, chain
+    olf, fchain, src_col = outlink_fn, chain, outlink_source
     cap = int(max_outlinks_per_page)
 
     def extract(it):
         import numpy as np
 
         for pdf in it:
-            links = olf(pdf["url"])
+            links = olf(pdf[src_col])
             raw = [list(l or []) for l in links]
             n_all = np.fromiter((len(r) for r in raw), dtype=np.int64,
                                 count=len(raw))
@@ -154,7 +158,10 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
                  "outlinks": out_links, "n_all": n_all, "n_valid": out_nvalid}
             )
 
-    with_links = parsed.select("url", "score", "host").mapInPandas(
+    src_cols = ["url", "score", "host"]
+    if src_col not in src_cols:
+        src_cols.append(src_col)
+    with_links = parsed.select(*src_cols).mapInPandas(
         extract,
         schema=StructType([
             StructField("url", StringType()),

@@ -15,8 +15,11 @@ Two legitimate short-circuits:
   joining.
 
 At 10^10 URLs a single filter is ~12 GB at 1% fpp; production shards it by
-host-bucket (one bloom per bucket, broadcast only to that bucket's tasks).
-The sandbox build uses one filter (``functions.hashing.build_bloom``).
+host-bucket: :class:`ShardedUrlSeenFilter` builds one bloom per bucket as
+a DataFrame (never collected to the driver) and answers membership via a
+bucket-cogroup, so each ~47 MB shard crosses the wire once per bucket
+group.  :class:`UrlSeenFilter` (monolithic, driver-broadcast) remains the
+small/medium-frontier path.
 """
 
 from __future__ import annotations
@@ -24,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import BloomFilter, bloom_contains_col, build_bloom
+from ..functions.hashing import (
+    BloomFilter, bloom_contains_col, bloom_contains_sharded, build_bloom,
+    build_bloom_sharded,
+)
 
 
 class UrlSeenFilter:
@@ -59,3 +65,48 @@ class UrlSeenFilter:
             .filter(~F.col("maybe_seen"))
             .count()
         )
+
+
+class ShardedUrlSeenFilter:
+    """Per-bucket bloom shards held as a (cached) DataFrame — the 10^10
+    path: no driver bitmap, no monolithic broadcast.  Same contract as
+    :class:`UrlSeenFilter` (no false negatives; "maybe" flows to the
+    exact join)."""
+
+    def __init__(self, blooms: DataFrame, n_buckets: int):
+        self.blooms = blooms
+        self.n_buckets = n_buckets
+
+    @classmethod
+    def from_frontier(cls, frontier: DataFrame, capacity: int | None = None,
+                      n_buckets: int = 256,
+                      fpp: float = 0.01) -> "ShardedUrlSeenFilter":
+        if capacity is None:
+            capacity = max(frontier.count(), 1024)
+        blooms = build_bloom_sharded(
+            frontier, "url", capacity, n_buckets, fpp
+        ).persist()
+        blooms.count()  # materialize shards once; reused across probes
+        return cls(blooms, n_buckets)
+
+    def with_maybe_seen(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        return bloom_contains_sharded(df, url_col, self.blooms,
+                                      n_buckets=self.n_buckets)
+
+    def drop_definitely_new(self, links: DataFrame,
+                            url_col: str = "url") -> DataFrame:
+        return (
+            self.with_maybe_seen(links, url_col)
+            .filter(F.col("maybe_seen"))
+            .drop("maybe_seen")
+        )
+
+    def count_new(self, links: DataFrame, url_col: str = "url") -> int:
+        return (
+            self.with_maybe_seen(links.select(url_col).distinct(), url_col)
+            .filter(~F.col("maybe_seen"))
+            .count()
+        )
+
+    def unpersist(self) -> None:
+        self.blooms.unpersist()

@@ -78,6 +78,9 @@ class CrawlDriver:
         self.bucketed = bucketed
         self.full_rewrite_every = full_rewrite_every
         self.fetch_kwargs = fetch_kwargs
+        # full-frontier count jobs taken for the frontier_size metric in
+        # merge cycles (0 in steady state — tests assert this)
+        self._full_count_jobs = 0
         os.makedirs(workdir, exist_ok=True)
         self.frontier = SnapshotTable(os.path.join(workdir, "frontier"), "frontier")
         self.fetch_log = SnapshotTable(os.path.join(workdir, "fetch_log"), "fetch_log")
@@ -106,8 +109,12 @@ class CrawlDriver:
             base = self.frontier.read(self.spark).drop("bucket")
         else:
             base = self.spark.createDataFrame([], FRONTIER)
-        new = inject(base, seeds, cur_time, self.cfg)
-        return self._write_frontier(new, cycle_id=f"inject@{cur_time}")
+        new = inject(base, seeds, cur_time, self.cfg).persist()
+        n = new.count()  # seeds the incremental frontier_size chain
+        sid = self._write_frontier(new, cycle_id=f"inject@{cur_time}",
+                                   metrics={"frontier_size": n})
+        new.unpersist()
+        return sid
 
     # ------------------------------------------------------------------
     def should_stop(self) -> bool:
@@ -213,15 +220,30 @@ class CrawlDriver:
         new_frontier = new_frontier.persist()
         meta = {k: v for k, v in m.as_dict().items() if k != "per_partition"}
         if use_merge:
+            # incremental frontier_size: parent size − touched-bucket rows
+            # before + touched-bucket rows after.  Both counts are
+            # partition-pruned to the touched buckets — no full-frontier
+            # job in a merge cycle (the fallback full count only runs for
+            # pre-metric legacy snapshots, and is counted for tests).
+            hist = self.frontier.history()
+            parent_size = (hist[-1]["metrics"] or {}).get("frontier_size")
+            new_touched_rows = new_frontier.count()
+            if parent_size is not None:
+                old_touched_rows = frontier.count()
+                m.frontier_size = (
+                    int(parent_size) - old_touched_rows + new_touched_rows
+                )
+            meta["frontier_size"] = m.frontier_size
             self.frontier.merge_write(
                 self._with_bucket(new_frontier), touched, cycle_id=cycle_id,
                 metrics=meta, lineage=m.per_partition,
             )
-            m.frontier_size = self.frontier.read(self.spark).count()
-            # patch the recorded metric now that the merged size is known
-            hist = self.frontier._load()
-            hist["snapshots"][-1]["metrics"]["frontier_size"] = m.frontier_size
-            self.frontier._commit(hist)
+            if parent_size is None:
+                self._full_count_jobs += 1
+                m.frontier_size = self.frontier.read(self.spark).count()
+                hist = self.frontier._load()
+                hist["snapshots"][-1]["metrics"]["frontier_size"] = m.frontier_size
+                self.frontier._commit(hist)
         else:
             m.frontier_size = new_frontier.count()
             meta["frontier_size"] = m.frontier_size

@@ -46,6 +46,22 @@ def test_bucketed_equals_full(spark, tmp_path):
     assert m.generated == 0
 
 
+def test_incremental_frontier_size_no_full_job(spark, tmp_path):
+    """Merge cycles derive frontier_size from parent size + touched-bucket
+    deltas: no full-frontier count job runs (driver counter stays 0), and
+    the metric equals the true full count."""
+    d = CrawlDriver(spark, str(tmp_path / "m"), CFG, bucketed=True,
+                    full_rewrite_every=1000, **KW)
+    d.inject(seeds_df(spark), T0)
+    for k in range(3):
+        m = d.run_cycle(k, T0 + 1000 + k * 3_600_000)
+        true_size = d.frontier.read(spark).count()
+        assert m.frontier_size == true_size, f"cycle {k} metric diverged"
+        rec = d.frontier.history()[-1]["metrics"]["frontier_size"]
+        assert rec == true_size  # recorded at write time, not patched after
+    assert d._full_count_jobs == 0
+
+
 def test_bucketed_mid_cycle_resume(spark, tmp_path):
     """Crash after the segment commit, resume in bucketed mode → identical
     frontier to the uninterrupted bucketed run."""

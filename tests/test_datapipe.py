@@ -66,6 +66,116 @@ def test_simhash_near_dups(spark):
     assert not any(5 in p for p in got)
 
 
+def skewed_docs_df(spark, cluster=40, background=40):
+    """One dominant near-dup cluster (word-swap perturbations of BASE)
+    plus unrelated background docs — the hot-bucket stress shape."""
+    words = BASE.split()
+    rows = []
+    for i in range(cluster):
+        if i % 2 == 0:
+            rows.append((i, BASE))  # exact duplicate — identical simhash
+        else:
+            w = list(words)
+            w[i % len(w)] = f"tok{i}"  # single-token perturbation
+            rows.append((i, " ".join(w)))
+    for j in range(background):
+        rows.append((cluster + j,
+                     f"background document {j} about topic{j} with words "
+                     f"alpha{j} beta{j} gamma{j} delta{j} epsilon{j}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ground_truth_pairs(spark, docs, max_hamming):
+    """All-pairs hamming over collected simhashes (small-n oracle)."""
+    from coherencebot_spark.datapipe.dedup_text import simhash64
+
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    ids = sorted(sh)
+    return {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming
+    }
+
+
+def test_simhash_skew_blocking_exact_recall(spark):
+    """Multi-chunk blocking is EXACT at hamming<=3 (pigeonhole): candidate
+    pairs surviving verification equal the all-pairs ground truth."""
+    docs = skewed_docs_df(spark)
+    truth = _ground_truth_pairs(spark, docs, 3)
+    got = {(r.id_a, r.id_b) for r in
+           simhash_near_dups(docs, max_hamming=3, n_chunks=6).collect()}
+    assert got == truth
+    assert len(truth) > 10  # the cluster actually collides
+
+
+def test_simhash_skew_star_mode_bounded(spark):
+    """pair_mode='star' keeps candidates O(n) per bucket yet still covers
+    the dominant cluster as one connected component."""
+    from coherencebot_spark.datapipe.dedup_text import _simhash_block_keys
+
+    docs = skewed_docs_df(spark)
+    truth = _ground_truth_pairs(spark, docs, 3)
+    star = [(r.id_a, r.id_b) for r in
+            simhash_near_dups(docs, max_hamming=3, n_chunks=6,
+                              pair_mode="star").collect()]
+    # candidate bound: <= n_docs * n_block_keys (star emits per bucket
+    # member, never per pair) — quadratic all-pairs would far exceed this
+    n_keys = len(_simhash_block_keys(6, 3))
+    assert len(star) <= 80 * n_keys
+    # connected components over star pairs must merge every truth pair
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in star:
+        parent[find(a)] = find(b)
+    for a, b in truth:
+        assert find(a) == find(b), (a, b)
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    """max_bucket caps per-bucket fan-out; with the cap each block bucket
+    contributes at most C(cap,2) pairs, and the hot cluster stays grouped
+    (recovered via multiple block keys)."""
+    from coherencebot_spark.datapipe.dedup_text import (
+        _simhash_block_keys, simhash_block_stats,
+    )
+
+    docs = skewed_docs_df(spark)
+    stats = simhash_block_stats(docs, max_hamming=3, n_chunks=6).collect()
+    assert max(r.bucket_size for r in stats) > 10  # skew is real
+    capped = {(r.id_a, r.id_b) for r in
+              simhash_near_dups(docs, max_hamming=3, n_chunks=6,
+                                max_bucket=8).collect()}
+    uncapped = {(r.id_a, r.id_b) for r in
+                simhash_near_dups(docs, max_hamming=3, n_chunks=6).collect()}
+    assert capped <= uncapped
+    # every capped bucket emits <= C(8,2)=28 pairs; with 20 block keys the
+    # global bound is structural, not data-dependent
+    assert len(capped) <= 28 * len(_simhash_block_keys(6, 3))
+
+
+def test_minhash_star_and_cap_modes(spark):
+    base = minhash_lsh_pairs(docs_df(spark), k=4, n_hashes=32, bands=16,
+                             verify_threshold=None)
+    star = minhash_lsh_pairs(docs_df(spark), k=4, n_hashes=32, bands=16,
+                             verify_threshold=None, pair_mode="star")
+    capped = minhash_lsh_pairs(docs_df(spark), k=4, n_hashes=32, bands=16,
+                               verify_threshold=None, max_bucket=2)
+    b = {(r.id_a, r.id_b) for r in base.collect()}
+    s = {(r.id_a, r.id_b) for r in star.collect()}
+    c = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert s <= b and c <= b
+    # star keeps the exact-dup cluster reachable from its representative
+    assert (0, 1) in s and (0, 2) in s
+
+
 def test_lang_id_and_quality(spark):
     out = {r.doc_id: r for r in
            with_quality(with_lang_id(docs_df(spark))).collect()}

@@ -125,6 +125,33 @@ def test_fast_canonical_mask_live_and_safe():
         assert _normalize_one(u) == u
 
 
+def test_outlink_extractor_table():
+    """OutlinkExtractor.java:56-57 regex parity over the reference's tricky
+    cases: trailing punctuation is KEPT (the URL charset includes .,;:!),
+    mailto matches (scheme policy is the filter chain's job), relative
+    refs never match, parens/whitespace terminate, escapes work."""
+    from coherencebot_spark.functions.outlinks import extract_outlinks_text
+
+    cases = {
+        "visit http://example.org/a for info": ["http://example.org/a"],
+        # sentence-final dot stays in the match (reference parity)
+        "see http://example.org/a.": ["http://example.org/a."],
+        "(docs: https://example.org/x?y=1)": ["https://example.org/x?y=1"],
+        "mail me at mailto:foo@bar.org now": ["mailto:foo@bar.org"],
+        "relative /about.html and ../up.html": [],
+        "escaped http://e.org/a%20b%2Fc ok": ["http://e.org/a%20b%2Fc"],
+        "frag http://e.org/p#sec2 end": ["http://e.org/p#sec2"],
+        "two http://a.org/1 and ftp://b.org/2": ["http://a.org/1",
+                                                 "ftp://b.org/2"],
+        "no links here": [],
+        None: [],
+    }
+    got = extract_outlinks_text(pd.Series(list(cases.keys()), dtype=object))
+    for (src, want), links in zip(cases.items(), got):
+        assert [u for u, _ in links] == want, (src, links)
+        assert all(a == "" for _, a in links)
+
+
 def test_regex_normalizer_session_ids():
     n = RegexURLNormalizer()
     s = pd.Series([

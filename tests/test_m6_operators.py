@@ -179,6 +179,33 @@ def test_opic_cash_split(spark):
     assert links["https://x.example.org/external"] == pytest.approx(3.0 / 2 * 0.5)
 
 
+def test_parse_caption_outlinks_real_text(spark):
+    """End-to-end real-text path: the OutlinkExtractor regex port runs
+    over the CAPTION column (outlink_source), links are normalized,
+    filtered by the default chain, and carry OPIC cash — while the
+    divisor honors accepted-count semantics (the mailto link is
+    extracted but rejected by normalization, so cash divides by 1)."""
+    from coherencebot_spark.functions.outlinks import extract_outlinks_text
+    from coherencebot_spark.functions.urls import URLFilterChain
+
+    fl = spark.createDataFrame([fetch_row("https://h.example.org/p", score=2.0)],
+                               FETCH_LOG)
+    ct = spark.createDataFrame(
+        [content_row("https://h.example.org/p",
+                     caption="see HTTP://Other.example.org:80/x and "
+                             "mailto:a@b.org for details")],
+        CONTENT,
+    )
+    out = parse(fl, ct, DEFAULT, outlink_fn=extract_outlinks_text,
+                chain=URLFilterChain(), outlink_source="caption")
+    links = [r for r in out.collect() if r.status == int(Msg.LINKED)]
+    assert len(links) == 1
+    # normalized: scheme+host lowercased, default port stripped
+    assert links[0].url == "http://other.example.org/x"
+    # divisor = accepted count (1), NOT raw extracted count (2)
+    assert links[0].score == pytest.approx(2.0)
+
+
 def test_redirect_link_rows(spark):
     fl = spark.createDataFrame(
         [fetch_row("https://h.example.org/m", status=Fetch.REDIR_PERM,

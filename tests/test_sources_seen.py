@@ -62,6 +62,89 @@ def test_url_seen_filter(spark):
     assert seen.count_new(links) >= 90
 
 
+def test_sharded_url_seen_matches_monolithic(spark):
+    """Sharded (per-bucket, never-collected) blooms answer membership with
+    the same CONTRACT as the monolithic driver-broadcast filter over a
+    multi-bucket frontier: zero false negatives on every inserted URL, and
+    the definitely-new drop rate holds.  (Exact bit-for-bit equality is
+    not expected — shards use per-bucket m/k — the contract is what
+    updatedb relies on.)"""
+    from coherencebot_spark.operators.seen import ShardedUrlSeenFilter
+
+    # 40 hosts so URLs spread over many of the 16 buckets
+    frontier = spark.createDataFrame(
+        [frow(f"https://h{i % 40}.example.org/p{i}") for i in range(800)],
+        FRONTIER)
+    mono = UrlSeenFilter.from_frontier(spark, frontier, capacity=800, fpp=0.01)
+    shard = ShardedUrlSeenFilter.from_frontier(frontier, capacity=800,
+                                               n_buckets=16, fpp=0.01)
+    assert shard.blooms.count() > 4  # genuinely multi-bucket
+
+    links = spark.createDataFrame(
+        [(f"https://h{i % 40}.example.org/p{i}",) for i in range(600, 1000)],
+        "url string",
+    )
+    kept_mono = {r.url for r in mono.drop_definitely_new(links).collect()}
+    kept_shard = {r.url for r in shard.drop_definitely_new(links).collect()}
+    seen_urls = {f"https://h{i % 40}.example.org/p{i}" for i in range(600, 800)}
+    # no false negatives in either path
+    assert seen_urls <= kept_mono
+    assert seen_urls <= kept_shard
+    # definitely-new URLs are mostly dropped by both (fpp ~1% of 200)
+    assert len(kept_mono - seen_urls) <= 10
+    assert len(kept_shard - seen_urls) <= 10
+    assert shard.count_new(links) >= 180
+    shard.unpersist()
+
+
+def test_warc_round_trip(spark, tmp_path):
+    """dump_segment_warc writes spec-layout WARC 1.0 records (version line,
+    CRLF headers, Content-Length-delimited payload, record separator) that
+    the reader parses back byte-exact."""
+    from coherencebot_spark.schemas import CONTENT, FETCH_LOG
+    from coherencebot_spark.sources.sinks import (
+        dump_segment_warc, read_warc_records,
+    )
+    from coherencebot_spark.status import Fetch
+
+    T = 1_700_000_000_000
+    fl = spark.createDataFrame(
+        [dict(url=f"https://h.example.org/p{i}", host="h.example.org",
+              status=int(Fetch.SUCCESS), fetch_time=T + i, retries=0,
+              fetch_interval=2_592_000, score=1.0, signature=None,
+              modified_time=0, metadata=None, proto_status=1,
+              redirect_to=None)
+         for i in range(3)],
+        FETCH_LOG,
+    )
+    ct = spark.createDataFrame(
+        [dict(url=f"https://h.example.org/p{i}", image_id=f"i{i}",
+              bytes=bytes([i]) * (10 + i), w=1, h=1, fmt="png",
+              caption=f"caption {i}\nwith newline", phash=i)
+         for i in range(3)],
+        CONTENT,
+    )
+    out = str(tmp_path / "warc")
+    dump_segment_warc(fl, ct, out)
+    recs = read_warc_records(out)
+    by_type = {}
+    for r in recs:
+        by_type.setdefault(r["type"], []).append(r)
+    assert len(by_type["warcinfo"]) >= 1
+    assert len(by_type["resource"]) == 3
+    assert len(by_type["metadata"]) == 3
+    res = {r["WARC-Target-URI"]: r for r in by_type["resource"]}
+    for i in range(3):
+        r = res[f"https://h.example.org/p{i}"]
+        assert r["payload"] == bytes([i]) * (10 + i)  # byte-exact payload
+        assert r["Content-Type"] == "image/png"
+        assert r["WARC-Date"].endswith("Z")
+        assert r["WARC-Record-ID"].startswith("<urn:uuid:")
+    # metadata records link back via WARC-Concurrent-To
+    meta_targets = {m["WARC-Concurrent-To"] for m in by_type["metadata"]}
+    assert meta_targets == {r["WARC-Record-ID"] for r in by_type["resource"]}
+
+
 def test_index_documents_and_csv(spark, tmp_path):
     from coherencebot_spark.schemas import CONTENT
     frontier = spark.createDataFrame(
