@@ -563,6 +563,61 @@ def _q_ann_lsh(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF ANN under the full oracle: embeddings cast to double so the
+    # left-fold cosine (assignment argmax + rerank) is bit-identical in
+    # DuckDB; same operator code runs float32 in production
+    from coherencebot_spark.datapipe.similarity import cosine_topk_ivf
+
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = em.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_ivf(em, q, k=5, n_centroids=8, nprobe=3)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def _q_free_generator(spark, sf_dir):
+    # FreeGenerator over a url list with case/default-port noise and dups:
+    # normalize → filter → dedup → fetchlist defaults
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.generate import free_generate
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("HTTP://Host"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example.org:80/p/"),
+            (F.col("doc_id") / 2).cast("int").cast("string"),
+        ).alias("url")
+    )
+    cfg = DEFAULT.with_(num_partitions=4)
+    fl = free_generate(urls, cfg, cur_time=1_700_000_000_000)
+    return fl.select("url", "host", "status", "fetch_time",
+                     F.round("score", 4).alias("score"))
+
+
+def _q_segment_stats(spark, sf_dir):
+    # readseg -list aggregation over a fetch-log synthesized from events
+    from coherencebot_spark.operators.readseg import segment_list
+    from coherencebot_spark.status import Fetch
+
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 50).cast("string"),
+                 F.lit(".example.org/p/"), F.col("event_id").cast("string")
+                 ).alias("url"),
+        F.when(F.col("event_type") == "click", int(Fetch.SUCCESS))
+        .when(F.col("event_type") == "view", int(Fetch.REDIR_TEMP))
+        .otherwise(int(Fetch.GONE)).cast("int").alias("status"),
+        (F.unix_timestamp(F.col("ts")) * 1000).alias("fetch_time"),
+    )
+    return segment_list(log)
+
+
 def _q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
 
@@ -649,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "free_generator": _q_free_generator,
+        "segment_stats": _q_segment_stats,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -1063,6 +1121,81 @@ def oracle_sql() -> dict[str, str]:
                                                             1, 15)) AS BIGINT)
                                AS VARCHAR)) AS BIGINT) AS fingerprint
             FROM documents
+        """,
+        "free_generator": """
+            WITH urls AS (
+              SELECT DISTINCT
+                     'http://host' || (doc_id % 40)::VARCHAR
+                       || '.example.org/p/' || (doc_id // 2)::VARCHAR AS url,
+                     'host' || (doc_id % 40)::VARCHAR || '.example.org' AS host
+              FROM documents
+            )
+            SELECT url, host, 1::INT AS status,
+                   1700000000000::BIGINT AS fetch_time,
+                   CAST(1.0 AS DOUBLE) AS score
+            FROM urls
+        """,
+        "segment_stats": """
+            SELECT COUNT(*)::BIGINT AS generated,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                     AS fetched,
+                   SUM(CASE WHEN event_type NOT IN ('click', 'view')
+                            THEN 1 ELSE 0 END)::BIGINT AS errors,
+                   (MIN(floor(epoch(ts))::BIGINT) * 1000)::BIGINT AS earliest_fetch,
+                   (MAX(floor(epoch(ts))::BIGINT) * 1000)::BIGINT AS latest_fetch
+            FROM events
+        """,
+        "ann_ivf": """
+            WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cent_id, v AS cvec
+                      FROM em ORDER BY vec_id LIMIT 8),
+            -- cosine as the SAME left fold Spark's F.aggregate performs
+            ac AS (
+              SELECT e.vec_id, e.v, c.cent_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(list_zip(e.v, c.cvec), z -> z[1] * z[2])),
+                       (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                          list_transform(e.v, x -> x * x)), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(c.cvec, x -> x * x)), (a, b) -> a + b)))
+                       AS cc
+              FROM em e CROSS JOIN cents c
+            ),
+            assigned AS (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT vec_id, v, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cc DESC, cent_id ASC) AS r
+                FROM ac
+              ) WHERE r = 1
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+                SELECT vec_id, v, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cc DESC, cent_id ASC) AS r
+                FROM ac WHERE vec_id < 3
+              ) WHERE r <= 3
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(list_zip(a.v, p.qv), z -> z[1] * z[2])),
+                       (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                          list_transform(a.v, x -> x * x)), (x, y) -> x + y))
+                        * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(p.qv, x -> x * x)), (x, y) -> x + y)))
+                       AS c
+              FROM assigned a JOIN probes p USING (cent_id)
+            )
+            SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rank FROM (
+              SELECT query_id, vec_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -44,6 +44,11 @@ N_FRONTIER = int(os.environ.get("BENCH_FRONTIER", "6000000"))
 N_HOSTS = int(os.environ.get("BENCH_HOSTS", "50000"))
 TOPN = int(os.environ.get("BENCH_TOPN", "600000"))
 
+# updatedb merge strategy: broadcast the fetchlist-sized delta so the
+# frontier never shuffles full rows (the local-mode analogue of the
+# Iceberg url-bucketed storage-partitioned join at cluster scale)
+BCAST_DELTA = os.environ.get("BENCH_BCAST_DELTA", "1") == "1"
+
 CFG = DEFAULT.with_(
     topn=TOPN, num_partitions=64, max_count=50,
     server_delay_ms=100,          # politeness delay scaled so the virtual
@@ -86,11 +91,14 @@ def synthesize_frontier(spark, path: str) -> None:
 
 
 def tiny_payload_batch(idx, _cache: dict = {}) -> "pd.DataFrame":
-    """Bench payload batch fn: real pixels+phash, small fixed dims, the
-    expensive pixel/phash work memoized per worker over the 10k-image
-    universe (fetch's payload_batch_fn contract).  ``_cache`` is the
-    intentional mutable-default memo — it rides along when cloudpickle
-    ships the function and persists across Arrow batches in a worker."""
+    """Small-fixed-dims payload batch fn with a per-worker memo — used by
+    the profiling scripts for cheap payloads.  The BENCH cycle itself uses
+    the synthetic world's REAL payload distribution (mixed 32-128px dims,
+    png/jpeg/bmp codecs, fetch's default payload_rows_batch): a crawl
+    cycle's per-URL compute is codec+hash work, and stripping it out
+    would misrepresent both throughput and the scalable fraction.
+    ``_cache`` is the intentional mutable-default memo — it rides along
+    when cloudpickle ships the function."""
     import numpy as np
     import pandas as pd
     from coherencebot_spark.synth import images
@@ -128,13 +136,14 @@ def warmup(spark, frontier_path: str) -> None:
 
     frontier = spark.read.parquet(frontier_path).limit(100_000)
     cfg = CFG.with_(topn=20_000)
-    fl = generate(frontier, T0, cfg)
-    log, content = fetch(fl, T0, cfg, payload_batch_fn=tiny_payload_batch,
-                         n_images=1_000_000, n_hosts=N_HOSTS)
+    fl = generate(frontier, T0, cfg, broadcast_select=BCAST_DELTA)
+    log, content = fetch(fl, T0, cfg, n_images=1_000_000, n_hosts=N_HOSTS)
     log = log.persist()
     content = content.persist()
     log.count()
-    po = parse(log, content, cfg).unionByName(redirect_link_rows(log))
+    from coherencebot_spark.synth.world import validate_payload_rows
+    po = parse(log, content, cfg,
+               validate_fn=validate_payload_rows).unionByName(redirect_link_rows(log))
     updatedb(frontier, log, po, T0, cfg).count()
     log.unpersist()
     content.unpersist()
@@ -150,15 +159,18 @@ def run_cycle(spark, frontier_path: str) -> tuple[float, dict]:
 
     frontier = spark.read.parquet(frontier_path)
     t0 = time.time()
-    fl = generate(frontier, T0, CFG)
-    log, content = fetch(fl, T0, CFG, payload_batch_fn=tiny_payload_batch,
-                         n_images=1_000_000, n_hosts=N_HOSTS)
+    fl = generate(frontier, T0, CFG, broadcast_select=BCAST_DELTA)
+    log, content = fetch(fl, T0, CFG, n_images=1_000_000, n_hosts=N_HOSTS)
     log = log.persist()
     content = content.persist()
     n_fetch_rows = log.count()
-    parse_out = parse(log, content, CFG).unionByName(redirect_link_rows(log))
-    nf = updatedb(frontier, log, parse_out, T0, CFG)
-    nf = dedup_by_phash(nf, content, CFG)
+    from coherencebot_spark.synth.world import validate_payload_rows
+    parse_out = parse(log, content, CFG,
+                      validate_fn=validate_payload_rows,
+                      ).unionByName(redirect_link_rows(log))
+    nf = updatedb(frontier, log, parse_out, T0, CFG,
+                  broadcast_delta=BCAST_DELTA)
+    nf = dedup_by_phash(nf, content, CFG, broadcast_content=BCAST_DELTA)
     n_frontier = nf.count()
     sec = time.time() - t0
     log.unpersist()
@@ -224,10 +236,12 @@ def _burn(_):
 
 def hardware_ceiling() -> float:
     """Max achievable 8→32 scaling efficiency on THIS machine for perfectly
-    parallel pure-CPU work (the sandbox VM shows CPU steal + frequency
-    noise; 32 concurrent procs run slower per-proc than 8).  Efficiency of
-    equal-per-proc work = t8/t32."""
+    parallel pure-CPU work (equal work per proc, t8/t32).  The box is 16
+    physical cores × SMT-2 behind a noisy hypervisor: a single probe can
+    land in a steal window and report anything from 0.38 to 0.80, so the
+    probe pairs (8, 32) back-to-back and takes the MEDIAN of 3 pairs."""
     import multiprocessing as mp
+    import statistics
 
     def run(n):
         t = time.time()
@@ -236,9 +250,12 @@ def hardware_ceiling() -> float:
         return time.time() - t
 
     run(4)  # warm
-    t8 = min(run(8) for _ in range(2))
-    t32 = min(run(32) for _ in range(2))
-    return round(t8 / t32, 3)
+    ratios = []
+    for _ in range(3):
+        t8 = run(8)
+        t32 = run(32)
+        ratios.append(t8 / t32)
+    return round(statistics.median(ratios), 3)
 
 
 def main() -> None:
@@ -255,22 +272,26 @@ def main() -> None:
     results_queries.update(bench_ops(spark, frontier_path))
     spark.stop()
 
-    # --- headline + scaling: same cycle at local[8] vs local[32],
-    # best-of-2 per level (the VM shows CPU steal + frequency noise) ---
-    cycle_secs: dict[int, float] = {}
+    # --- headline + scaling: same cycle at local[8] vs local[32].
+    # The host VM shows heavy CPU-steal windows (identical runs swing up
+    # to 6x), so reps are INTERLEAVED across parallelism levels — a
+    # throttle window hits both levels, not just one — and each level
+    # takes its best rep.  One JVM per rep (local mode allows a single
+    # SparkContext per process).
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    cycle_secs: dict[int, list] = {8: [], 32: []}
     cycle_counts: dict[int, int] = {}
-    for n, reps in ((8, 2), (32, 2)):
-        s = build_session(master=f"local[{n}]", shuffle_partitions=max(n, 8),
-                          app_name=f"cbspark-scale-{n}")
-        warmup(s, frontier_path)
-        best, rows = None, 0
-        for _ in range(reps):
+    for rep in range(reps):
+        for n in (8, 32):
+            s = build_session(master=f"local[{n}]",
+                              shuffle_partitions=max(n, 8),
+                              app_name=f"cbspark-scale-{n}-r{rep}")
+            warmup(s, frontier_path)
             sec_n, counts_n = run_cycle(s, frontier_path)
-            rows = counts_n["fetch_rows"]
-            best = sec_n if best is None else min(best, sec_n)
-        cycle_secs[n] = best
-        cycle_counts[n] = rows
-        s.stop()
+            cycle_secs[n].append(sec_n)
+            cycle_counts[n] = counts_n["fetch_rows"]
+            s.stop()
+    cycle_secs = {n: min(v) for n, v in cycle_secs.items()}
     thr8 = cycle_counts[8] / cycle_secs[8]
     thr32 = cycle_counts[32] / cycle_secs[32]
     ceiling = hardware_ceiling()

@@ -42,6 +42,17 @@ class CrawlConfig:
     # generate._with_host_attrs); turn off when the host universe itself
     # is too large to broadcast (falls back to per-row pandas UDFs)
     host_attrs_broadcast: bool = True
+    # URL-seen bloom pre-filter in the cycle (north rule): with additions
+    # disallowed, definitely-new link targets are dropped BEFORE the
+    # updatedb shuffle (sharded per-host-bucket blooms, built once —
+    # the frontier key-set is frozen when additions are off)
+    use_url_seen: bool = False
+    # broadcast the fetchlist-sized small sides (generate selection,
+    # updatedb delta, dedup phash) so the frontier never shuffles full
+    # rows — use when topN/fetchlist fits a broadcast; with an Iceberg
+    # url-bucketed frontier the same plans are storage-partitioned joins
+    # and this knob is unnecessary
+    broadcast_small_sides: bool = False
     generate_update_crawldb: bool = False  # generate.update.crawldb (_ngt_ stamps)
 
     # --- fetcher politeness (conf/nutch-default.xml:1028-1096) ---

@@ -151,6 +151,57 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
     return sig
 
 
+def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id") -> DataFrame:
+    """IVF-style ANN: deterministic seed centroids (the first
+    ``n_centroids`` vectors by id — no k-means iterations, so the plan is
+    one assignment pass), every vector assigned to its nearest centroid,
+    queries probe their ``nprobe`` nearest centroids and rerank exactly
+    within those inverted lists.
+
+    Scale shape: the centroid table is broadcast (tiny); vectors shuffle
+    once by centroid id; a query touches nprobe/n_centroids of the data.
+    Recall improves with nprobe (= brute force at nprobe == n_centroids).
+    """
+    cents = F.broadcast(
+        vectors.orderBy(F.asc(id_col)).limit(int(n_centroids)).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    cos_vc = (_dot(F.col(vec_col), F.col("cvec"))
+              / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))))
+    wv = Window.partitionBy(id_col).orderBy(F.desc("cc"), F.asc("cent_id"))
+    assigned = (
+        vectors.crossJoin(cents)
+        .select(id_col, vec_col, "cent_id", cos_vc.alias("cc"))
+        .withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
+    cos_qc = (_dot(F.col("_qv"), F.col("cvec"))
+              / (_norm(F.col("_qv")) * _norm(F.col("cvec"))))
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("qc"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(cents)
+        .select(qid_col, "_qv", "cent_id", cos_qc.alias("qc"))
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= int(nprobe))
+        .select(qid_col, "_qv", "cent_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cent_id")
+    cos = (_dot(F.col(vec_col), F.col("_qv"))
+           / (_norm(F.col(vec_col)) * _norm(F.col("_qv"))))
+    scored = cand.select(qid_col, id_col, cos.alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_planes: int = 8,

@@ -97,17 +97,31 @@ def dedup(frontier: DataFrame, cfg: CrawlConfig = DEFAULT,
 
 
 def dedup_by_phash(frontier: DataFrame, content: DataFrame,
-                   cfg: CrawlConfig = DEFAULT) -> DataFrame:
+                   cfg: CrawlConfig = DEFAULT,
+                   broadcast_content: bool = False) -> DataFrame:
     """Graft-specific dedup: group by the payload's perceptual hash
     (BASELINE.json: "phash used for dedup within the frontier-update join").
 
     ``content`` provides (url, phash); rows sharing a phash keep the best
-    by the same comparator cascade."""
+    by the same comparator cascade.
+
+    ``broadcast_content=True`` keeps the frontier shuffle-free: the
+    (url, phash) side is fetchlist-sized, so both the phash attach and the
+    dup-mark join broadcast — the frontier's 10^10 rows never move.  The
+    comparator window only shuffles the eligible fetchlist-sized subset,
+    pruned to its 5 deciding columns.  (On a cluster with the frontier
+    url-bucketed, the same plan is a storage-partitioned join even with
+    the flag off.)"""
     ph = content.select("url", F.col("phash").alias("_phash"))
-    fr = frontier.join(ph, "url", "left")
-    eligible = fr.filter(
-        F.col("status").isin(int(Db.FETCHED), int(Db.NOTMODIFIED))
-        & F.col("_phash").isNotNull()
+    if broadcast_content:
+        ph = F.broadcast(ph)
+    eligible = (
+        frontier.select("url", "status", "score", "fetch_time")
+        .join(ph, "url", "inner")
+        .filter(
+            F.col("status").isin(int(Db.FETCHED), int(Db.NOTMODIFIED))
+            & F.col("_phash").isNotNull()
+        )
     )
     w = Window.partitionBy("_phash").orderBy(*_order_cols(cfg.dedup_compare_order))
     dups = (
@@ -115,6 +129,8 @@ def dedup_by_phash(frontier: DataFrame, content: DataFrame,
         .filter(F.col("_rn") > 1)
         .select("url", F.lit(True).alias("_dup"))
     )
+    if broadcast_content:
+        dups = F.broadcast(dups)
     return (
         frontier.join(dups, "url", "left")
         .withColumn(

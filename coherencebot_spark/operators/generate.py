@@ -238,13 +238,23 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
              chain: URLFilterChain | None = None,
              hostdb: DataFrame | None = None,
              max_count_expr: str | None = None,
-             fetch_delay_expr: str | None = None) -> DataFrame:
+             fetch_delay_expr: str | None = None,
+             broadcast_select: bool = False) -> DataFrame:
     """Select the next fetchlist.  Returns FETCHLIST-schema DataFrame.
 
     ``hostdb`` (optional) is broadcast-joined on host (strictly better than
     the reference's per-reducer linear scan, Generator.java:552-568); the
     Jexl ``max_count_expr`` / ``fetch_delay_expr`` become SQL expressions
     over the joined hostdb columns (SURVEY.md C9/W3).
+
+    ``broadcast_select=True``: the selection windows shuffle only the
+    narrow deciding columns (url, sort key, partition/host keys, the
+    clamp-mutated times) — roughly 3x less exchange traffic than full
+    rows — and the selected fetchlist (topN-bounded, small by contract)
+    broadcast-joins back to recover the wide columns without moving the
+    frontier.  Use when topN fits a broadcast; at larger topN keep the
+    default (or bucket the frontier by url and let the join-back be
+    storage-partitioned).
     """
     df = _gates(frontier, cur_time, cfg, chain)
     df = _with_host_attrs(df, cfg)
@@ -270,10 +280,29 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
 
     limit = cfg.topn // cfg.num_partitions if cfg.topn > 0 else (1 << 62)
 
+    wide = df
+    if broadcast_select:
+        # the windows decide membership + segnum from these columns alone;
+        # fetch_time/fetch_interval ride along because the far-future
+        # clamp in _gates may have mutated them
+        narrow = ["url", "sort_score", "partition_id", "hostordomain",
+                  "fetch_time", "fetch_interval"]
+        if hostdb is not None and max_count_expr:
+            df = df.withColumn(
+                "_mcin",
+                F.coalesce(F.expr(max_count_expr).cast("int"),
+                           F.lit(int(cfg.max_count))),
+            )
+            wide = df
+            narrow.append("_mcin")
+        df = df.select(*narrow)
+
     if hostdb is not None and max_count_expr:
         # per-host variable maxCount forces the window path w/ a column cap
         order = [F.desc("sort_score"), F.asc("url")]
-        mc = F.coalesce(F.expr(max_count_expr).cast("int"), F.lit(int(cfg.max_count)))
+        mc = (F.col("_mcin") if broadcast_select
+              else F.coalesce(F.expr(max_count_expr).cast("int"),
+                              F.lit(int(cfg.max_count))))
         whost = Window.partitionBy("partition_id", "hostordomain").orderBy(*order)
         df = (
             df.withColumn("_mc", mc)
@@ -293,6 +322,16 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
     else:
         df = _select_window(df, cfg, limit)
 
+    if broadcast_select:
+        sel = df.select("url", "fetch_time", "fetch_interval",
+                        "partition_id", "segnum")
+        df = (
+            wide.drop("fetch_time", "fetch_interval", "partition_id",
+                      *(["_mcin"] if (hostdb is not None and max_count_expr)
+                        else []))
+            .join(F.broadcast(sel), "url", "inner")
+        )
+
     # stamp generate time (_ngt_) into the selected entries
     # (Generator.java:286-287); fetch order within a partition is the
     # tail-weighted url hash (HashComparator, Generator.java:606-637)
@@ -308,6 +347,52 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
         ),
     ).withColumn("sort_key", _sortkey(F.col("url")))
 
+    return df.select([f.name for f in FETCHLIST.fields])
+
+
+def free_generate(urls: DataFrame, cfg: CrawlConfig = DEFAULT,
+                  chain: URLFilterChain | None = None,
+                  normalize: bool = True, filter_urls: bool = True,
+                  cur_time: int = 0) -> DataFrame:
+    """FreeGenerator (``tools/FreeGenerator.java``): build a fetchlist
+    straight from a URL list, bypassing the frontier — normalize
+    (inject scope) + filter per flags, injected score, default interval,
+    dedup by url, reference partitioning + politeness sort order.
+
+    ``urls``: DataFrame with a ``url`` string column.
+    """
+    from ..functions.urls import normalize_urls
+
+    df = urls.select(F.col("url").cast("string").alias("url"))
+    if normalize:
+        @F.pandas_udf("string")
+        def _norm(u: pd.Series) -> pd.Series:
+            return normalize_urls(u)
+
+        df = df.withColumn("url", _norm(F.col("url"))).filter(
+            F.col("url").isNotNull())
+    if filter_urls and chain is not None:
+        df = with_filter_accept(df, chain, "url", "_ok").filter("_ok").drop("_ok")
+    df = df.dropDuplicates(["url"])  # FGReducer's unique map
+    df = df.select(
+        "url",
+        F.lower(F.expr("parse_url(url, 'HOST')")).alias("host"),
+        F.lit(1).cast("int").alias("status"),  # db_unfetched
+        F.lit(int(cur_time)).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(int(cfg.interval_default_s)).cast("long").alias("fetch_interval"),
+        F.lit(float(cfg.score_injected)).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    df = _with_host_attrs(df, cfg).withColumn("segnum", F.lit(1))
+
+    @F.pandas_udf(LongType())
+    def _sortkey(url: pd.Series) -> pd.Series:
+        return pd.Series(nutch_tail_hash(url).astype(np.int64), index=url.index)
+
+    df = df.withColumn("sort_key", _sortkey(F.col("url")))
     return df.select([f.name for f in FETCHLIST.fields])
 
 

@@ -53,7 +53,8 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
           outlink_fn: OutlinkFn | None = None,
           chain: URLFilterChain | None = None,
           max_outlinks_per_page: int = 100,
-          outlink_source: str = "url") -> DataFrame:
+          outlink_source: str = "url",
+          validate_fn=None) -> DataFrame:
     """Produce the PARSE_OUT rows for updatedb.
 
     ``outlink_fn(col) -> Series[list[(to_url, anchor)]]`` is the outlink
@@ -80,14 +81,36 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
         )
         parsed = content.join(F.broadcast(ok), "url", "inner")
     # pages with no decodable payload are skipped (F6 truncation analogue)
-    parsed = parsed.filter(F.col("bytes").isNotNull()).persist()
+    parsed = parsed.filter(F.col("bytes").isNotNull())
+    if validate_fn is not None:
+        # per-row payload validation (north-rule invariant): the injected
+        # fn decodes bytes and diffs pixels/caption against the reference
+        # (PSNR ≥ 40 dB for lossy); failing rows are dropped exactly like
+        # the reference's truncation gate.  Arrow-batched, runs fused with
+        # the content scan — nothing extra shuffles.
+        vf = validate_fn
+
+        def _vmap(it):
+            for pdf in it:
+                yield pdf[vf(pdf)]
+
+        parsed = parsed.mapInPandas(_vmap, schema=parsed.schema)
+    # the payload bytes are consumed exactly once — the md5 signature is
+    # computed here and the cached frame the three output branches
+    # re-scan carries NO byte blobs (at real payload sizes the cache
+    # would otherwise be ~GBs re-read per branch: pure memory-bandwidth
+    # burn that scales with nothing)
+    parsed = parsed.select(
+        *[c for c in parsed.columns if c != "bytes"],
+        F.unhex(F.md5(F.col("bytes"))).alias("_sig"),
+    ).persist()
 
     # --- signature rows (C3: md5 of raw content, JVM-side) ---
     sig_rows = parsed.select(
         "url", "host",
         F.lit(int(Msg.SIGNATURE)).alias("status"),
         F.lit(0.0).cast(FloatType()).alias("score"),
-        F.unhex(F.md5(F.col("bytes"))).alias("signature"),
+        F.col("_sig").alias("signature"),
         F.lit(None).cast(StringType()).alias("from_url"),
         F.lit(None).cast(StringType()).alias("anchor"),
         F.lit(None).cast("map<string,string>").alias("metadata"),

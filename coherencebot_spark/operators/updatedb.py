@@ -75,7 +75,8 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
              parse_out: DataFrame | None, cur_time: int,
              cfg: CrawlConfig = DEFAULT,
              seeds_in_service: list[str] | None = None,
-             frontier_unique: bool = True) -> DataFrame:
+             frontier_unique: bool = True,
+             broadcast_delta: bool = False) -> DataFrame:
     """Produce the next frontier snapshot.  Pure function of its inputs.
 
     ``parse_out`` carries Msg.SIGNATURE / Msg.LINKED / Msg.PARSE_META rows
@@ -167,7 +168,25 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
 
     # additions_allowed decides whether delta-only urls (discovered links /
     # out-of-db fetches) enter the frontier (CrawlDbReducer.java:145-146)
-    g = old.join(delta, "url", "full_outer" if cfg.additions_allowed else "left_outer")
+    if broadcast_delta:
+        # The frontier (the 10^10 side) must NEVER shuffle its full rows:
+        # decompose the full-outer into (frontier ⟕ broadcast(delta)) ∪
+        # (delta ⟲ anti frontier.urls).  The only big-side movement left is
+        # the url column for the anti join — on a cluster with the
+        # frontier Iceberg-bucketed by url-hash, both halves become
+        # storage-partitioned joins and even that disappears; broadcast is
+        # the local-mode physical analogue (delta ≈ fetchlist-sized).
+        delta = delta.persist()
+        g = old.join(F.broadcast(delta), "url", "left_outer")
+        if cfg.additions_allowed:
+            new_rows = delta.join(old.select("url"), "url", "left_anti").select(
+                "url", F.lit(None).cast(old.schema["old"].dataType).alias("old"),
+                "fetch", "top_link", "link_cash", "parse_sig", "parse_meta",
+            )
+            g = g.unionByName(new_rows)
+    else:
+        g = old.join(delta, "url",
+                     "full_outer" if cfg.additions_allowed else "left_outer")
 
     has_old = F.col("old").isNotNull()
     has_fetch = F.col("fetch").isNotNull()

@@ -104,6 +104,31 @@ class CrawlDriver:
             partition_by=["bucket"], **kw,
         )
 
+    def _seen_filtered(self, parse_out: DataFrame) -> DataFrame:
+        """Drop definitely-new LINKED rows via the persistent sharded
+        URL-seen blooms (built from the frontier on first use)."""
+        from ..functions.hashing import bloom_contains_sharded, build_bloom_sharded
+        from ..status import Msg
+
+        blooms_path = os.path.join(self.workdir, "url_seen_blooms")
+        n_buckets = int(self.cfg.host_buckets)
+        if not os.path.exists(blooms_path):
+            frontier = self.frontier.read(self.spark).drop("bucket")
+            hist = self.frontier.history()
+            cap = (hist[-1]["metrics"] or {}).get("frontier_size") or max(
+                frontier.count(), 1024)
+            build_bloom_sharded(
+                frontier, "url", int(cap), n_buckets
+            ).write.mode("overwrite").parquet(blooms_path)
+        blooms = self.spark.read.parquet(blooms_path)
+        linked = parse_out.filter(F.col("status") == int(Msg.LINKED))
+        rest = parse_out.filter(F.col("status") != int(Msg.LINKED))
+        kept = (
+            bloom_contains_sharded(linked, "url", blooms, n_buckets=n_buckets)
+            .filter(F.col("maybe_seen")).drop("maybe_seen")
+        )
+        return rest.unionByName(kept)
+
     def inject(self, seeds: DataFrame, cur_time: int) -> int:
         if self.frontier.exists():
             base = self.frontier.read(self.spark).drop("bucket")
@@ -143,7 +168,8 @@ class CrawlDriver:
             content = self.content.read(self.spark, csnap["id"])
         else:
             frontier = self.frontier.read(self.spark).drop("bucket")
-            fetchlist = generate(frontier, cur_time, cfg)
+            fetchlist = generate(frontier, cur_time, cfg,
+                                 broadcast_select=cfg.broadcast_small_sides)
             if cfg.generate_update_crawldb:
                 stamped = stamp_generated(frontier, fetchlist, cur_time)
                 self._write_frontier(stamped, cycle_id=f"gen@{cycle_id}")
@@ -156,6 +182,14 @@ class CrawlDriver:
 
         # parse + redirect-linked rows
         parse_out = parse(log, content, cfg).unionByName(redirect_link_rows(log))
+
+        # URL-seen bloom pre-filter (north rule): additions-off crawls drop
+        # definitely-new link targets before they ever shuffle into
+        # updatedb.  False positives are safe — "maybe seen" still flows
+        # through the exact join; the frontier key-set is frozen (no
+        # additions), so the sharded blooms build once and persist.
+        if cfg.use_url_seen and not cfg.additions_allowed:
+            parse_out = self._seen_filtered(parse_out)
 
         use_merge = (
             self.bucketed
@@ -189,8 +223,11 @@ class CrawlDriver:
             frontier = self.frontier.read(self.spark).drop("bucket")
 
         new_frontier = updatedb(frontier, log, parse_out, cur_time, cfg,
-                                seeds_in_service=seeds_in_service)
-        new_frontier = dedup_by_phash(new_frontier, content, cfg)
+                                seeds_in_service=seeds_in_service,
+                                broadcast_delta=cfg.broadcast_small_sides)
+        new_frontier = dedup_by_phash(
+            new_frontier, content, cfg,
+            broadcast_content=cfg.broadcast_small_sides)
 
         # metrics + per-partition lineage (north rule)
         status_counts = {r["status"]: r["count"]

@@ -134,6 +134,48 @@ def payload_rows_batch(idx: np.ndarray) -> pd.DataFrame:
     })
 
 
+def validate_payload_rows(pdf: pd.DataFrame) -> np.ndarray:
+    """Per-row payload validation (the north rule's invariant): decode the
+    fetched bytes, compare decoded pixels to the reference pixels —
+    exact equality for lossless formats, PSNR ≥ 40 dB for lossy — and
+    require caption equality.  Returns a boolean keep-mask.
+
+    The "reference pixels" are regenerated from the row's image_id (the
+    synthetic world is pure), exactly how a real deployment would diff
+    against the reference crawler's stored payloads.
+    """
+    n = len(pdf)
+    ok = np.zeros(n, dtype=bool)
+    ids = pdf["image_id"].to_numpy(dtype=object)
+    fmts = pdf["fmt"].to_numpy(dtype=object)
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    blobs = pdf["bytes"].to_numpy(dtype=object)
+    caps = pdf["caption"].to_numpy(dtype=object)
+    for i in range(n):
+        try:
+            idx = int(str(ids[i])[3:])
+            e = payload_effective_index(idx)
+            w, h, fmt = int(ws[i]), int(hs[i]), str(fmts[i])
+            px = images.decode(bytes(blobs[i]), fmt)
+            if px.shape != (h, w, 3):
+                continue
+            truth = images.gen_pixels(e, w, h)
+            if fmt == "jpeg":
+                mse = np.mean(
+                    (px.astype(np.float64) - truth.astype(np.float64)) ** 2)
+                if mse > 0 and 10.0 * np.log10(255.0 ** 2 / mse) < 40.0:
+                    continue
+            elif not np.array_equal(px, truth):
+                continue
+            if caps[i] != caption_for(idx):
+                continue
+            ok[i] = True
+        except Exception:
+            pass
+    return ok
+
+
 def gen_payload_table(n: int) -> pd.DataFrame:
     rows = [payload_row(i) for i in range(n)]
     df = pd.DataFrame(rows)

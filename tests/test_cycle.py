@@ -102,3 +102,77 @@ def test_snapshot_time_travel_and_stop(spark, tmp_path):
     (tmp_path / "c" / ".STOP").write_text("")
     out = d.run(5, T0)
     assert out == []
+
+
+def test_url_seen_filter_cycle_identity(spark, tmp_path):
+    """additions-off + URL-seen bloom pre-filter yields the IDENTICAL
+    frontier to the unfiltered plan (false positives safe, definite-new
+    rows were doomed anyway), and the shard table persists for reuse."""
+    import os
+
+    cfg = CFG.with_(additions_allowed=False)
+    base = CrawlDriver(spark, str(tmp_path / "base"), cfg, **FETCH_KW)
+    seen = CrawlDriver(spark, str(tmp_path / "seen"),
+                       cfg.with_(use_url_seen=True), **FETCH_KW)
+    for d in (base, seen):
+        d.inject(seeds_df(spark), T0)
+        d.run_cycle(0, T0 + 1000)
+
+    def snap(d):
+        return sorted(
+            (r.url, r.status, r.fetch_time, r.retries, float(r.score))
+            for r in d.frontier.read(spark).collect()
+        )
+
+    assert snap(base) == snap(seen)
+    assert os.path.exists(str(tmp_path / "seen" / "url_seen_blooms"))
+
+
+def test_free_generate(spark):
+    """FreeGenerator: fetchlist straight from a URL list — normalized,
+    deduped, FETCHLIST-shaped, reference partitioning."""
+    from coherencebot_spark.operators.generate import free_generate
+    from coherencebot_spark.schemas import FETCHLIST
+
+    urls = spark.createDataFrame(
+        [("HTTP://Example.ORG/a",), ("http://example.org/a",),  # dup after norm
+         ("http://example.org:80/b",), ("not a url",)],
+        "url string",
+    )
+    fl = free_generate(urls, CFG, cur_time=T0)
+    rows = {r.url: r for r in fl.collect()}
+    assert set(rows) == {"http://example.org/a", "http://example.org/b"}
+    assert [f.name for f in fl.schema.fields] == [f.name for f in FETCHLIST.fields]
+    r = rows["http://example.org/a"]
+    assert r.status == 1 and r.fetch_time == T0 and r.segnum == 1
+    assert r.score == pytest.approx(CFG.score_injected)
+
+
+def test_segment_reader_tools(spark, tmp_path):
+    """readseg -list/-get/-dump analogues over a real cycle's segment."""
+    import glob
+
+    from coherencebot_spark.operators.readseg import (
+        segment_dump, segment_get, segment_list,
+    )
+
+    d = CrawlDriver(spark, str(tmp_path / "c"), CFG, **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    d.run_cycle(0, T0 + 1000)
+    log = d.fetch_log.read(spark)
+    ct = d.content.read(spark)
+
+    st = segment_list(log).collect()[0]
+    assert st.generated > 0 and st.fetched > 0
+    assert st.earliest_fetch <= st.latest_fetch
+
+    url = ct.select("url").first()[0]
+    got = segment_get(log, ct, url)
+    assert got["crawl_fetch"] and got["content"]
+    assert got["content"][0]["url"] == url
+
+    out = str(tmp_path / "dump")
+    segment_dump(log, ct, out)
+    text = "".join(open(f).read() for f in glob.glob(out + "/part-*"))
+    assert "CrawlDatum:: status=" in text and "Content:: fmt=" in text
+    assert url in text

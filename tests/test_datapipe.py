@@ -229,6 +229,39 @@ def test_cosine_topk_consistency(spark):
     assert got_l[(0, 1)] == 0 and got_l[(1, 1)] == 1
 
 
+def test_cosine_topk_ivf(spark):
+    from coherencebot_spark.datapipe.similarity import cosine_topk_ivf
+
+    vecs, m = vectors_df(spark)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(3)],
+        "query_id long, embedding array<float>",
+    )
+    brute = cosine_topk_bruteforce(vecs, queries, k=5)
+    got_b = {(r.query_id, r.rank): r.vec_id for r in brute.collect()}
+
+    # probing every centroid = exact brute force (sanity anchor)
+    full = cosine_topk_ivf(vecs, queries, k=5, n_centroids=8, nprobe=8)
+    got_f = {(r.query_id, r.rank): r.vec_id for r in full.collect()}
+    assert got_f == got_b
+
+    # partial probe: self-match survives (query's own cluster is probed
+    # first) and recall@5 stays useful
+    ivf = cosine_topk_ivf(vecs, queries, k=5, n_centroids=8, nprobe=3)
+    rows = ivf.collect()
+    got_i = {(r.query_id, r.rank): r.vec_id for r in rows}
+    for qid in range(3):
+        assert got_i[(qid, 1)] == qid
+    brute_sets = {q: {got_b[(q, r)] for r in range(1, 6)} for q in range(3)}
+    ivf_sets = {}
+    for r in rows:
+        ivf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = np.mean([
+        len(ivf_sets.get(q, set()) & brute_sets[q]) / 5 for q in range(3)
+    ])
+    assert recall >= 0.4, recall
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -151,3 +151,31 @@ def test_restrict_status_and_min_score(spark):
                         restrict_status=Db.UNFETCHED, min_score=1.0)
     urls = [r.url for r in generate(fdf(spark, rows), T, cfg).collect()]
     assert urls == ["http://aaa/unf"]
+
+
+def test_broadcast_select_equivalence(spark):
+    """broadcast_select (narrow-column windows + broadcast join-back) is
+    row-for-row identical to the wide-window plan across gates (incl. the
+    far-future clamp mutation), per-host caps, and multi-segment overflow."""
+    rows = [row(f"https://h{i % 7}.example.org/p{i}", score=float(i % 13))
+            for i in range(200)]
+    # far-future rows: clamp mutates fetch_interval + fetch_time
+    rows += [row(f"https://h1.example.org/far{i}", score=5.0,
+                 fetch_time=T + 10**10, interval=100 * 86400)
+             for i in range(5)]
+    f = fdf(spark, rows)
+
+    for cfg in (
+        DEFAULT.with_(topn=60, num_partitions=4, max_count=3),
+        DEFAULT.with_(topn=60, num_partitions=4, max_count=3,
+                      max_num_segments=2),
+        DEFAULT.with_(topn=40, num_partitions=2),
+    ):
+        def snap(**kw):
+            return sorted(
+                (r.url, r.segnum, r.partition_id, r.fetch_time,
+                 r.fetch_interval, r.sort_key, float(r.score))
+                for r in generate(f, T, cfg, **kw).collect()
+            )
+
+        assert snap() == snap(broadcast_select=True), cfg

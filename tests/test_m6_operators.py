@@ -206,6 +206,31 @@ def test_parse_caption_outlinks_real_text(spark):
     assert links[0].score == pytest.approx(2.0)
 
 
+def test_parse_payload_validation(spark):
+    """North-rule per-row invariant: decoded pixels must match the
+    reference (exact for lossless, PSNR>=40dB for lossy) and the caption
+    must be equal — corrupted bytes or a tampered caption drop the row."""
+    from coherencebot_spark.synth import world
+
+    rows, urls = [], []
+    for i in range(3):
+        p = world.payload_row(i)
+        url = f"https://h.example.org/p{i}"
+        urls.append(url)
+        rows.append(dict(url=url, image_id=p["image_id"], bytes=p["bytes"],
+                         w=p["w"], h=p["h"], fmt=p["fmt"],
+                         caption=p["caption"], phash=p["phash"]))
+    # corrupt row 1's payload body, tamper row 2's caption
+    rows[1]["bytes"] = rows[1]["bytes"][:-40] + b"\x00" * 40
+    rows[2]["caption"] = "tampered"
+    fl = spark.createDataFrame([fetch_row(u) for u in urls], FETCH_LOG)
+    ct = spark.createDataFrame(rows, CONTENT)
+    out = parse(fl, ct, DEFAULT, outlink_fn=static_outlinks,
+                validate_fn=world.validate_payload_rows)
+    sigs = [r.url for r in out.collect() if r.status == int(Msg.SIGNATURE)]
+    assert sigs == [urls[0]]  # only the intact row survives
+
+
 def test_redirect_link_rows(spark):
     fl = spark.createDataFrame(
         [fetch_row("https://h.example.org/m", status=Fetch.REDIR_PERM,

@@ -224,6 +224,46 @@ def test_adaptive_schedule_inc_dec(spark):
     )
 
 
+def test_broadcast_delta_equivalence(spark):
+    """broadcast_delta (frontier never shuffles full rows: frontier ⟕
+    broadcast(delta) ∪ anti-joined additions) is row-for-row identical to
+    the full-outer plan across every interesting shape: fetched, retry,
+    gone, pass-through old, link-only addition, sig+meta rows."""
+    frontier = [
+        db_row("http://t/fetched", Db.FETCHED),
+        db_row("http://t/retry", Db.UNFETCHED, retries=1),
+        db_row("http://t/gone", Db.FETCHED),
+        db_row("http://t/passthrough", Db.FETCHED),
+    ]
+    fetches = [
+        fetch_row("http://t/fetched", Fetch.SUCCESS, signature=b"\x01"),
+        fetch_row("http://t/retry", Fetch.RETRY),
+        fetch_row("http://t/gone", Fetch.GONE),
+    ]
+    links = [link_row("http://t/newlink", score=0.5),
+             link_row("http://t/fetched", score=0.25)]
+
+    def rows(**kw):
+        got = run(spark, frontier, fetches, links, **kw)
+        return {
+            u: (r.status, r.fetch_time, r.retries, r.fetch_interval,
+                round(float(r.score), 5),
+                bytes(r.signature) if r.signature else None)
+            for u, r in got.items()
+        }
+
+    base = rows()
+    bcast = rows(broadcast_delta=True)
+    assert base == bcast
+    assert "http://t/newlink" in base        # addition present in both
+    assert "http://t/passthrough" in base    # old-only row carried
+
+    # additions_allowed=False: broadcast path drops delta-only urls too
+    cfg = DEFAULT.with_(additions_allowed=False)
+    assert rows(cfg=cfg) == rows(cfg=cfg, broadcast_delta=True)
+    assert "http://t/newlink" not in rows(cfg=cfg, broadcast_delta=True)
+
+
 def test_adaptive_fixed_interval_override(spark):
     cfg = DEFAULT.with_(schedule="adaptive")
     url = "http://t/fx"
