@@ -159,8 +159,14 @@ def run_cycle(spark, frontier_path: str) -> tuple[float, dict]:
 
     frontier = spark.read.parquet(frontier_path)
     t0 = time.time()
+    # the cycle's branches (gates, selection join-back, updatedb old side,
+    # dedup mark-back) all read the frontier: cache it once instead of
+    # re-decoding parquet per branch
+    frontier = frontier.persist()
+    frontier.count()
     fl = generate(frontier, T0, CFG, broadcast_select=BCAST_DELTA)
-    log, content = fetch(fl, T0, CFG, n_images=1_000_000, n_hosts=N_HOSTS)
+    log, content = fetch(fl, T0, CFG, n_images=1_000_000, n_hosts=N_HOSTS,
+                         payload_partitions=256)
     log = log.persist()
     content = content.persist()
     n_fetch_rows = log.count()
@@ -169,12 +175,16 @@ def run_cycle(spark, frontier_path: str) -> tuple[float, dict]:
                       validate_fn=validate_payload_rows,
                       ).unionByName(redirect_link_rows(log))
     nf = updatedb(frontier, log, parse_out, T0, CFG,
-                  broadcast_delta=BCAST_DELTA)
-    nf = dedup_by_phash(nf, content, CFG, broadcast_content=BCAST_DELTA)
-    n_frontier = nf.count()
+                  broadcast_delta=BCAST_DELTA).persist()
+    # dedup reads the merged frontier twice (phash attach + mark-back):
+    # materialize it once rather than evaluating the merge plan twice
+    nf2 = dedup_by_phash(nf, content, CFG, broadcast_content=BCAST_DELTA)
+    n_frontier = nf2.count()
     sec = time.time() - t0
     log.unpersist()
     content.unpersist()
+    nf.unpersist()
+    frontier.unpersist()
     return sec, {"fetch_rows": n_fetch_rows, "frontier_rows": n_frontier}
 
 
@@ -278,10 +288,17 @@ def main() -> None:
     # throttle window hits both levels, not just one — and each level
     # takes its best rep.  One JVM per rep (local mode allows a single
     # SparkContext per process).
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    # rep count adapts to a wall-clock budget: the VM's load varies >2x
+    # across hours, and a bench that never finishes reports nothing — run
+    # interleaved pairs until the budget is spent (always >= 1 pair).
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+    t_scaling = time.time()
     cycle_secs: dict[int, list] = {8: [], 32: []}
     cycle_counts: dict[int, int] = {}
     for rep in range(reps):
+        if rep > 0 and time.time() - t_scaling > budget_s:
+            break
         for n in (8, 32):
             s = build_session(master=f"local[{n}]",
                               shuffle_partitions=max(n, 8),
@@ -291,6 +308,7 @@ def main() -> None:
             cycle_secs[n].append(sec_n)
             cycle_counts[n] = counts_n["fetch_rows"]
             s.stop()
+    all_reps = {n: [round(x, 3) for x in v] for n, v in cycle_secs.items()}
     cycle_secs = {n: min(v) for n, v in cycle_secs.items()}
     thr8 = cycle_counts[8] / cycle_secs[8]
     thr32 = cycle_counts[32] / cycle_secs[32]
@@ -306,6 +324,10 @@ def main() -> None:
         "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "cycle_sec_n": round(cycle_secs[8], 3),
         "cycle_sec_4n": round(cycle_secs[32], 3),
+        # every rep, interleaved order — the shared VM swings identical
+        # runs up to 2x, so the spread is part of the result
+        "cycle_sec_n_reps": all_reps[8],
+        "cycle_sec_4n_reps": all_reps[32],
     }
     results_queries["crawl_cycle"] = round(cycle_secs[32], 3)
 

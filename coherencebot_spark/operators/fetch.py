@@ -118,6 +118,7 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
           robots: DataFrame | None = None,
           robots_provider: Callable[[pd.Series], pd.DataFrame] | None = None,
           n_images: int = 1_000_000, n_hosts: int = 1000,
+          payload_partitions: int | None = None,
           ) -> tuple[DataFrame, DataFrame]:
     """Run one fetch cycle over a fetchlist.
 
@@ -308,11 +309,19 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         ]
         + [f for f in CONTENT.fields if f.name != "url"]
     )
-    content = (
+    success = (
         fetch_log.filter(F.col("status") == int(Fetch.SUCCESS))
         .select("url", "host", "score", "metadata", "image_idx")
-        .mapInPandas(materialize, schema=content_schema)
     )
+    if payload_partitions:
+        # payload materialization is the cycle's dominant compute; split it
+        # into fine-grained tasks (rows are still byte-free here, so this
+        # round-robin shuffle is cheap) so stragglers — slow nodes on a
+        # cluster, stolen cores in this sandbox — average out instead of
+        # capping the stage (speculation is off as a politeness invariant,
+        # so task granularity is the only straggler defense)
+        success = success.repartition(int(payload_partitions))
+    content = success.mapInPandas(materialize, schema=content_schema)
 
     return fetch_log.drop("image_idx"), content
 

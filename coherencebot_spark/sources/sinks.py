@@ -87,6 +87,64 @@ def dump_segment_warc_like(fetch_log: DataFrame, content: DataFrame,
     rec.write.mode("overwrite").json(path)
 
 
+def write_elastic_bulk(df: DataFrame, path: str, index: str,
+                       id_col: str = "url") -> None:
+    """indexer-elastic analogue without the network: the Elasticsearch
+    ``_bulk`` NDJSON format (action line + source line per doc; rows
+    flagged ``_delete`` become delete actions), written as text parts —
+    pipe any part file straight to ``POST /_bulk``.
+
+    Binary columns are hex-encoded; the doc id is ``id_col``.
+    """
+    has_delete = "_delete" in df.columns
+    doc_cols = [
+        F.hex(F.col(f.name)).alias(f.name)
+        if f.dataType.simpleString() == "binary" else F.col(f.name)
+        for f in df.schema.fields if f.name != "_delete"
+    ]
+    delete_flag = (F.coalesce(F.col("_delete"), F.lit(False)) if has_delete
+                   else F.lit(False))
+    # the _id rides inside a to_json struct so escaping is correct even
+    # for ids with quotes/backslashes
+    id_json = F.regexp_extract(
+        F.to_json(F.struct(F.col(id_col).alias("i"))), r'^\{"i":(.*)\}$', 1)
+    action = F.when(
+        delete_flag,
+        F.concat(F.lit('{"delete": {"_index": "' + index + '", "_id": '),
+                 id_json, F.lit("}}")),
+    ).otherwise(
+        F.concat(F.lit('{"index": {"_index": "' + index + '", "_id": '),
+                 id_json, F.lit("}}")),
+    )
+    line = F.when(delete_flag, action).otherwise(
+        F.concat_ws("\n", action, F.to_json(F.struct(*doc_cols)))
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_elastic_bulk(path: str) -> list[tuple[str, dict | None]]:
+    """Parse bulk files back into (action, source) pairs (round-trip
+    check): action ∈ {index, delete}; source is None for deletes."""
+    import glob
+    import json as _json
+
+    out = []
+    for fn in sorted(glob.glob(path + "/part-*")):
+        with open(fn) as f:
+            lines = [l for l in f.read().splitlines() if l]
+        i = 0
+        while i < len(lines):
+            act = _json.loads(lines[i])
+            kind = next(iter(act))
+            if kind == "index":
+                out.append(("index", _json.loads(lines[i + 1])))
+                i += 2
+            else:
+                out.append((kind, None))
+                i += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # real WARC export (S10; ISO 28500 / WARC 1.0 record layout)
 # ---------------------------------------------------------------------------

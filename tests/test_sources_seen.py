@@ -97,6 +97,29 @@ def test_sharded_url_seen_matches_monolithic(spark):
     shard.unpersist()
 
 
+def test_elastic_bulk_round_trip(spark, tmp_path):
+    """indexer-elastic analogue: _bulk NDJSON with index + delete actions
+    parses back exactly (escaping-safe ids, hex binaries)."""
+    from coherencebot_spark.sources.sinks import (
+        read_elastic_bulk, write_elastic_bulk,
+    )
+
+    df = spark.createDataFrame(
+        [("https://a.example.org/x", 'tricky "quoted"', b"\x01\x02", False),
+         ("https://b.example.org/y", "plain", None, True)],
+        'url string, title string, sig binary, _delete boolean',
+    )
+    out = str(tmp_path / "bulk")
+    write_elastic_bulk(df, out, index="docs")
+    recs = read_elastic_bulk(out)
+    kinds = sorted(k for k, _ in recs)
+    assert kinds == ["delete", "index"]
+    src = next(s for k, s in recs if k == "index")
+    assert src["url"] == "https://a.example.org/x"
+    assert src["title"] == 'tricky "quoted"'
+    assert src["sig"] == "0102"
+
+
 def test_warc_round_trip(spark, tmp_path):
     """dump_segment_warc writes spec-layout WARC 1.0 records (version line,
     CRLF headers, Content-Length-delimited payload, record separator) that
