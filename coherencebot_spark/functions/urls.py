@@ -181,6 +181,172 @@ def domain_of(hosts: pd.Series) -> pd.Series:
     return parts.map(reg_domain)
 
 
+_URL_PARTS_RE = re.compile(
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(:\d+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+)
+
+
+def _map_urls(urls: pd.Series, fn) -> pd.Series:
+    """Apply a per-string transform; non-matching/None rows pass through."""
+    def one(u):
+        if not isinstance(u, str):
+            return u
+        try:
+            return fn(u)
+        except Exception:
+            return u
+    return urls.astype(object).map(one)
+
+
+class PassURLNormalizer:
+    """urlnormalizer-pass: identity (the plugin exists so configurations
+    can disable normalization per scope without emptying the chain)."""
+
+    def normalize(self, urls: pd.Series) -> pd.Series:
+        return urls
+
+
+class QuerystringURLNormalizer:
+    """urlnormalizer-querystring: sort query-string parameters
+    alphabetically (QuerystringURLNormalizer.java:50-81) so equivalent
+    permutations dedup to one URL."""
+
+    def normalize(self, urls: pd.Series) -> pd.Series:
+        def one(u: str) -> str:
+            m = _URL_PARTS_RE.match(u)
+            if not m or not m.group(5):
+                return u
+            scheme, host, port, path, query, ref = m.groups()
+            parts = sorted(query[1:].split("&"))
+            return (f"{scheme}://{host}{port or ''}{path}?"
+                    + "&".join(parts) + (ref or ""))
+        return _map_urls(urls, one)
+
+
+class SlashURLNormalizer:
+    """urlnormalizer-slash: per-host trailing-slash policy
+    (SlashURLNormalizer.java:153-215).  ``rules[host] = True`` adds a
+    trailing slash (unless the path appears to end in a file extension —
+    a dot within the last 5 chars), ``False`` removes one.  Root paths
+    are never touched."""
+
+    def __init__(self, rules: dict[str, bool]):
+        self.rules = dict(rules)
+
+    def normalize(self, urls: pd.Series) -> pd.Series:
+        rules = self.rules
+
+        def one(u: str) -> str:
+            m = _URL_PARTS_RE.match(u)
+            if not m:
+                return u
+            scheme, host, port, path, query, ref = m.groups()
+            if host not in rules or len(path) <= 1:
+                return u
+            rule = rules[host]
+            trailing = path.endswith("/")
+            if rule and not trailing:
+                last_dot = path.rfind(".")
+                if len(path) < 6 or last_dot == -1 or last_dot < len(path) - 6:
+                    path = path + "/"
+            elif not rule and trailing:
+                path = path[:-1]
+            return f"{scheme}://{host}{port or ''}{path}{query or ''}{ref or ''}"
+        return _map_urls(urls, one)
+
+
+class HostURLNormalizer:
+    """urlnormalizer-host: rename hosts to a canonical form from a rules
+    map (``src/plugin/urlnormalizer-host``), e.g. ``example.com`` →
+    ``www.example.com``."""
+
+    def __init__(self, rules: dict[str, str]):
+        self.rules = dict(rules)
+
+    def normalize(self, urls: pd.Series) -> pd.Series:
+        rules = self.rules
+
+        def one(u: str) -> str:
+            m = _URL_PARTS_RE.match(u)
+            if not m or m.group(2) not in rules:
+                return u
+            scheme, host, port, path, query, ref = m.groups()
+            return (f"{scheme}://{rules[host]}{port or ''}{path}"
+                    f"{query or ''}{ref or ''}")
+        return _map_urls(urls, one)
+
+
+class ProtocolURLNormalizer:
+    """urlnormalizer-protocol: force the protocol for all URLs of a given
+    host (``src/plugin/urlnormalizer-protocol``), e.g. every
+    ``https://example.org/...`` → ``http://example.org/...``."""
+
+    def __init__(self, rules: dict[str, str]):
+        self.rules = dict(rules)
+
+    def normalize(self, urls: pd.Series) -> pd.Series:
+        rules = self.rules
+
+        def one(u: str) -> str:
+            m = _URL_PARTS_RE.match(u)
+            if not m or m.group(2) not in rules:
+                return u
+            scheme, host, port, path, query, ref = m.groups()
+            return (f"{rules[host]}://{host}{port or ''}{path}"
+                    f"{query or ''}{ref or ''}")
+        return _map_urls(urls, one)
+
+
+class AjaxURLNormalizer:
+    """urlnormalizer-ajax (AjaxURLNormalizer.java:63-225): ``#!`` hashbang
+    URLs become their crawlable ``_escaped_fragment_`` form; in the
+    indexer scope the transformation reverses.  Fragment escaping matches
+    the Java byte loop (control bytes, ``# % & +`` → %XX)."""
+
+    AJAX = "#!"
+    ESCAPED = "_escaped_fragment_="
+
+    def __init__(self, scope: str = "default"):
+        self.scope = scope
+
+    @staticmethod
+    def _escape(frag: str) -> str:
+        out = []
+        for b in frag.encode("utf-8"):
+            if b < 33 or b in (0x23, 0x25, 0x26, 0x2B):
+                out.append("%%%02X" % b)
+            else:
+                out.append(chr(b))
+        return "".join(out)
+
+    def normalize(self, urls: pd.Series) -> pd.Series:
+        from urllib.parse import unquote
+
+        scope = self.scope
+
+        def one(u: str) -> str:
+            if scope == "indexer" and self.ESCAPED in u:
+                m = _URL_PARTS_RE.match(u)
+                if not m or not m.group(5):
+                    return u
+                scheme, host, port, path, query, ref = m.groups()
+                pairs = [p for p in query[1:].split("&")
+                         if not p.startswith(self.ESCAPED)]
+                frag = next(p[len(self.ESCAPED):] for p in query[1:].split("&")
+                            if p.startswith(self.ESCAPED))
+                rest = ("?" + "&".join(pairs)) if pairs else ""
+                return (f"{scheme}://{host}{port or ''}{path}{rest}"
+                        f"#!{unquote(frag)}")
+            if self.AJAX in u:
+                pos = u.index(self.AJAX)
+                base = u[:pos]
+                frag = self._escape(u[pos + 2:])
+                sep = "&" if "?" in base else "?"
+                return base + sep + self.ESCAPED + frag
+            return u
+        return _map_urls(urls, one)
+
+
 class RegexURLNormalizer:
     """urlnormalizer-regex: ordered sed-style substitutions from
     ``regex-normalize.xml`` (``src/plugin/urlnormalizer-regex``).  Default

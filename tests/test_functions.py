@@ -125,6 +125,54 @@ def test_fast_canonical_mask_live_and_safe():
         assert _normalize_one(u) == u
 
 
+def test_misc_normalizers():
+    """F1c plugin parity: querystring sort, per-host slash policy, host
+    canonicalization, protocol forcing, AJAX hashbang round-trip."""
+    from coherencebot_spark.functions.urls import (
+        AjaxURLNormalizer, HostURLNormalizer, PassURLNormalizer,
+        ProtocolURLNormalizer, QuerystringURLNormalizer, SlashURLNormalizer,
+    )
+
+    u = pd.Series(["https://e.org/p?b=2&a=1&c=3#f", "https://e.org/p"])
+    qs = QuerystringURLNormalizer().normalize(u).tolist()
+    assert qs == ["https://e.org/p?a=1&b=2&c=3#f", "https://e.org/p"]
+
+    s = SlashURLNormalizer({"add.org": True, "rm.org": False})
+    got = s.normalize(pd.Series([
+        "https://add.org/dir",          # + rule, no extension → add
+        "https://add.org/page.html",    # + rule but extension → keep
+        "https://add.org/",             # root untouched
+        "https://rm.org/dir/",          # - rule → strip
+        "https://other.org/dir",        # no rule → keep
+    ])).tolist()
+    assert got == ["https://add.org/dir/", "https://add.org/page.html",
+                   "https://add.org/", "https://rm.org/dir",
+                   "https://other.org/dir"]
+
+    h = HostURLNormalizer({"e.org": "www.e.org"})
+    assert h.normalize(pd.Series(["https://e.org/x?q=1"])).tolist() == [
+        "https://www.e.org/x?q=1"]
+
+    p = ProtocolURLNormalizer({"e.org": "http"})
+    assert p.normalize(pd.Series(["https://e.org/x", "https://f.org/x"])
+                       ).tolist() == ["http://e.org/x", "https://f.org/x"]
+
+    a = AjaxURLNormalizer()
+    fwd = a.normalize(pd.Series([
+        "https://e.org/page#!key=value",
+        "https://e.org/page?q=1#!k v",   # space escapes to %20, & base has ?
+    ])).tolist()
+    assert fwd == [
+        "https://e.org/page?_escaped_fragment_=key=value",
+        "https://e.org/page?q=1&_escaped_fragment_=k%20v",
+    ]
+    back = AjaxURLNormalizer(scope="indexer").normalize(pd.Series(fwd)).tolist()
+    assert back == ["https://e.org/page#!key=value",
+                    "https://e.org/page?q=1#!k v"]
+
+    assert PassURLNormalizer().normalize(u).tolist() == u.tolist()
+
+
 def test_outlink_extractor_table():
     """OutlinkExtractor.java:56-57 regex parity over the reference's tricky
     cases: trailing punctuation is KEPT (the URL charset includes .,;:!),
