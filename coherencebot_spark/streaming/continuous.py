@@ -62,3 +62,54 @@ def stream_seed_drops(spark: SparkSession, driver: CrawlDriver,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_politeness_pacer(candidates, delay_ms: int,
+                            state_field: str = "next_free"):
+    """Streaming P2: the per-host crawl-delay virtual clock as a CUSTOM
+    STATEFUL operator (``applyInPandasWithState``) over a stream of fetch
+    candidates — the continuous-intake twin of the batch fetcher's window
+    arithmetic (operators/fetch.py P2).
+
+    ``candidates``: a streaming DataFrame with columns
+    ``(url string, host string, sort_key long, cur_time long)``.
+    Emits ``(url, host, fetch_ts)`` where ``fetch_ts`` respects the
+    per-host delay ACROSS micro-batches: each host's state carries its
+    virtual-clock high-water mark, checkpointed with the query — a
+    restart resumes pacing exactly where it stopped (north-rule
+    resumability, streaming flavor).
+
+    Rows within a batch are ordered by the politeness sort_key (the
+    HashComparator order), matching the batch fetcher.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def pace(key, pdfs, state):
+        host = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["sort_key", "url"], kind="mergesort")
+        next_free = state.get[0] if state.exists else 0
+        cur = max(int(next_free), int(rows["cur_time"].min()))
+        ts = []
+        for _ in range(len(rows)):
+            ts.append(cur)
+            cur += int(delay_ms)
+        state.update((cur,))
+        yield pd.DataFrame({
+            "url": rows["url"].to_numpy(),
+            "host": host,
+            "fetch_ts": pd.array(ts, dtype="int64"),
+        })
+
+    return (
+        candidates.groupBy("host").applyInPandasWithState(
+            pace,
+            outputStructType="url string, host string, fetch_ts long",
+            stateStructType=f"{state_field} long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
