@@ -202,6 +202,20 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def lsh_params_for(n_vectors: int, target_bucket: int = 1024,
+                   recall_tables: int = 6) -> tuple[int, int]:
+    """Size (n_planes, n_tables) for a corpus: buckets ≈ 2^n_planes, so
+    n_planes = ceil(log2(n / target_bucket)) keeps the expected bucket at
+    ``target_bucket`` vectors — the rerank cost per query.  The defaults
+    that suit a 10^4-row test corpus (8 planes = 256 buckets) are FAR too
+    coarse at 10^10 vectors (~40M rows/bucket); this helper gives ~33
+    planes there.  More tables buy recall linearly at linear cost."""
+    import math
+
+    n_planes = max(4, math.ceil(math.log2(max(n_vectors, 2) / target_bucket)))
+    return n_planes, recall_tables
+
+
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_planes: int = 8,
@@ -210,7 +224,9 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
     """ANN: random-hyperplane LSH bucketing + exact rerank inside buckets.
 
     Recall is tunable via (n_planes, n_tables); candidates shuffle only by
-    (table, bucket) — no crossJoin ever touches the big side."""
+    (table, bucket) — no crossJoin ever touches the big side.  Size the
+    bucket space with :func:`lsh_params_for` — the 8-plane default is a
+    small-corpus setting, not a 10^10 one."""
     def bucketize(df, vc):
         return df.select(
             "*",

@@ -300,3 +300,15 @@ def test_audio_pcm16_and_video_plan(spark):
         "n_frames int, codec string")
     frames = sample_video_frames(video, every_n=30).collect()
     assert [f.frame_idx for f in frames] == [0, 30, 60, 90]
+
+
+def test_lsh_params_for():
+    from coherencebot_spark.datapipe.similarity import lsh_params_for
+
+    p_small, _ = lsh_params_for(10_000, target_bucket=1024)
+    p_huge, _ = lsh_params_for(10_000_000_000, target_bucket=1024)
+    assert p_small <= 8 < p_huge
+    # bucket-size invariant: n / 2^planes <= target (within the ceil)
+    for n in (10_000, 10**7, 10**10):
+        p, _ = lsh_params_for(n, 1024)
+        assert n / (2 ** p) <= 1024
