@@ -164,11 +164,74 @@ def sample_video_frames(video: DataFrame, every_n: int = 30) -> DataFrame:
     """(clip_id, frame_idx) sampling plan — one row per kept frame.
 
     The *plan* (which frames to decode, batch shape) is real Spark;
-    decoding a frame from real container formats is stubbed."""
+    decoding frames from wild container formats is stubbed — the
+    deterministic ``rawrgb`` container decodes for real via
+    :func:`extract_video_frames`."""
     return video.select(
         "clip_id",
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
                        F.lit(int(every_n)))
         ).alias("frame_idx"),
+    )
+
+
+# deterministic video container (the task brief's "deterministic fake"
+# with REAL plumbing): 20-byte header + concatenated raw RGB frames —
+# frame i lives at a computable offset, so extraction is a frame-accurate
+# SEEK, exactly the access pattern a real keyframe-indexed container gives
+_VIDEO_HEAD = "<4sIIfI"  # magic, w, h, fps, n_frames
+
+
+def encode_rawrgb_video(frames: "list[np.ndarray]", fps: float = 30.0) -> bytes:
+    import struct
+
+    h, w, _ = frames[0].shape
+    head = struct.pack(_VIDEO_HEAD, b"RVID", w, h, float(fps), len(frames))
+    return head + b"".join(np.ascontiguousarray(f).tobytes() for f in frames)
+
+
+def extract_video_frames(video: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame extraction for the ``rawrgb`` codec: seek to each
+    sampled frame's byte offset (never materializing the whole clip as
+    pixels), emit one row per frame with PNG bytes + channel means.
+    Other codecs raise NotImplementedError (ffmpeg absent here) — the
+    sampling plan, offset arithmetic, and per-frame emit shape are the
+    production plumbing either way."""
+    import struct
+
+    head_sz = struct.calcsize(_VIDEO_HEAD)
+    step = int(every_n)
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"clip_id": [], "frame_idx": [], "frame_png": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for cid, data, codec in zip(pdf["clip_id"], pdf["bytes"],
+                                        pdf["codec"]):
+                if codec != "rawrgb":
+                    raise NotImplementedError(
+                        f"video codec {codec!r}: decode requires ffmpeg"
+                    )
+                buf = bytes(data)
+                magic, w, h, fps, n = struct.unpack_from(_VIDEO_HEAD, buf, 0)
+                assert magic == b"RVID", "corrupt rawrgb container"
+                fsz = w * h * 3
+                for i in range(0, n, step):
+                    off = head_sz + i * fsz
+                    px = np.frombuffer(buf, dtype=np.uint8, count=fsz,
+                                       offset=off).reshape(h, w, 3)
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    out["clip_id"].append(cid)
+                    out["frame_idx"].append(i)
+                    out["frame_png"].append(images.encode_png(px))
+                    out["mean_r"].append(float(m[0]))
+                    out["mean_g"].append(float(m[1]))
+                    out["mean_b"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return video.select("clip_id", "bytes", "codec").mapInPandas(
+        frames,
+        schema=("clip_id string, frame_idx int, frame_png binary, "
+                "mean_r double, mean_g double, mean_b double"),
     )
