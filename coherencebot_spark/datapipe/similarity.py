@@ -151,6 +151,44 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
     return sig
 
 
+def _centroid_score_structs(vec_col, cent_rows, elem_type: str):
+    """Per-centroid cosine scores as literal-array projections.
+
+    Returns an array<struct<cc, neg_id>> expression: the centroid vectors
+    are embedded as array literals (cast to the corpus element type so the
+    arithmetic is bit-identical to the former dataframe-join form), so the
+    nearest-centroid decision needs NO join and NO exchange — it is a pure
+    map over the corpus.  struct ordering (cc asc, neg_id asc) makes
+    array_max pick (max cc, max neg_id) = (max cc, min cent_id), i.e. the
+    same tie-break as ``ORDER BY cc DESC, cent_id ASC``."""
+    structs = []
+    for cid, cvec in cent_rows:
+        carr = F.array(*[F.lit(float(x)).cast(elem_type) for x in cvec])
+        cc = _dot(vec_col, carr) / (_norm(vec_col) * _norm(carr))
+        structs.append(F.struct(
+            cc.alias("cc"), F.lit(-int(cid)).cast("long").alias("neg_id")
+        ))
+    return F.array(*structs)
+
+
+def ivf_assign(vectors: DataFrame, cent_rows: list[tuple],
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment as a shuffle-free projection.
+
+    ``cent_rows``: [(cent_id, centroid_vector), ...] — tiny by construction
+    (the IVF codebook), so it lives in the plan as literals instead of a
+    crossJoin side.  Physical plan = Scan → Project; a test asserts no
+    Exchange appears."""
+    elem_type = vectors.schema[vec_col].dataType.elementType.simpleString()
+    best = F.array_max(
+        _centroid_score_structs(F.col(vec_col), cent_rows, elem_type)
+    )
+    return vectors.select(
+        id_col, vec_col, (-best["neg_id"]).cast("long").alias("cent_id")
+    )
+
+
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
                     n_centroids: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -161,35 +199,37 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
     queries probe their ``nprobe`` nearest centroids and rerank exactly
     within those inverted lists.
 
-    Scale shape: the centroid table is broadcast (tiny); vectors shuffle
-    once by centroid id; a query touches nprobe/n_centroids of the data.
-    Recall improves with nprobe (= brute force at nprobe == n_centroids).
+    Scale shape: the codebook is ≤ ``n_centroids`` rows by construction,
+    so it is collected once (a TakeOrdered job over ids only) and embedded
+    as array literals — centroid assignment is then a pure projection over
+    the corpus (no crossJoin, no window, no exchange; the former
+    crossJoin+window form shuffled |corpus|×n_centroids rows *carrying the
+    embedding column* just to take an argmax).  A query touches
+    nprobe/n_centroids of the data; recall improves with nprobe
+    (= brute force at nprobe == n_centroids).
     """
-    cents = F.broadcast(
-        vectors.orderBy(F.asc(id_col)).limit(int(n_centroids)).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-        )
-    )
-    cos_vc = (_dot(F.col(vec_col), F.col("cvec"))
-              / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))))
-    wv = Window.partitionBy(id_col).orderBy(F.desc("cc"), F.asc("cent_id"))
-    assigned = (
-        vectors.crossJoin(cents)
-        .select(id_col, vec_col, "cent_id", cos_vc.alias("cc"))
-        .withColumn("_r", F.row_number().over(wv))
-        .filter(F.col("_r") == 1)
-        .select(id_col, vec_col, "cent_id")
-    )
-    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
-    cos_qc = (_dot(F.col("_qv"), F.col("cvec"))
-              / (_norm(F.col("_qv")) * _norm(F.col("cvec"))))
-    wq = Window.partitionBy(qid_col).orderBy(F.desc("qc"), F.asc("cent_id"))
+    cent_rows = [
+        (r[0], list(r[1]))
+        for r in vectors.orderBy(F.asc(id_col)).limit(int(n_centroids))
+        .select(id_col, vec_col).collect()
+    ]
+    if not cent_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, cosine double, rank int")
+    assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
+
+    # query side: top-nprobe centroids per query — the query set is small,
+    # so sort the literal score array per row (still shuffle-free)
+    elem_type = queries.schema[vec_col].dataType.elementType.simpleString()
+    qscores = F.reverse(F.array_sort(
+        _centroid_score_structs(F.col(vec_col), cent_rows, elem_type)
+    ))
     probes = (
-        q.crossJoin(cents)
-        .select(qid_col, "_qv", "cent_id", cos_qc.alias("qc"))
-        .withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= int(nprobe))
-        .select(qid_col, "_qv", "cent_id")
+        queries.select(
+            F.col(qid_col), F.col(vec_col).alias("_qv"),
+            F.explode(F.slice(qscores, 1, int(nprobe))).alias("_s"),
+        )
+        .select(qid_col, "_qv", (-F.col("_s.neg_id")).cast("long").alias("cent_id"))
     )
     cand = assigned.join(F.broadcast(probes), "cent_id")
     cos = (_dot(F.col(vec_col), F.col("_qv"))

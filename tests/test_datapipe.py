@@ -262,6 +262,27 @@ def test_cosine_topk_ivf(spark):
     assert recall >= 0.4, recall
 
 
+def test_ivf_assign_is_shuffle_free(spark):
+    """Centroid assignment must be a pure projection: the codebook lives in
+    the plan as literals, so the physical plan for the assignment shows NO
+    Exchange (the old crossJoin+window form shuffled |corpus|×n_centroids
+    rows carrying the embedding column)."""
+    from coherencebot_spark.datapipe.similarity import ivf_assign
+
+    vecs, m = vectors_df(spark)
+    cent_rows = [(i, [float(x) for x in m[i]]) for i in range(8)]
+    assigned = ivf_assign(vecs, cent_rows)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    # numpy reference: argmax cosine, ties → smallest cent_id
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = mn[:8]
+    expect = {i: int(np.argmax(mn[i] @ c.T)) for i in range(len(m))}
+    got = {r.vec_id: r.cent_id for r in assigned.collect()}
+    assert got == expect
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
