@@ -600,6 +600,119 @@ def _q_free_generator(spark, sf_dir):
                      F.round("score", 4).alias("score"))
 
 
+def _q_html_outlinks(spark, sf_dir):
+    # HTML outlink extraction (parse-html DOMContentUtils port): pages
+    # synthesized from documents with relative links, <base href>,
+    # rel=nofollow drops, img src — the oracle computes the RESOLVED
+    # urls + anchors per construction (urljoin/base/nofollow semantics
+    # under the hash gate)
+    from coherencebot_spark.functions.outlinks import extract_outlinks_html
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(F.lit("http://site"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.org/dir/page"), sid, F.lit(".html"))
+    base_frag = F.when(F.col("doc_id") % 5 == 0,
+                       F.lit('<base href="/b/">')).otherwise(F.lit(""))
+    nofollow = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<a href="skip.html" rel="nofollow">n</a>')).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), base_frag, F.lit("</head><body>"),
+        F.lit('<a href="rel'), sid, F.lit('.html">Anchor '), sid, F.lit("</a>"),
+        nofollow,
+        F.lit('<a href="http://abs.example.org/x'), sid, F.lit('">A</a>'),
+        F.lit('<img src="i'), sid, F.lit('.png">'),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(F.col("doc_id"), page.alias("page_url"),
+                     html.alias("html"))
+    ex = extract_outlinks_html()
+
+    def run(it):
+        import pandas as pd
+
+        for pdf in it:
+            links = ex(pdf["html"], pdf["page_url"])
+            out = {"doc_id": [], "to_url": [], "anchor": []}
+            for did, ls in zip(pdf["doc_id"], links):
+                for u, a in ls:
+                    out["doc_id"].append(did)
+                    out["to_url"].append(u)
+                    out["anchor"].append(a)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, "doc_id long, to_url string, anchor string")
+
+
+def _q_automaton_filter(spark, sf_dir):
+    # urlfilter-automaton: first-match-wins FULL-match rule chain; DuckDB
+    # twin via regexp_full_match over the same default rules
+    from pyspark.sql.types import BooleanType
+    from coherencebot_spark.functions.urls import AutomatonURLFilter
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 600")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("ftp://x"), sid, F.lit(".org/a")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://h"), sid, F.lit(".org/pic.GIF")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("http://h"), sid, F.lit(".org/q?x="), sid))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("http://h"), sid, F.lit(".org/ok/"), sid))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("mailto:u"), sid, F.lit("@x.org")))
+        .otherwise(F.concat(F.lit("news://srv/"), sid))
+    )
+    flt = AutomatonURLFilter()
+
+    @F.pandas_udf(BooleanType())
+    def acc(u):
+        return flt.accept(u).astype(bool)
+
+    return d.select(url.alias("url")).withColumn("accepted", acc(F.col("url")))
+
+
+def _q_validator_filter(spark, sf_dir):
+    # urlfilter-validator (UrlValidator.java port): classification over 8
+    # constructed url families; the oracle states each family's validity
+    # (scheme/authority/IPv4-octet/port/ascii rules) per construction
+    from pyspark.sql.types import BooleanType
+    from coherencebot_spark.functions.urls import ValidatorURLFilter
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 600")
+    sid = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 8
+    url = (
+        F.when(k == 0, F.concat(F.lit("http://www.h"), sid,
+                                F.lit(".example.org/path/"), sid))
+        .when(k == 1, F.concat(F.lit("example.com/file["), sid,
+                               F.lit("].html")))
+        .when(k == 2, F.concat(F.lit("http://h"), sid,
+                               F.lit(".example.org/space here")))
+        .when(k == 3, F.concat(F.lit("http://999.0.456."),
+                               (F.col("doc_id") % 300).cast("string"),
+                               F.lit("/x")))
+        .when(k == 4, F.concat(F.lit("http://10.0."),
+                               (F.col("doc_id") % 256).cast("string"),
+                               F.lit(".7/x")))
+        .when(k == 5, F.concat(F.lit("ftp:www.h"), sid, F.lit(".org/x")))
+        .when(k == 6, F.concat(F.lit("http://h"), sid, F.lit(".org:"),
+                               (F.col("doc_id") % 100_000).cast("string"),
+                               F.lit("/x")))
+        .otherwise(F.lit("http://single/x"))
+    )
+    flt = ValidatorURLFilter()
+
+    @F.pandas_udf(BooleanType())
+    def acc(u):
+        return flt.accept(u).astype(bool)
+
+    return d.select(url.alias("url")).withColumn("valid", acc(F.col("url")))
+
+
 def _q_segment_stats(spark, sf_dir):
     # readseg -list aggregation over a fetch-log synthesized from events
     from coherencebot_spark.operators.readseg import segment_list
@@ -706,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "free_generator": _q_free_generator,
+        "html_outlinks": _q_html_outlinks,
+        "automaton_filter": _q_automaton_filter,
+        "validator_filter": _q_validator_filter,
         "segment_stats": _q_segment_stats,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -1134,6 +1250,70 @@ def oracle_sql() -> dict[str, str]:
                    1700000000000::BIGINT AS fetch_time,
                    CAST(1.0 AS DOUBLE) AS score
             FROM urls
+        """,
+        "html_outlinks": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 20 AS h, (doc_id % 5 = 0) AS hasbase,
+                     (doc_id % 3 = 0) AS nof
+              FROM documents WHERE doc_id < 400
+            ),
+            pre AS (
+              SELECT doc_id,
+                     'http://site' || h || '.example.org'
+                       || (CASE WHEN hasbase THEN '/b/' ELSE '/dir/' END)
+                       AS basep
+              FROM d
+            )
+            -- relative <a> resolved against <base href> or the page dir
+            SELECT doc_id,
+                   basep || 'rel' || doc_id || '.html' AS to_url,
+                   'Anchor ' || doc_id AS anchor
+            FROM pre
+            UNION ALL  -- absolute <a> passes through; nofollow rows absent
+            SELECT doc_id, 'http://abs.example.org/x' || doc_id, 'A' FROM pre
+            UNION ALL  -- <img src> resolves like any link, anchor ''
+            SELECT doc_id, basep || 'i' || doc_id || '.png', '' FROM pre
+        """,
+        "automaton_filter": """
+            WITH u AS (
+              SELECT CASE doc_id % 6
+                WHEN 0 THEN 'ftp://x' || doc_id || '.org/a'
+                WHEN 1 THEN 'http://h' || doc_id || '.org/pic.GIF'
+                WHEN 2 THEN 'http://h' || doc_id || '.org/q?x=' || doc_id
+                WHEN 3 THEN 'http://h' || doc_id || '.org/ok/' || doc_id
+                WHEN 4 THEN 'mailto:u' || doc_id || '@x.org'
+                ELSE 'news://srv/' || doc_id END AS url
+              FROM documents WHERE doc_id < 600
+            )
+            SELECT url,
+              CASE
+                WHEN regexp_full_match(url, '(file|ftp|mailto):.*') THEN false
+                WHEN regexp_full_match(url,
+                  '.*\\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|mov|MOV|exe)')
+                  THEN false
+                WHEN regexp_full_match(url, '.*[?*!@=].*') THEN false
+                ELSE true
+              END AS accepted
+            FROM u
+        """,
+        "validator_filter": """
+            WITH u AS (
+              SELECT doc_id % 8 AS k, CASE doc_id % 8
+                WHEN 0 THEN 'http://www.h' || doc_id || '.example.org/path/' || doc_id
+                WHEN 1 THEN 'example.com/file[' || doc_id || '].html'
+                WHEN 2 THEN 'http://h' || doc_id || '.example.org/space here'
+                WHEN 3 THEN 'http://999.0.456.' || (doc_id % 300) || '/x'
+                WHEN 4 THEN 'http://10.0.' || (doc_id % 256) || '.7/x'
+                WHEN 5 THEN 'ftp:www.h' || doc_id || '.org/x'
+                WHEN 6 THEN 'http://h' || doc_id || '.org:' || (doc_id % 100000) || '/x'
+                ELSE 'http://single/x' END AS url
+              FROM documents WHERE doc_id < 600
+            )
+            -- validity per family: 0 hostname ok; 1 no scheme; 2 space
+            -- (non-printable-ascii); 3 IPv4 octet 999 > 255; 4 valid IPv4;
+            -- 5 no authority; 6 valid host + 1-5 digit port; 7 single-label
+            -- host (needs >= 2 labels)
+            SELECT url, (k IN (0, 4, 6)) AS valid FROM u
         """,
         "segment_stats": """
             SELECT COUNT(*)::BIGINT AS generated,

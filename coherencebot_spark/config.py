@@ -92,6 +92,15 @@ class CrawlConfig:
     score_external: float = 1.0           # db.score.link.external
     score_count_filtered: bool = False    # db.score.count.filtered
 
+    # --- hostdb cadence (ref src/bin/crawl:407-410 runs updatehostdb
+    # optionally / on a flag; a per-cycle full-frontier aggregate is the
+    # one O(frontier) step the bucketed cost model can't absorb) ---
+    # update hostdb on cycles where cycle_id % hostdb_every == 0; 0 = never.
+    # In bucketed mode the update aggregates only buckets touched since the
+    # last hostdb commit and coalesce-merges into the previous hostdb —
+    # exact, because a host lives entirely inside one host-hash bucket.
+    hostdb_every: int = 1
+
     # --- linkdb ---
     linkdb_max_inlinks: int = 10_000      # linkdb.max.inlinks
     linkdb_max_anchor_length: int = 100   # linkdb.max.anchor.length

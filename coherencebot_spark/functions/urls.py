@@ -539,6 +539,110 @@ class DescendantURLFilter:
         return urls.astype("string").str.startswith(self.prefixes, na=False)
 
 
+class AutomatonURLFilter(RegexURLFilter):
+    """urlfilter-automaton: same +/- rule files as urlfilter-regex but
+    WHOLE-URL match semantics — the reference runs each rule as a DFA over
+    the full string (``AutomatonURLFilter.java:100-116``:
+    ``automaton.run(url)`` accepts iff the automaton accepts the entire
+    url, vs the regex filter's substring ``matcher.find()``).  Rule files
+    are written accordingly (``.*`` wrapped — see the plugin's sample
+    rules).  dk.brics syntax is plain-regex compatible for the documented
+    rule corpus; rules using automaton-only extensions (``<n-m>``
+    intervals) are not supported."""
+
+    DEFAULT_RULES = (
+        # the plugin's sample/WholeWebCrawling.rules, verbatim semantics
+        "-(file|ftp|mailto):.*",
+        r"-.*\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|mov|MOV|exe)",
+        "-.*[?*!@=].*",
+        "+.*",
+    )
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        s = urls.astype("string")
+        decided = pd.Series(False, index=s.index)
+        verdict = pd.Series(False, index=s.index)
+        for accept, rx in self._compiled:
+            if decided.all():
+                break
+            undecided = ~decided
+            hits = s[undecided].str.fullmatch(rx, na=False)
+            hit_idx = hits[hits].index
+            verdict.loc[hit_idx] = accept
+            decided.loc[hit_idx] = True
+        verdict[s.isna()] = False
+        return verdict
+
+
+class ValidatorURLFilter:
+    """urlfilter-validator: drop syntactically invalid URLs
+    (``urlfilter-validator/.../UrlValidator.java`` — the commons-validator
+    RFC 2396 subset).  Ported checks, same order: printable-ASCII only,
+    URI-shape split, alpha-only scheme, authority = hostname (atom dots,
+    TLD ≥ 2 chars starting alpha, ≥ 2 segments) or IPv4 (octets ≤ 255),
+    port ``:\\d{1,5}``, path charset + the ``..`` traversal/slash-count
+    rule, any query."""
+
+    _URL = re.compile(r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?$")
+    _ASCII = re.compile(r"^[\x21-\x7E]+$")
+    _SCHEME = re.compile(r"^[a-zA-Z]+$")
+    _AUTHORITY = re.compile(r"^([a-zA-Z\d\-\.]*)(:\d*)?(.*)?$")
+    _IPV4 = re.compile(r"^(\d{1,3})[.](\d{1,3})[.](\d{1,3})[.](\d{1,3})$")
+    _ATOM = r"[^\s;/@&=,.?:+$]+"
+    _DOMAIN = re.compile(rf"^{_ATOM}(\.{_ATOM})*$")
+    _PORT = re.compile(r"^:(\d{1,5})$")
+    _ALPHA = re.compile(r"^[a-zA-Z]")
+    _PATH = re.compile(r"^(/[-\w:@&?=+,.!/~*'%$_;\(\)]*)?$", re.ASCII)
+
+    @classmethod
+    def _valid(cls, url: str) -> bool:
+        if not url or not cls._ASCII.match(url):
+            return False
+        m = cls._URL.match(url)
+        if not m:
+            return False
+        scheme, authority, path = m.group(2), m.group(4), m.group(5)
+        if scheme is None or not cls._SCHEME.match(scheme):
+            return False
+        if authority is None:
+            return False
+        am = cls._AUTHORITY.match(authority)
+        if not am:
+            return False
+        host = am.group(1)
+        ip = cls._IPV4.match(host)
+        if ip:
+            if any(int(ip.group(i)) > 255 for i in range(1, 5)):
+                return False
+        else:
+            if not cls._DOMAIN.match(host):
+                return False
+            segs = host.split(".")
+            top = segs[-1]
+            # rightmost label: ≥ 2 chars, starts alpha; need ≥ 2 labels
+            if len(top) < 2 or not cls._ALPHA.match(top) or len(segs) < 2:
+                return False
+        port = am.group(2)
+        if port is not None and not cls._PORT.match(port):
+            return False
+        if (am.group(3) or "").strip():
+            return False
+        if path is None or not cls._PATH.match(path):
+            return False
+        # ".." needs enough real slashes around it (UrlValidator:330-346)
+        dot2 = path.count("..")
+        if dot2 > 0:
+            slash2 = path.count("//")
+            slash = path.count("/")
+            if (slash - slash2 - 1) <= dot2:
+                return False
+        return True  # query: ^(.*)$ always matches
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        v = self._valid
+        return urls.map(lambda u: bool(u is not None and v(str(u))))
+
+
 class URLFilterChain:
     """Ordered AND of filters (ref net/URLFilters.java: null from any filter
     drops the URL)."""

@@ -145,12 +145,16 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
     # no second Python round-trip.
     olf, fchain, src_col = outlink_fn, chain, outlink_source
     cap = int(max_outlinks_per_page)
+    # extractors flagged needs_base (HTML) also receive the page-url column
+    # so relative links resolve per page — same single Arrow stage
+    needs_base = bool(getattr(outlink_fn, "needs_base", False))
 
     def extract(it):
         import numpy as np
 
         for pdf in it:
-            links = olf(pdf[src_col])
+            links = (olf(pdf[src_col], pdf["url"]) if needs_base
+                     else olf(pdf[src_col]))
             raw = [list(l or []) for l in links]
             n_all = np.fromiter((len(r) for r in raw), dtype=np.int64,
                                 count=len(raw))

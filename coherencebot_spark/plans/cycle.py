@@ -40,7 +40,7 @@ from ..operators.inject import inject
 from ..operators.linkdb import invert_links, merge_linkdb
 from ..operators.parse import parse, redirect_link_rows
 from ..operators.updatedb import updatedb
-from ..schemas import FRONTIER
+from ..schemas import FETCH_LOG, FRONTIER
 from ..sources.snapshot import SnapshotTable
 from ..status import Fetch, Msg
 
@@ -81,6 +81,11 @@ class CrawlDriver:
         # full-frontier count jobs taken for the frontier_size metric in
         # merge cycles (0 in steady state — tests assert this)
         self._full_count_jobs = 0
+        # full-frontier hostdb aggregations / full linkdb rewrites taken in
+        # bucketed steady state (0 after bootstrap — tests assert this; the
+        # same discipline as _full_count_jobs)
+        self._hostdb_full_scans = 0
+        self._linkdb_full_rewrites = 0
         os.makedirs(workdir, exist_ok=True)
         self.frontier = SnapshotTable(os.path.join(workdir, "frontier"), "frontier")
         self.fetch_log = SnapshotTable(os.path.join(workdir, "fetch_log"), "fetch_log")
@@ -98,36 +103,92 @@ class CrawlDriver:
         )
 
     def _write_frontier(self, df: DataFrame, **kw) -> int:
+        # sorted by fetch_time at rest within each host-bucket: row-group
+        # min/max stats stay tight, so generate's due-filter prunes
+        # not-yet-due row groups at the parquet scan (PLANS.md §storage)
         return self.frontier.write(
             self._with_bucket(df.drop("bucket")) if "bucket" not in df.columns
             else df,
-            partition_by=["bucket"], **kw,
+            partition_by=["bucket"], sort_within=["bucket", "fetch_time"],
+            **kw,
         )
 
-    def _seen_filtered(self, parse_out: DataFrame) -> DataFrame:
-        """Drop definitely-new LINKED rows via the persistent sharded
-        URL-seen blooms (built from the frontier on first use)."""
-        from ..functions.hashing import bloom_contains_sharded, build_bloom_sharded
-        from ..status import Msg
+    # -- URL-seen sharded blooms ---------------------------------------
+    # Shards are HOST-bucket aligned (the frontier's own partition layout),
+    # so after a merge cycle only the touched buckets' shards need a
+    # rebuild — each from a partition-pruned scan of its own bucket.
 
-        blooms_path = os.path.join(self.workdir, "url_seen_blooms")
+    @property
+    def _blooms_path(self) -> str:
+        return os.path.join(self.workdir, "url_seen_blooms")
+
+    def _host_bucket_expr(self):
+        # MUST equal _with_bucket's expression: a url's shard is its
+        # frontier bucket (xxhash64(NULL) is a seed constant, not NULL, so
+        # null-host rows consistently map to one shard on both sides)
+        return F.pmod(
+            F.xxhash64("host"), F.lit(int(self.cfg.host_buckets))
+        ).cast("int")
+
+    def _refresh_seen_blooms(self, touched: list[int] | None) -> None:
+        """(Re)build URL-seen bloom shards from the committed frontier.
+        ``touched=None`` rebuilds every shard; a list rebuilds only those
+        host-buckets (dynamic-partition overwrite — untouched shards stay,
+        and stay exact, because their buckets' url sets didn't change)."""
+        from ..functions.hashing import build_bloom_sharded
+
         n_buckets = int(self.cfg.host_buckets)
-        if not os.path.exists(blooms_path):
-            frontier = self.frontier.read(self.spark).drop("bucket")
-            hist = self.frontier.history()
-            cap = (hist[-1]["metrics"] or {}).get("frontier_size") or max(
-                frontier.count(), 1024)
-            build_bloom_sharded(
-                frontier, "url", int(cap), n_buckets
-            ).write.mode("overwrite").parquet(blooms_path)
-        blooms = self.spark.read.parquet(blooms_path)
+        frontier = self.frontier.read(self.spark)
+        if touched is not None:
+            frontier = frontier.filter(F.col("bucket").isin(touched))
+        hist = self.frontier.history()
+        cap = (hist[-1]["metrics"] or {}).get("frontier_size") or max(
+            frontier.count(), 1024)
+        built = build_bloom_sharded(
+            frontier, "url", int(cap), n_buckets,
+            bucket_expr=F.col("bucket").cast("int"),
+        )
+        (built.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(self._blooms_path))
+
+    def _load_or_build_blooms(self) -> DataFrame:
+        if not os.path.exists(self._blooms_path):
+            self._refresh_seen_blooms(None)
+        return self.spark.read.parquet(self._blooms_path)
+
+    def _probe_seen(self, parse_out: DataFrame):
+        """(non-linked rows, linked rows with a ``maybe_seen`` flag)."""
+        from ..functions.hashing import bloom_contains_sharded
+
+        blooms = self._load_or_build_blooms()
         linked = parse_out.filter(F.col("status") == int(Msg.LINKED))
         rest = parse_out.filter(F.col("status") != int(Msg.LINKED))
-        kept = (
-            bloom_contains_sharded(linked, "url", blooms, n_buckets=n_buckets)
-            .filter(F.col("maybe_seen")).drop("maybe_seen")
+        probed = bloom_contains_sharded(
+            linked, "url", blooms, n_buckets=int(self.cfg.host_buckets),
+            bucket_expr=self._host_bucket_expr(),
         )
-        return rest.unionByName(kept)
+        return rest, probed
+
+    def _seen_filtered(self, parse_out: DataFrame) -> DataFrame:
+        """additions-OFF accel: drop definitely-new LINKED rows — they
+        were doomed in updatedb anyway (false positives safe: "maybe seen"
+        still flows through the exact join)."""
+        rest, probed = self._probe_seen(parse_out)
+        return rest.unionByName(
+            probed.filter(F.col("maybe_seen")).drop("maybe_seen"))
+
+    def _seen_split(self, parse_out: DataFrame):
+        """additions-ON accel: nothing is dropped — definitely-new LINKED
+        rows (no bloom false negatives by the refresh invariant) skip the
+        frontier join entirely and take the direct new-row path; only
+        maybe-seen rows enter the exact merge.  Returns
+        (main_parse_out, definitely_new_linked)."""
+        rest, probed = self._probe_seen(parse_out)
+        main = rest.unionByName(
+            probed.filter(F.col("maybe_seen")).drop("maybe_seen"))
+        new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        return main, new
 
     def inject(self, seeds: DataFrame, cur_time: int) -> int:
         if self.frontier.exists():
@@ -183,13 +244,25 @@ class CrawlDriver:
         # parse + redirect-linked rows
         parse_out = parse(log, content, cfg).unionByName(redirect_link_rows(log))
 
-        # URL-seen bloom pre-filter (north rule): additions-off crawls drop
+        # URL-seen bloom pre-filter (north rule).  additions-OFF: drop
         # definitely-new link targets before they ever shuffle into
-        # updatedb.  False positives are safe — "maybe seen" still flows
-        # through the exact join; the frontier key-set is frozen (no
-        # additions), so the sharded blooms build once and persist.
-        if cfg.use_url_seen and not cfg.additions_allowed:
-            parse_out = self._seen_filtered(parse_out)
+        # updatedb (false positives safe — "maybe seen" still flows
+        # through the exact join; the key-set is frozen, shards build
+        # once).  additions-ON: split instead of drop — definitely-new
+        # targets skip the frontier join and take the direct new-row
+        # path; the touched shards are rebuilt after this cycle's commit
+        # so the no-false-negative invariant holds next cycle.
+        seen_new = None
+        if cfg.use_url_seen:
+            if cfg.additions_allowed:
+                parse_out, seen_new = self._seen_split(parse_out)
+                seen_new = seen_new.persist()
+            else:
+                parse_out = self._seen_filtered(parse_out)
+        # all discovered links, for bucket/metric/linkdb purposes (the
+        # split above only routes rows around the updatedb join)
+        po_all = (parse_out if seen_new is None
+                  else parse_out.unionByName(seen_new))
 
         use_merge = (
             self.bucketed
@@ -203,9 +276,11 @@ class CrawlDriver:
             # host.  Rows of untouched buckets are identity under updatedb,
             # so rewriting only touched buckets is exact.
             parse_out = parse_out.persist()
+            po_all = (parse_out if seen_new is None
+                      else parse_out.unionByName(seen_new))
             hosts = (
                 log.select("host")
-                .unionByName(parse_out.select("host"))
+                .unionByName(po_all.select("host"))
                 .filter(F.col("host").isNotNull())
                 .distinct()
                 .select(
@@ -225,6 +300,16 @@ class CrawlDriver:
         new_frontier = updatedb(frontier, log, parse_out, cur_time, cfg,
                                 seeds_in_service=seeds_in_service,
                                 broadcast_delta=cfg.broadcast_small_sides)
+        if seen_new is not None:
+            # definitely-new targets: same updatedb semantics against an
+            # EMPTY frontier — produces exactly the new-row (linked_new)
+            # branch of the cascade without probing the real frontier
+            empty_f = self.spark.createDataFrame([], FRONTIER)
+            empty_log = self.spark.createDataFrame([], FETCH_LOG)
+            new_frontier = new_frontier.unionByName(
+                updatedb(empty_f, empty_log, seen_new, cur_time, cfg,
+                         seeds_in_service=seeds_in_service)
+            )
         new_frontier = dedup_by_phash(
             new_frontier, content, cfg,
             broadcast_content=cfg.broadcast_small_sides)
@@ -242,7 +327,7 @@ class CrawlDriver:
         # newly discovered URLs: linked targets not present in the (touched
         # part of the) frontier — broadcast-anti join, linked side is tiny
         m.new_links = (
-            parse_out.filter(F.col("status") == int(Msg.LINKED))
+            po_all.filter(F.col("status") == int(Msg.LINKED))
             .select("url").distinct()
             .join(frontier.select("url"), "url", "left_anti")
             .count()
@@ -274,6 +359,7 @@ class CrawlDriver:
             self.frontier.merge_write(
                 self._with_bucket(new_frontier), touched, cycle_id=cycle_id,
                 metrics=meta, lineage=m.per_partition,
+                sort_within=["bucket", "fetch_time"],
             )
             if parent_size is None:
                 self._full_count_jobs += 1
@@ -290,19 +376,131 @@ class CrawlDriver:
             )
         new_frontier.unpersist()
 
+        # URL-seen shard refresh: with additions allowed the frontier
+        # key-set grew this cycle — rebuild the affected shards from the
+        # just-committed snapshot (touched buckets only in merge mode,
+        # each a partition-pruned scan) so next cycle's probe has no
+        # false negatives
+        if cfg.use_url_seen and cfg.additions_allowed \
+                and os.path.exists(self._blooms_path):
+            self._refresh_seen_blooms(touched if use_merge else None)
+
         # ancillary tables (optional steps in the reference loop)
-        new_links = invert_links(parse_out, cfg)
-        old_ldb = self.linkdb.read(self.spark) if self.linkdb.exists() else None
-        self.linkdb.write(merge_linkdb(old_ldb, new_links, cfg), cycle_id=cycle_id)
-        old_hdb = self.hostdb.read(self.spark) if self.hostdb.exists() else None
-        self.hostdb.write(
-            update_hostdb(self.frontier.read(self.spark).drop("bucket"), old_hdb, cfg),
-            cycle_id=cycle_id,
-        )
+        self._update_linkdb(po_all, cycle_id, use_merge)
+        self._update_hostdb(cycle_id)
+        if use_merge:
+            parse_out.unpersist()
+        if seen_new is not None:
+            seen_new.unpersist()
 
         with open(self._cycle_state_path(cycle_id), "w") as f:
             json.dump(m.as_dict(), f, indent=1)
         return m
+
+    # ------------------------------------------------------------------
+    # ancillary tables: cost ∝ touched data in bucketed mode
+    # ------------------------------------------------------------------
+    def _with_url_bucket(self, df: DataFrame) -> DataFrame:
+        """Target-url bucket for partitioned linkdb storage (linkdb is
+        keyed by target url, not host — inlinks of one target must land in
+        one bucket so a whole-bucket rewrite is exact)."""
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(int(self.cfg.host_buckets)))
+        )
+
+    def _update_linkdb(self, parse_out: DataFrame, cycle_id: int,
+                       use_merge: bool) -> None:
+        """Invert this cycle's links and merge into linkdb.
+
+        Bucketed mode rewrites ONLY the target-url buckets that received
+        new inlinks this cycle (``SnapshotTable.merge_write``), instead of
+        the reference's full rewrite per cycle
+        (``crawl/LinkDbMerger.java:80-110``) — at 10^10 targets the full
+        rewrite dominates the cycle.  Every ``full_rewrite_every`` cycles
+        the compaction cycle (same cadence as the frontier) writes a full
+        snapshot, bounding the merge chain."""
+        new_links = invert_links(parse_out, self.cfg)
+        if use_merge and self.linkdb.exists():
+            new_links = new_links.persist()
+            touched = [
+                r["b"] for r in self._with_url_bucket(new_links)
+                .select(F.col("bucket").alias("b")).distinct().collect()
+            ]
+            if not touched:
+                new_links.unpersist()
+                return  # no links this cycle — previous snapshot stands
+            old_touched = (
+                self.linkdb.read(self.spark)
+                .filter(F.col("bucket").isin(touched)).drop("bucket")
+            )
+            merged = merge_linkdb(old_touched, new_links, self.cfg)
+            self.linkdb.merge_write(
+                self._with_url_bucket(merged), touched, cycle_id=cycle_id,
+            )
+            new_links.unpersist()
+        else:
+            old = (
+                self.linkdb.read(self.spark).drop("bucket")
+                if self.linkdb.exists() else None
+            )
+            if old is not None:
+                self._linkdb_full_rewrites += 1
+            merged = merge_linkdb(old, new_links, self.cfg)
+            self.linkdb.write(
+                self._with_url_bucket(merged), cycle_id=cycle_id,
+                partition_by=["bucket"],
+            )
+
+    def _touched_since_last_hostdb(self) -> list[int] | None:
+        """Frontier buckets whose per-host aggregates may have changed
+        since the last hostdb commit, from snapshot metadata only (no
+        jobs).  None = unknown (a full frontier snapshot intervened, or no
+        prior hostdb) — caller must full-scan."""
+        if not self.hostdb.exists():
+            return None
+        last = (self.hostdb.history()[-1].get("metrics") or {}) \
+            .get("frontier_snapshot")
+        if last is None:
+            return None
+        touched: set[int] = set()
+        for s in self.frontier.history():
+            if s["id"] <= last:
+                continue
+            merge = s.get("merge")
+            if merge is None:
+                return None  # full rewrite in between — all buckets moved
+            touched |= set(merge["touched"])
+        return sorted(touched)
+
+    def _update_hostdb(self, cycle_id: int) -> None:
+        """Aggregate frontier → hostdb, gated to every ``cfg.hostdb_every``
+        cycles (0 = never; ref ``src/bin/crawl:407-410`` runs the hostdb
+        update optionally).  In bucketed mode only buckets touched since
+        the last hostdb commit are aggregated (partition-pruned scan) and
+        coalesce-merged into the previous hostdb — exact, because a host's
+        frontier rows all live in its own host-hash bucket, so untouched
+        buckets' per-host aggregates are unchanged by construction."""
+        every = int(self.cfg.hostdb_every)
+        if every <= 0 or cycle_id % every != 0:
+            return
+        old = self.hostdb.read(self.spark) if self.hostdb.exists() else None
+        touched = (
+            self._touched_since_last_hostdb()
+            if (self.bucketed and old is not None) else None
+        )
+        cur = self.frontier.read(self.spark)
+        if touched is None:
+            src = cur.drop("bucket")
+            if old is not None:
+                self._hostdb_full_scans += 1
+        else:
+            if not touched:
+                return  # nothing moved since last hostdb commit
+            src = cur.filter(F.col("bucket").isin(touched)).drop("bucket")
+        self.hostdb.write(
+            update_hostdb(src, old, self.cfg), cycle_id=cycle_id,
+            metrics={"frontier_snapshot": self.frontier.current_id()},
+        )
 
     def run(self, n_cycles: int, t0: int, cycle_ms: int = 3_600_000) -> list[CycleMetrics]:
         """The crawl loop (`bin/crawl`): n cycles (or until .STOP)."""

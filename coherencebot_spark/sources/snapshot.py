@@ -66,13 +66,26 @@ class SnapshotTable:
     def write(self, df: DataFrame, cycle_id: int | str | None = None,
               metrics: dict | None = None,
               lineage: dict | None = None,
-              partition_by: list[str] | None = None) -> int:
-        """Write a new snapshot and commit it as current.  Returns its id."""
+              partition_by: list[str] | None = None,
+              sort_within: list[str] | None = None,
+              write_options: dict | None = None) -> int:
+        """Write a new snapshot and commit it as current.  Returns its id.
+
+        ``sort_within`` orders rows inside each task's output files so
+        parquet row-group min/max stats on those columns are tight — a
+        pushed-down range predicate then PRUNES row groups at scan time
+        (Iceberg ``sort_order()`` analogue; the frontier sorts by
+        (bucket, fetch_time) so generate's due-filter skips not-yet-due
+        row groups without decoding them)."""
         m = self._load()
         sid = len(m["snapshots"])
         dirname = f"s{sid:04d}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.path, "snapshots", dirname)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
         w = df.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
@@ -92,7 +105,9 @@ class SnapshotTable:
     def merge_write(self, df: DataFrame, touched_buckets: list[int],
                     cycle_id=None, metrics: dict | None = None,
                     lineage: dict | None = None,
-                    bucket_col: str = "bucket") -> int:
+                    bucket_col: str = "bucket",
+                    sort_within: list[str] | None = None,
+                    write_options: dict | None = None) -> int:
         """MERGE-style commit (the Iceberg ``MERGE INTO`` analogue): write
         only the touched buckets; untouched buckets are carried forward by
         reference to the parent snapshot.  ``df`` must contain exactly the
@@ -106,7 +121,12 @@ class SnapshotTable:
         sid = len(m["snapshots"])
         dirname = f"s{sid:04d}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.path, "snapshots", dirname)
-        df.write.mode("overwrite").partitionBy(bucket_col).parquet(data_dir)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        w = df.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.partitionBy(bucket_col).parquet(data_dir)
         entry = {
             "id": sid,
             "dir": dirname,

@@ -26,6 +26,24 @@ def snap(driver, spark):
     )
 
 
+def ldb_snap(driver, spark):
+    rows = driver.linkdb.read(spark).drop("bucket").collect()
+    return sorted(
+        (r.url, tuple(sorted((i.from_url, i.anchor) for i in r.inlinks)))
+        for r in rows
+    )
+
+
+def hdb_snap(driver, spark):
+    rows = driver.hostdb.read(spark).collect()
+    return sorted(
+        (r.host, round(float(r.score), 5), r.unfetched, r.fetched,
+         r.not_modified, r.redir_perm, r.redir_temp, r.gone, r.duplicate,
+         r.dns_failures, r.connection_failures)
+        for r in rows
+    )
+
+
 def test_bucketed_equals_full(spark, tmp_path):
     full = CrawlDriver(spark, str(tmp_path / "full"), CFG, bucketed=False, **KW)
     merged = CrawlDriver(spark, str(tmp_path / "merge"), CFG, bucketed=True,
@@ -37,13 +55,57 @@ def test_bucketed_equals_full(spark, tmp_path):
         full.run_cycle(k, t)
         merged.run_cycle(k, t)
         assert snap(full, spark) == snap(merged, spark), f"cycle {k} diverged"
+        # ancillary tables: incremental (touched-bucket) paths are exact
+        assert ldb_snap(full, spark) == ldb_snap(merged, spark), f"linkdb @{k}"
+        assert hdb_snap(full, spark) == hdb_snap(merged, spark), f"hostdb @{k}"
     # the merged table's latest snapshots are MERGE commits
     hist = merged.frontier.history()
     assert hist[-1].get("merge") is not None
     assert 0 < len(hist[-1]["merge"]["touched"]) <= CFG.host_buckets
+    # linkdb cycle-1 commit is a MERGE too — no full rewrite after bootstrap
+    lhist = merged.linkdb.history()
+    assert lhist[-1].get("merge") is not None
+    assert merged._linkdb_full_rewrites == 0
+    # hostdb cycle-1 update aggregated only touched buckets
+    assert merged._hostdb_full_scans == 0
     # resume/no-op on a committed cycle still works in bucketed mode
     m = merged.run_cycle(0, T0 + 1000)
     assert m.generated == 0
+
+
+def test_hostdb_every_gates_the_full_scan(spark, tmp_path):
+    """`hostdb_every=2`: non-due cycles run NO hostdb job at all (no new
+    snapshot), due cycles aggregate only the buckets touched since the
+    last hostdb commit, and the result equals a per-cycle full recompute."""
+    cfg2 = CFG.with_(hostdb_every=2)
+    ref = CrawlDriver(spark, str(tmp_path / "ref"), CFG, bucketed=False, **KW)
+    d = CrawlDriver(spark, str(tmp_path / "gated"), cfg2, bucketed=True,
+                    full_rewrite_every=1000, **KW)
+    for x in (ref, d):
+        x.inject(seeds_df(spark), T0)
+    for k in range(3):
+        t = T0 + 1000 + k * 3_600_000
+        ref.run_cycle(k, t)
+        d.run_cycle(k, t)
+    hist = d.hostdb.history()
+    # cycles 0 and 2 are due; cycle 1 wrote nothing
+    assert [s["cycle_id"] for s in hist] == [0, 2]
+    assert d._hostdb_full_scans == 0
+    # the cycle-2 update catches up on buckets touched in cycles 1 AND 2:
+    # it must equal the reference driver's per-cycle full recompute at
+    # cycle 2 (hostdb carries running counters, so compare same cadence)
+    ref2 = CrawlDriver(spark, str(tmp_path / "ref2"), cfg2, bucketed=False, **KW)
+    ref2.inject(seeds_df(spark), T0)
+    for k in range(3):
+        ref2.run_cycle(k, T0 + 1000 + k * 3_600_000)
+    assert hdb_snap(d, spark) == hdb_snap(ref2, spark)
+
+    never = CrawlDriver(spark, str(tmp_path / "never"),
+                        CFG.with_(hostdb_every=0), bucketed=True,
+                        full_rewrite_every=1000, **KW)
+    never.inject(seeds_df(spark), T0)
+    never.run_cycle(0, T0 + 1000)
+    assert not never.hostdb.exists()
 
 
 def test_incremental_frontier_size_no_full_job(spark, tmp_path):

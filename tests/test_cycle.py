@@ -128,6 +128,37 @@ def test_url_seen_filter_cycle_identity(spark, tmp_path):
     assert os.path.exists(str(tmp_path / "seen" / "url_seen_blooms"))
 
 
+def test_url_seen_additions_on_cycle_identity(spark, tmp_path):
+    """additions-ON + URL-seen: definitely-new links take the direct
+    new-row path, shards are refreshed per cycle from the committed
+    frontier — across multiple cycles the frontier is IDENTICAL to the
+    unfiltered plan (a stale shard would double-insert existing urls;
+    a false drop would lose links — both diverge here)."""
+    import os
+
+    def snap(d):
+        return sorted(
+            (r.url, r.status, r.fetch_time, r.retries, float(r.score))
+            for r in d.frontier.read(spark).collect()
+        )
+
+    for bucketed in (False, True):
+        sub = tmp_path / f"b{int(bucketed)}"
+        base = CrawlDriver(spark, str(sub / "base"), CFG,
+                           bucketed=bucketed, **FETCH_KW)
+        seen = CrawlDriver(spark, str(sub / "seen"),
+                           CFG.with_(use_url_seen=True),
+                           bucketed=bucketed, **FETCH_KW)
+        for d in (base, seen):
+            d.inject(seeds_df(spark), T0)
+        for k in range(2):
+            t = T0 + 1000 + k * 3_600_000
+            base.run_cycle(k, t)
+            seen.run_cycle(k, t)
+            assert snap(base) == snap(seen), f"bucketed={bucketed} cycle {k}"
+        assert os.path.exists(str(sub / "seen" / "url_seen_blooms"))
+
+
 def test_free_generate(spark):
     """FreeGenerator: fetchlist straight from a URL list — normalized,
     deduped, FETCHLIST-shaped, reference partitioning."""

@@ -176,6 +176,60 @@ def test_minhash_star_and_cap_modes(spark):
     assert (0, 1) in s and (0, 2) in s
 
 
+def _components(n_ids, pairs):
+    """Union-find → frozenset of frozenset components (singletons too)."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for i in n_ids:
+        groups.setdefault(find(i), set()).add(i)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_star_mode_component_equivalence_property(spark):
+    """Property: after union-find, pair_mode='star' yields IDENTICAL dedup
+    groups to all-pairs mode — star emits (bucket-min, other) per bucket,
+    a spanning star of every bucket clique, so transitive closure is
+    preserved.  Random clustered corpus, multiple seeds."""
+    import random
+
+    words = ("spark frontier crawl fetch parse host url image caption "
+             "robots delay score bucket shard merge snapshot commit "
+             "python engine scale shuffle join window agg").split()
+    for seed in (7, 19, 83):
+        rng = random.Random(seed)
+        rows, did = [], 0
+        for _ in range(14):  # 14 clusters of 1-6 near-dup docs
+            base = " ".join(rng.choices(words, k=40))
+            for _ in range(rng.randint(1, 6)):
+                toks = base.split()
+                for _ in range(rng.randint(0, 3)):  # small mutations
+                    toks[rng.randrange(len(toks))] = rng.choice(words)
+                rows.append((did, " ".join(toks)))
+                did += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ids = [r[0] for r in rows]
+        kw = dict(k=4, n_hashes=32, bands=16, verify_threshold=None)
+        all_pairs = {(r.id_a, r.id_b) for r in
+                     minhash_lsh_pairs(docs, **kw).collect()}
+        star_pairs = {(r.id_a, r.id_b) for r in
+                      minhash_lsh_pairs(docs, pair_mode="star",
+                                        **kw).collect()}
+        assert star_pairs <= all_pairs
+        assert _components(ids, star_pairs) == _components(ids, all_pairs), \
+            f"seed {seed}: dedup groups diverged"
+
+
 def test_lang_id_and_quality(spark):
     out = {r.doc_id: r for r in
            with_quality(with_lang_id(docs_df(spark))).collect()}

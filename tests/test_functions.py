@@ -283,3 +283,214 @@ def test_text_profile_signature():
     assert isinstance(sig, bytes) and len(sig) == 16
     # token rules: tokens of len <= 2 ignored
     assert text_profile_signature_one("ab cd ef") == hashlib.md5(b"").digest()
+
+
+# ---------------------------------------------------------------------------
+# HTML outlink extraction (parse-html DOMContentUtils port)
+# ---------------------------------------------------------------------------
+
+
+def test_html_outlinks_table():
+    from coherencebot_spark.functions.outlinks import outlinks_from_html
+
+    page = "http://h.example.org/dir/page.html"
+
+    # relative + absolute + anchor text
+    got = outlinks_from_html(
+        '<html><body><a href="sub/x.html">Go  here</a>'
+        '<a href="/root.html">Root</a>'
+        '<a href="http://other.org/abs">Abs</a></body></html>', page)
+    assert got == [
+        ("http://h.example.org/dir/sub/x.html", "Go here"),
+        ("http://h.example.org/root.html", "Root"),
+        ("http://other.org/abs", "Abs"),
+    ]
+
+    # <base href> wins over the page URL (and itself resolves vs the page)
+    got = outlinks_from_html(
+        '<html><head><base href="/b/"></head>'
+        '<body><a href="y.html">Y</a></body></html>', page)
+    assert got == [("http://h.example.org/b/y.html", "Y")]
+
+    # <base> after <body> is ignored (getBase stops at body)
+    got = outlinks_from_html(
+        '<html><body><base href="http://evil.org/">'
+        '<a href="y.html">Y</a></body></html>', page)
+    assert got == [("http://h.example.org/dir/y.html", "Y")]
+
+    # frames / iframes / link / script / img / area → src|href, anchor ""
+    got = outlinks_from_html(
+        '<frameset><frame src="f1.html"><iframe src="f2.html"></iframe>'
+        '</frameset><link href="s.css"><script src="j.js"></script>'
+        '<img src="i.png"><area href="a.html">', page)
+    assert got == [
+        ("http://h.example.org/dir/f1.html", ""),
+        ("http://h.example.org/dir/f2.html", ""),
+        ("http://h.example.org/dir/s.css", ""),
+        ("http://h.example.org/dir/j.js", ""),
+        ("http://h.example.org/dir/i.png", ""),
+        ("http://h.example.org/dir/a.html", ""),
+    ]
+
+    # rel=nofollow and method=post are dropped; form needs use_form_action
+    assert outlinks_from_html(
+        '<a href="x" rel="nofollow">n</a>'
+        '<form action="do" method="post"><a href="k">K</a></form>', page
+    ) == [("http://h.example.org/dir/k", "K")]
+    assert outlinks_from_html(
+        '<form action="do.cgi"><input></form>', page) == []
+    assert outlinks_from_html(
+        '<form action="do.cgi"><input></form>', page,
+        use_form_action=True) == [("http://h.example.org/dir/do.cgi", "")]
+
+    # img alt fallback for anchor text; the img src is ALSO a link
+    got = outlinks_from_html(
+        '<a href="x.html"><img src="pic.png" alt="A pic"></a>', page)
+    assert ("http://h.example.org/dir/pic.png", "") in got
+    assert ("http://h.example.org/dir/x.html", "A pic") in got
+
+    # ignore_tags removes a source entirely
+    assert outlinks_from_html('<img src="i.png"><a href="x">X</a>', page,
+                              ignore_tags=("img",)) == [
+        ("http://h.example.org/dir/x", "X")]
+
+    # pure-query target: RFC 3986 §5.4.1 ex.7 (URLUtil.fixPureQueryTargets)
+    assert outlinks_from_html('<a href="?pg=2">2</a>',
+                              "http://h.org/Careers/Search.aspx?co=0") == [
+        ("http://h.org/Careers/Search.aspx?pg=2", "2")]
+
+    # nested <a> implicitly closes the open one; unclosed <a> at EOF kept
+    got = outlinks_from_html('<a href="one">first<a href="two">second', page)
+    assert got == [("http://h.example.org/dir/one", "first"),
+                   ("http://h.example.org/dir/two", "second")]
+
+    # garbage in → no links, no exception
+    assert outlinks_from_html("\x00<<<>>!!", page) == []
+    assert outlinks_from_html(None, page) == []
+
+
+def test_html_outlinks_in_parse_operator(spark):
+    """End-to-end: outlink_fn=extract_outlinks_html over an html column —
+    LINKED rows carry resolved urls + anchors; plain-text path unchanged."""
+    import pandas as pd
+    from coherencebot_spark.functions.outlinks import (
+        extract_outlinks_html, extract_outlinks_text)
+    from coherencebot_spark.operators.parse import parse
+    from coherencebot_spark.status import Fetch, Msg
+    from pyspark.sql import functions as F
+
+    content = spark.createDataFrame(
+        [("http://h1.org/a/p.html", "h1.org", 1.0,
+          b"\x89PNG", 1, 1, "png", 0,
+          '<a href="q.html">Q</a><a href="http://h2.org/z">Z</a>'),
+         ("http://h2.org/i.html", "h2.org", 1.0,
+          b"\x89PNG", 1, 1, "png", 0,
+          '<base href="http://cdn.h2.org/x/"><frame src="f.html">')],
+        "url string, host string, score float, bytes binary, w int, h int,"
+        " fmt string, phash long, caption string")
+    log = content.select("url", "host",
+                         F.lit(int(Fetch.SUCCESS)).alias("status"))
+    out = parse(log, content, outlink_fn=extract_outlinks_html(),
+                outlink_source="caption")
+    linked = {(r.url, r.anchor, r.from_url) for r in
+              out.filter(F.col("status") == int(Msg.LINKED)).collect()}
+    assert ("http://h1.org/a/q.html", "Q", "http://h1.org/a/p.html") in linked
+    assert ("http://h2.org/z", "Z", "http://h1.org/a/p.html") in linked
+    assert ("http://cdn.h2.org/x/f.html", "", "http://h2.org/i.html") in linked
+
+    # the one-arg plain-text contract still works through the same stage
+    out2 = parse(log, content,
+                 outlink_fn=lambda s: extract_outlinks_text(s),
+                 outlink_source="caption")
+    assert out2.filter(F.col("status") == int(Msg.LINKED)).count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# urlfilter-validator / urlfilter-automaton (F2c stragglers)
+# ---------------------------------------------------------------------------
+
+
+def test_validator_url_filter_table():
+    """Cases from the plugin's own TestUrlValidator.java."""
+    from coherencebot_spark.functions.urls import ValidatorURLFilter
+
+    f = ValidatorURLFilter()
+    invalid = [
+        None,
+        "example.com/file[/].html",
+        "http://www.example.com/space here.html",
+        "/main.html",
+        "www.example.com/main.html",
+        "ftp:www.example.com/main.html",
+        "http://999.000.456.32/nutch/trunk/README.txt",
+        " http://www.example.com/ma|in\\toc.html",
+    ]
+    valid = [
+        "https://issues.apache.org/jira/NUTCH-1127",
+        "http://domain.tld/function.cgi?url=http://fonzi.com/&amp;name="
+        "Fonzi&amp;mood=happy&amp;coat=leather",
+        "http://validator.w3.org/feed/check.cgi?url=http%3A%2F%2F"
+        "feeds.feedburner.com%2Fperishablepress",
+        "ftp://alfa.bravo.pi/mike/check/plan.pdf",
+        "http://10.0.0.1:8080/x",
+    ]
+    got = f.accept(pd.Series(invalid + valid, dtype=object))
+    assert list(got) == [False] * len(invalid) + [True] * len(valid)
+
+
+def test_automaton_url_filter_samples():
+    """The plugin's sample corpora verbatim: WholeWebCrawling and
+    IntranetCrawling rules/urls (urlfilter-automaton/sample/*) — note the
+    full-match semantics difference vs urlfilter-regex (the path-loop urls
+    that regex REJECTS are ACCEPTED here, exactly as the sample expects)."""
+    from coherencebot_spark.functions.urls import AutomatonURLFilter
+
+    web = AutomatonURLFilter()  # defaults = sample/WholeWebCrawling.rules
+    web_cases = {
+        "file://home/jc/nutch/index.html": False,
+        "ftp://ftp.apache.org/nutch.html": False,
+        "mailto:jerome.charron@gmail.com": False,
+        "news://any.news.server/comp.lang.java": True,
+        "whois:/nutch.org": True,
+        "http://www.nutch.org/nutch.gif": False,
+        "http://www.nutch.org/nutch.eps": False,
+        "http://www.nutch.org/nutch?q=nutch": False,
+        "http://www.nutch.org/": True,
+        # full-match: the regex plugin's loop-breaker rejects these, the
+        # automaton sample accepts them
+        "http://www.nutch.org/abcd/foo/bar/foo/bar/foo/": True,
+        "http://www.nutch.org/abcd/foo/bar/xyz/foo/bar/foo/": True,
+    }
+    got = web.accept(pd.Series(list(web_cases), dtype=object))
+    assert list(got) == list(web_cases.values())
+
+    intranet = AutomatonURLFilter(rules=(
+        "-(file|ftp|mailto):.*",
+        r"-.*\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg|xls"
+        r"|gz|rpm|tgz|mov|MOV|exe|png)",
+        "-.*[?*!@=].*",
+        r"+http://([a-z0-9]*\.)*MY.DOMAIN.NAME/.*",
+        "-.*",
+    ))
+    intranet_cases = {
+        "file://home/jc/nutch/index.html": False,
+        "news://any.news.server/comp.lang.java": False,
+        "whois:/nutch.org": False,
+        "http://MY.DOMAIN.NAME/": True,
+        "http://MY.DOMAIN.NAME/nutch": True,
+        "http://www.MY.DOMAIN.NAME/": True,
+        "http://www.nutch.org/": False,
+    }
+    got = intranet.accept(pd.Series(list(intranet_cases), dtype=object))
+    assert list(got) == list(intranet_cases.values())
+
+
+def test_validator_in_filter_chain():
+    from coherencebot_spark.functions.urls import (
+        RegexURLFilter, URLFilterChain, ValidatorURLFilter)
+
+    chain = URLFilterChain([ValidatorURLFilter(), RegexURLFilter()])
+    s = pd.Series(["http://ok.example.org/page",
+                   "http://bad host/x",
+                   "http://ok.example.org/img.gif"], dtype=object)
+    assert list(chain.accept(s)) == [True, False, False]

@@ -183,3 +183,16 @@ def test_index_documents_and_csv(spark, tmp_path):
     write_csv(docs, str(tmp_path / "csv"))
     out = spark.read.option("header", True).csv(str(tmp_path / "csv"))
     assert out.count() == 2
+
+
+def test_kafka_sink_gated_with_actionable_error(spark):
+    """No Kafka connector jar ships in this sandbox (permanently ⚪ in
+    COVERAGE.md): the sink must fail with the actionable --packages
+    message, not Spark's generic ClassNotFound chain."""
+    import pytest
+
+    from coherencebot_spark.sources.sinks import write_kafka
+
+    df = spark.createDataFrame([("u1", 1)], "url string, status int")
+    with pytest.raises(RuntimeError, match="--packages"):
+        write_kafka(df, "localhost:9092", "t")
