@@ -713,6 +713,91 @@ def _q_validator_filter(spark, sf_dir):
     return d.select(url.alias("url")).withColumn("valid", acc(F.col("url")))
 
 
+def _link_graph(spark, sf_dir):
+    """Deterministic link graph over documents: each doc links to two
+    pseudo-random targets (self-loops later removed by build_webgraph)."""
+    from coherencebot_spark.status import Msg
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 300").select("doc_id")
+    u = lambda c: F.concat(F.lit("http://g"), c.cast("string"), F.lit(".org/"))  # noqa: E731
+    t1 = (F.col("doc_id") * 7 + 1) % 300
+    # second target ranges to 319: nodes 300-319 are pure sinks, so the
+    # dangling-mass redistribution is exercised under the oracle
+    t2 = (F.col("doc_id") * 13 + 5) % 320
+    rows = d.select(
+        u(F.col("doc_id")).alias("from_url"),
+        F.explode(F.array(u(t1), u(t2))).alias("url"),
+    )
+    return rows.select(
+        "url", F.lit(None).cast("string").alias("host"),
+        F.lit(int(Msg.LINKED)).alias("status"),
+        F.lit(0.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        "from_url", F.lit(None).cast("string").alias("anchor"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+
+
+def _q_webgraph_degrees(spark, sf_dir):
+    # SC7 build_webgraph node table (WebGraph.java node/edge extraction):
+    # dedup + self-loop removal + in/out degrees
+    from coherencebot_spark.operators.webgraph import build_webgraph
+
+    nodes, _ = build_webgraph(_link_graph(spark, sf_dir))
+    return nodes
+
+
+def _q_linkrank(spark, sf_dir):
+    # SC7 LinkRank (LinkRank.java): 3 iterations unrolled in the DuckDB
+    # twin — rank = 0.15 + 0.85*(inflow + dangling/n), dangling mass
+    # redistributed uniformly, exactly the operator's recurrence
+    from coherencebot_spark.operators.webgraph import build_webgraph, linkrank
+
+    nodes, edges = build_webgraph(_link_graph(spark, sf_dir))
+    r = linkrank(nodes, edges, iterations=3)
+    return r.select("url", F.round("rank", 4).alias("rank"))
+
+
+def _q_link_depth(spark, sf_dir):
+    # SC6 scoring-depth (DepthScoringFilter.distributeScoreToOutlinks):
+    # children of max-depth parents are discarded, survivors get
+    # depth+1 stamped
+    from coherencebot_spark.operators.depth import limit_outlinks_by_depth
+    from coherencebot_spark.status import Msg
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    purl = F.concat(F.lit("http://d"), (F.col("doc_id") % 40).cast("string"),
+                    F.lit(".org/p"), F.col("doc_id").cast("string"))
+    parent_meta = d.select(
+        purl.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 != 0,  # every 7th parent has NO depth meta
+            F.create_map(
+                F.lit("_depth_"),
+                (F.col("doc_id") % 4 + 1).cast("string"),
+                F.lit("_maxdepth_"), F.lit("3"),
+            ),
+        ).alias("metadata"),
+    )
+    links = d.select(
+        F.concat(F.lit("http://d"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".org/child"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(int(Msg.LINKED)).alias("status"),
+        F.lit(0.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        purl.alias("from_url"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    kept = limit_outlinks_by_depth(links, parent_meta, default_max_depth=3)
+    return kept.select(
+        "url", "from_url",
+        F.col("metadata").getItem("_depth_").alias("child_depth"),
+    )
+
+
 def _q_segment_stats(spark, sf_dir):
     # readseg -list aggregation over a fetch-log synthesized from events
     from coherencebot_spark.operators.readseg import segment_list
@@ -820,6 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "free_generator": _q_free_generator,
         "html_outlinks": _q_html_outlinks,
+        "webgraph_degrees": _q_webgraph_degrees,
+        "linkrank": _q_linkrank,
+        "link_depth": _q_link_depth,
         "automaton_filter": _q_automaton_filter,
         "validator_filter": _q_validator_filter,
         "segment_stats": _q_segment_stats,
@@ -1273,6 +1361,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'http://abs.example.org/x' || doc_id, 'A' FROM pre
             UNION ALL  -- <img src> resolves like any link, anchor ''
             SELECT doc_id, basep || 'i' || doc_id || '.png', '' FROM pre
+        """,
+        "webgraph_degrees": """
+            WITH raw AS (
+              SELECT 'http://g' || doc_id || '.org/' AS f,
+                     'http://g' || ((doc_id*7+1) % 300) || '.org/' AS t
+              FROM documents WHERE doc_id < 300
+              UNION ALL
+              SELECT 'http://g' || doc_id || '.org/',
+                     'http://g' || ((doc_id*13+5) % 320) || '.org/'
+              FROM documents WHERE doc_id < 300
+            ),
+            edges AS (SELECT DISTINCT f, t FROM raw WHERE f <> t),
+            urls AS (SELECT f AS url FROM edges UNION SELECT t FROM edges)
+            SELECT u.url, COALESCE(o.c, 0)::BIGINT AS outdegree,
+                   COALESCE(i.c, 0)::BIGINT AS indegree
+            FROM urls u
+            LEFT JOIN (SELECT f, COUNT(*) c FROM edges GROUP BY f) o
+              ON o.f = u.url
+            LEFT JOIN (SELECT t, COUNT(*) c FROM edges GROUP BY t) i
+              ON i.t = u.url
+        """,
+        "linkrank": """
+            WITH raw AS (
+              SELECT 'http://g' || doc_id || '.org/' AS f,
+                     'http://g' || ((doc_id*7+1) % 300) || '.org/' AS t
+              FROM documents WHERE doc_id < 300
+              UNION ALL
+              SELECT 'http://g' || doc_id || '.org/',
+                     'http://g' || ((doc_id*13+5) % 320) || '.org/'
+              FROM documents WHERE doc_id < 300
+            ),
+            edges AS (SELECT DISTINCT f, t FROM raw WHERE f <> t),
+            urls AS (SELECT f AS url FROM edges UNION SELECT t FROM edges),
+            deg AS (SELECT u.url, COALESCE(o.c, 0) AS outdeg FROM urls u
+                    LEFT JOIN (SELECT f, COUNT(*) c FROM edges GROUP BY f) o
+                      ON o.f = u.url),
+            nt AS (SELECT COUNT(*)::DOUBLE c FROM urls),
+            r0 AS (SELECT url, 1.0::DOUBLE AS rank FROM urls),
+            -- LinkRank recurrence, 3 iterations unrolled:
+            -- rank' = 0.15 + 0.85*(sum(rank_i/outdeg_i) + dangling/n)
+            d0 AS (SELECT COALESCE(SUM(r.rank), 0)::DOUBLE m FROM r0 r
+                   JOIN deg g USING (url) WHERE g.outdeg = 0),
+            c0 AS (SELECT e.t AS url, SUM(r.rank / g.outdeg) AS inflow
+                   FROM r0 r JOIN deg g USING (url)
+                   JOIN edges e ON e.f = r.url
+                   WHERE g.outdeg > 0 GROUP BY e.t),
+            r1 AS (SELECT u.url, 0.15 + 0.85*(COALESCE(c.inflow, 0)
+                     + (SELECT m FROM d0)/(SELECT c FROM nt)) AS rank
+                   FROM urls u LEFT JOIN c0 c USING (url)),
+            d1 AS (SELECT COALESCE(SUM(r.rank), 0)::DOUBLE m FROM r1 r
+                   JOIN deg g USING (url) WHERE g.outdeg = 0),
+            c1 AS (SELECT e.t AS url, SUM(r.rank / g.outdeg) AS inflow
+                   FROM r1 r JOIN deg g USING (url)
+                   JOIN edges e ON e.f = r.url
+                   WHERE g.outdeg > 0 GROUP BY e.t),
+            r2 AS (SELECT u.url, 0.15 + 0.85*(COALESCE(c.inflow, 0)
+                     + (SELECT m FROM d1)/(SELECT c FROM nt)) AS rank
+                   FROM urls u LEFT JOIN c1 c USING (url)),
+            d2 AS (SELECT COALESCE(SUM(r.rank), 0)::DOUBLE m FROM r2 r
+                   JOIN deg g USING (url) WHERE g.outdeg = 0),
+            c2 AS (SELECT e.t AS url, SUM(r.rank / g.outdeg) AS inflow
+                   FROM r2 r JOIN deg g USING (url)
+                   JOIN edges e ON e.f = r.url
+                   WHERE g.outdeg > 0 GROUP BY e.t),
+            r3 AS (SELECT u.url, 0.15 + 0.85*(COALESCE(c.inflow, 0)
+                     + (SELECT m FROM d2)/(SELECT c FROM nt)) AS rank
+                   FROM urls u LEFT JOIN c2 c USING (url))
+            SELECT url, ROUND(rank, 4) AS rank FROM r3
+        """,
+        "link_depth": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 40 AS h, doc_id % 4 AS k4,
+                     (doc_id % 7 = 0) AS nometa
+              FROM documents WHERE doc_id < 400
+            ),
+            x AS (
+              SELECT 'http://d' || h || '.org/p' || doc_id AS from_url,
+                     'http://d' || h || '.org/child' || doc_id AS url,
+                     -- parents without depth metadata default to depth 1
+                     CASE WHEN nometa THEN 1 ELSE k4 + 1 END AS pdepth
+              FROM d
+            )
+            -- children of parents at _maxdepth_ (3) are thrown away;
+            -- survivors get depth+1 stamped
+            SELECT url, from_url, (pdepth + 1)::VARCHAR AS child_depth
+            FROM x WHERE pdepth < 3
         """,
         "automaton_filter": """
             WITH u AS (

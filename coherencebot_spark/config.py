@@ -91,6 +91,12 @@ class CrawlConfig:
     score_internal: float = 1.0           # db.score.link.internal
     score_external: float = 1.0           # db.score.link.external
     score_count_filtered: bool = False    # db.score.count.filtered
+    # outlink policy at parse time (ParseOutputFormat.java:283-311):
+    # drop external/internal outlinks inside the extract loop, BEFORE the
+    # accepted-count cap and the OPIC divisor; external drops can be
+    # exempted per-url via an ExemptionURLFilter (urlfilter-ignoreexempt)
+    ignore_external_links: bool = False   # db.ignore.external.links
+    ignore_internal_links: bool = False   # db.ignore.internal.links
 
     # --- hostdb cadence (ref src/bin/crawl:407-410 runs updatehostdb
     # optionally / on a flag; a per-cycle full-frontier aggregate is the

@@ -574,6 +574,20 @@ class AutomatonURLFilter(RegexURLFilter):
         return verdict
 
 
+class ExemptionURLFilter(RegexURLFilter):
+    """urlfilter-ignoreexempt (``ignoreexempt/ExemptionUrlFilter.java``):
+    decides whether an EXTERNAL outlink is exempt from
+    ``db.ignore.external.links``.  Same +/- rule syntax as the regex
+    filter, applied to the target url; no matching rule → not exempt
+    (the plugin's "If no pattern matches, the URL is ignored").  Default
+    rule set is EMPTY — exemptions are always opt-in."""
+
+    DEFAULT_RULES: tuple[str, ...] = ()
+
+    def exempt(self, to_urls: pd.Series) -> pd.Series:
+        return self.accept(to_urls)
+
+
 class ValidatorURLFilter:
     """urlfilter-validator: drop syntactically invalid URLs
     (``urlfilter-validator/.../UrlValidator.java`` — the commons-validator

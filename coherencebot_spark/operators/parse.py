@@ -54,7 +54,8 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
           chain: URLFilterChain | None = None,
           max_outlinks_per_page: int = 100,
           outlink_source: str = "url",
-          validate_fn=None) -> DataFrame:
+          validate_fn=None,
+          exemption_filter=None) -> DataFrame:
     """Produce the PARSE_OUT rows for updatedb.
 
     ``outlink_fn(col) -> Series[list[(to_url, anchor)]]`` is the outlink
@@ -145,6 +146,13 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
     # no second Python round-trip.
     olf, fchain, src_col = outlink_fn, chain, outlink_source
     cap = int(max_outlinks_per_page)
+    # db.ignore.external/internal.links (ParseOutputFormat.java:283-311):
+    # applied INSIDE the loop, before the accepted-count cap, so the OPIC
+    # divisor counts only kept links; external drops can be exempted
+    # per-target (urlfilter-ignoreexempt, ExemptionUrlFilter.filter)
+    ignore_ext = bool(cfg.ignore_external_links)
+    ignore_int = bool(cfg.ignore_internal_links)
+    exempt_f = exemption_filter
     # extractors flagged needs_base (HTML) also receive the page-url column
     # so relative links resolve per page — same single Arrow stage
     needs_base = bool(getattr(outlink_fn, "needs_base", False))
@@ -165,6 +173,25 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
             ok = normed.notna().to_numpy() if len(flat) else np.zeros(0, bool)
             if fchain is not None and len(flat):
                 ok &= fchain.accept(normed.fillna("")).to_numpy()
+            if (ignore_ext or ignore_int) and len(flat):
+                from ..functions.urls import host_of
+
+                from_hosts = pd.Series(
+                    np.repeat(pdf["host"].fillna("").str.lower()
+                              .to_numpy(dtype=object), n_all),
+                    dtype=object,
+                )
+                to_hosts = host_of(normed).fillna("")
+                same = (to_hosts.to_numpy(dtype=object)
+                        == from_hosts.to_numpy(dtype=object))
+                if ignore_ext:
+                    keep_ext = same
+                    if exempt_f is not None:
+                        keep_ext = same | exempt_f.exempt(
+                            normed.fillna("")).to_numpy()
+                    ok &= keep_ext
+                if ignore_int:
+                    ok &= ~same
             # regroup by page offsets; cap counts accepted links only
             out_links, out_nvalid = [], np.zeros(len(raw), dtype=np.int64)
             normed_np = normed.to_numpy(dtype=object) if len(flat) else normed

@@ -328,3 +328,46 @@ def test_merge_segments(spark):
               fetch_time=T + 5)], FETCH_LOG)
     out = merge_segments([s1, s2]).collect()
     assert len(out) == 1 and out[0].status == Fetch.GONE
+
+
+def test_parse_ignore_external_with_exemption(spark):
+    """db.ignore.external.links at parse time: cross-host outlinks drop
+    INSIDE the extract loop (the OPIC divisor counts only kept links,
+    ParseOutputFormat.java:283-311); urlfilter-ignoreexempt exempts
+    matching targets; db.ignore.internal.links is the mirror case."""
+    from coherencebot_spark.functions.outlinks import extract_outlinks_text
+    from coherencebot_spark.functions.urls import ExemptionURLFilter
+
+    fl = spark.createDataFrame([fetch_row("https://h.example.org/p", score=3.0)],
+                               FETCH_LOG)
+    caption = ("see http://h.example.org/in1 and http://h.example.org/in2 "
+               "and http://other.org/ext and http://cdn.example.net/img1")
+    ct = spark.createDataFrame(
+        [content_row("https://h.example.org/p", caption=caption)], CONTENT)
+
+    def links_of(cfg, **kw):
+        out = parse(fl, ct, cfg, outlink_fn=extract_outlinks_text,
+                    outlink_source="caption", **kw)
+        return {r.url: r for r in out.collect() if r.status == int(Msg.LINKED)}
+
+    # baseline: all 4 kept, divisor 4
+    got = links_of(DEFAULT)
+    assert len(got) == 4
+    assert got["http://other.org/ext"].score == pytest.approx(3.0 / 4)
+
+    # ignore external: only same-host links survive, divisor 2
+    got = links_of(DEFAULT.with_(ignore_external_links=True))
+    assert set(got) == {"http://h.example.org/in1", "http://h.example.org/in2"}
+    assert got["http://h.example.org/in1"].score == pytest.approx(3.0 / 2)
+
+    # exemption: the cdn target is exempt from the external drop, divisor 3
+    ex = ExemptionURLFilter(rules=(r"+^http://cdn\.example\.net/",))
+    got = links_of(DEFAULT.with_(ignore_external_links=True),
+                   exemption_filter=ex)
+    assert set(got) == {"http://h.example.org/in1", "http://h.example.org/in2",
+                        "http://cdn.example.net/img1"}
+    assert got["http://cdn.example.net/img1"].score == pytest.approx(3.0 / 3)
+
+    # ignore internal: the mirror — externals only
+    got = links_of(DEFAULT.with_(ignore_internal_links=True))
+    assert set(got) == {"http://other.org/ext", "http://cdn.example.net/img1"}
