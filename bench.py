@@ -312,14 +312,16 @@ def main() -> None:
     lo, hi = SCALE_LO, SCALE_HI
     scale_cfg = CFG.with_(topn=SCALE_TOPN)
     reps = int(os.environ.get("BENCH_REPS", "2"))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1000"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_scaling = time.time()
     cycle_secs: dict[int, list] = {lo: [], hi: []}
     cycle_counts: dict[int, int] = {}
-    # one slow lo-level leg bracketed by cheap hi-level legs (best-of on
-    # the fast side, where throttle windows hurt most); extra legs only
-    # while the budget allows
-    seq = [hi, lo] + [hi] * max(reps - 1, 0) + [lo] * max(reps - 2, 0)
+    # BOTH levels get `reps` legs, interleaved hi/lo (VERDICT r2 caveat:
+    # the r2 driver run left the lo level at a single rep — a throttle
+    # window on that one leg skews the ratio with nothing to catch it);
+    # legs beyond the first pair are budget-gated so a slow VM still
+    # reports something
+    seq = [hi, lo] * max(reps, 1)
     for i, n in enumerate(seq):
         if i >= 2 and time.time() - t_scaling > budget_s:
             break

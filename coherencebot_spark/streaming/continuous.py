@@ -113,3 +113,55 @@ def stream_politeness_pacer(candidates, delay_ms: int,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_fetch_window_metrics(spark: SparkSession, src_dir: str,
+                                out_dir: str, checkpoint_dir: str,
+                                window: str = "10 minutes",
+                                watermark: str = "5 minutes",
+                                available_now: bool = True):
+    """Streaming A8: windowed per-status fetch metrics with LATE-DATA
+    semantics (the cycle lineage counters' continuous twin).
+
+    Reads FETCH_LOG-shaped parquet rows from ``src_dir`` as they land,
+    buckets them into event-time tumbling windows on ``fetch_time``,
+    and emits FINALIZED windows (append mode) once the watermark passes —
+    rows arriving more than ``watermark`` behind the max seen event time
+    are dropped, exactly Spark's late-data contract.  Output parquet:
+    (win_start long, win_end long, status int, cnt long) — epoch ms, the
+    engine's native time unit.
+
+    availableNow=True drains the current backlog and stops; successive
+    runs share the checkpoint, so the watermark ADVANCES across runs
+    (tested: a late row fed in a second run is excluded from its
+    already-closed window).
+    """
+    from ..schemas import FETCH_LOG
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(FETCH_LOG)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(src_dir)
+    )
+    agged = (
+        stream
+        .withColumn("ts", F.timestamp_millis(F.col("fetch_time")))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "status")
+        .count()
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start"),
+            F.unix_millis(F.col("win.end")).alias("win_end"),
+            "status",
+            F.col("count").alias("cnt"),
+        )
+    )
+    writer = (
+        agged.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

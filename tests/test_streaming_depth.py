@@ -114,3 +114,67 @@ def test_stream_politeness_pacer_state_across_batches(spark, tmp_path):
     # batch 2 resumes h1's clock AFTER the carried state (T + 2000),
     # not back at cur_time — the state survived the restart
     assert rows["https://h1/c"] == T + 2000
+
+
+def test_stream_fetch_window_metrics_watermark(spark, tmp_path):
+    """Windowed fetch metrics with late data: windows finalize only after
+    the watermark passes; a row arriving (in a later run, shared
+    checkpoint) behind the watermark is DROPPED from its closed window."""
+    from pyspark.sql import functions as F
+
+    from coherencebot_spark.schemas import FETCH_LOG
+    from coherencebot_spark.status import Fetch
+    from coherencebot_spark.streaming.continuous import (
+        stream_fetch_window_metrics,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    MIN = 60_000
+    TB = (T // (10 * MIN)) * (10 * MIN)  # aligned to the 10-min grid
+
+    def log_rows(rows, name):
+        df = spark.createDataFrame(
+            [(u, "h1.org", int(st), TB + int(m * MIN), 0, 0, 1.0,
+              None, 0, None, 200, None) for u, st, m in rows],
+            FETCH_LOG,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(src / name))
+        # move part file up — the file source watches a flat dir
+        import glob
+        import shutil
+        part = glob.glob(str(src / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+        shutil.rmtree(str(src / name))
+
+    def run():
+        q = stream_fetch_window_metrics(spark, str(src), out, ckpt)
+        q.awaitTermination(180)
+
+    # run 1: 3 successes + 1 gone inside window [TB, TB+10min)
+    log_rows([("u1", Fetch.SUCCESS, 1), ("u2", Fetch.SUCCESS, 3),
+              ("u3", Fetch.GONE, 7), ("u4", Fetch.SUCCESS, 9)], "b1")
+    run()
+    # watermark = 9min - 5min = 4min < 10min: window still open, no output
+    assert spark.read.parquet(out).count() == 0
+
+    # run 2: +25min row — processed under the OLD watermark (4min); the
+    # new one (20min) takes effect from the next batch (Spark's contract)
+    log_rows([("u5", Fetch.SUCCESS, 25)], "b2")
+    run()
+    # run 3: watermark is now 20min — the first window closes and emits;
+    # a LATE row at +2min (far behind the watermark) must be dropped
+    log_rows([("late", Fetch.SUCCESS, 2), ("u6", Fetch.SUCCESS, 26)], "b3")
+    run()
+    rows = {(r.win_start - TB) // MIN: r.cnt
+            for r in spark.read.parquet(out)
+            .filter(F.col("status") == int(Fetch.SUCCESS)).collect()}
+    # first window finalized with 3 successes — WITHOUT the late row
+    assert rows[0] == 3, rows
+    gone = {((r.win_start - TB) // MIN, r.cnt)
+            for r in spark.read.parquet(out)
+            .filter(F.col("status") == int(Fetch.GONE)).collect()}
+    assert gone == {(0, 1)}
