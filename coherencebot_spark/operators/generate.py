@@ -60,6 +60,18 @@ def _gates(frontier: DataFrame, cur_time: int, cfg: CrawlConfig,
 
     max_int_ms = F.lit(int(cfg.interval_max_s) * 1000)
     far_future = (F.col("fetch_time") - F.lit(cur_time)) > max_int_ms
+    # Due-filter on the RAW column FIRST: the post-clamp filter below sees
+    # a CASE expression Catalyst cannot push, so without this conjunct the
+    # scan decodes the whole frontier.  A row survives the clamped filter
+    # iff (fetch_time <= now) OR far_future — both plain range predicates
+    # on the stored column, so they reach the parquet scan as
+    # PushedFilters and prune not-yet-due row groups (the frontier is
+    # written sorted by fetch_time within buckets; tests assert both the
+    # pushdown and the decode drop).
+    df = df.filter(
+        (F.col("fetch_time") <= F.lit(cur_time))
+        | (F.col("fetch_time") > F.lit(cur_time) + max_int_ms)
+    )
     # far-future clamp mutates the generated entry (AbstractFetchSchedule:193-198)
     df = df.withColumn(
         "fetch_interval",

@@ -33,6 +33,15 @@ def main() -> None:
     ap.add_argument("--t0", type=int, default=1_700_000_000_000,
                     help="epoch-ms clock origin (injected, deterministic)")
     ap.add_argument("--n-hosts", type=int, default=1000)
+    ap.add_argument("--bucketed", action="store_true",
+                    help="MERGE-style frontier commits: cycle cost ∝ "
+                         "touched buckets (the 10^10 mode)")
+    ap.add_argument("--hostdb-every", type=int, default=1,
+                    help="update hostdb every N cycles (0 = never; "
+                         "ref src/bin/crawl --hostdbupdate)")
+    ap.add_argument("--use-url-seen", action="store_true",
+                    help="sharded-bloom URL-seen accel (shards refresh "
+                         "per cycle when additions are allowed)")
     args = ap.parse_args()
 
     from coherencebot_spark.config import DEFAULT
@@ -42,8 +51,11 @@ def main() -> None:
 
     spark = build_session(app_name="coherencebot-crawl")
     cfg = DEFAULT.with_(topn=args.topn, num_partitions=args.num_partitions,
-                        max_count=args.max_count)
-    driver = CrawlDriver(spark, args.workdir, cfg, n_hosts=args.n_hosts)
+                        max_count=args.max_count,
+                        hostdb_every=args.hostdb_every,
+                        use_url_seen=args.use_url_seen)
+    driver = CrawlDriver(spark, args.workdir, cfg, n_hosts=args.n_hosts,
+                         bucketed=args.bucketed)
 
     if args.seeds:
         seeds = read_seed_files(spark, args.seeds)

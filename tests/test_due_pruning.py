@@ -101,3 +101,34 @@ def test_cycle_frontier_is_sorted_at_rest(spark, tmp_path):
         assert vals == sorted(vals), f
         checked += len(vals)
     assert checked > 0
+
+
+def test_generate_pushes_due_filter_to_scan(spark, tmp_path):
+    """generate()'s due-gate must reach the parquet scan as PushedFilters
+    on the RAW fetch_time column — the clamped filter is a CASE expression
+    Catalyst cannot push, so generate pre-filters with the pushable
+    equivalent (due OR far-future)."""
+    import re
+
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.generate import generate
+
+    t = SnapshotTable(str(tmp_path / "f"), "f")
+    df = _frontier_df(spark).select(
+        "url", F.lit("h.org").alias("host"), F.lit(1).alias("status"),
+        "fetch_time", F.lit(0).alias("retries"),
+        F.lit(2_592_000).cast("long").alias("fetch_interval"),
+        F.lit(1.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        "bucket",
+    )
+    t.write(df.repartition("bucket"), partition_by=["bucket"],
+            sort_within=["bucket", "fetch_time"], write_options=SMALL_RG)
+    cur = 1_000_000  # ~5% of rows due
+    fl = generate(t.read(spark).drop("bucket"), cur,
+                  DEFAULT.with_(topn=50, num_partitions=2))
+    plan = fl._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert pushed and all("fetch_time" in p for p in pushed), plan[:2000]
