@@ -284,14 +284,20 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
     q = bucketize(
         queries.select(qid_col, F.col(vec_col).alias("_qv")), "_qv"
     )
-    cand = (
-        v.join(F.broadcast(q), ["tbl", "bkt"])
-        .select(qid_col, id_col, vec_col, "_qv")
-        .distinct()
-    )
+    # score every candidate match map-side (the broadcast join leaves the
+    # big side un-shuffled), THEN dedup multi-table duplicates on the
+    # narrow (query, id, cosine) rows — the former pre-score .distinct()
+    # shuffled candidates still CARRYING both embedding columns, which at
+    # 10^10 vectors is n_tables× the corpus bytes through one exchange.
+    # Duplicate (query, id) pairs have identical cosine, so max() == dedup.
+    cand = v.join(F.broadcast(q), ["tbl", "bkt"])
     cos = (_dot(F.col(vec_col), F.col("_qv"))
            / (_norm(F.col(vec_col)) * _norm(F.col("_qv"))))
-    scored = cand.select(qid_col, id_col, cos.alias("cosine"))
+    scored = (
+        cand.select(qid_col, id_col, cos.alias("_c"))
+        .groupBy(qid_col, id_col)
+        .agg(F.max("_c").alias("cosine"))
+    )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
