@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--use-url-seen", action="store_true",
                     help="sharded-bloom URL-seen accel (shards refresh "
                          "per cycle when additions are allowed)")
+    ap.add_argument("--expire-keep", type=int, default=0,
+                    help="after the run, expire all but the last N "
+                         "snapshots per table (0 = keep everything)")
     args = ap.parse_args()
 
     from coherencebot_spark.config import DEFAULT
@@ -77,6 +80,14 @@ def main() -> None:
     for m in metrics:
         print(json.dumps(m.as_dict()))
     print(f"{len(metrics)} cycles in {time.time()-t:.1f}s")
+    if args.expire_keep > 0:
+        removed = sum(
+            tbl.expire_snapshots(keep_last=args.expire_keep)
+            for tbl in (driver.frontier, driver.fetch_log, driver.content,
+                        driver.linkdb, driver.hostdb)
+        )
+        print(f"expired {removed} snapshot dirs (keep_last="
+              f"{args.expire_keep}; merge parents retained)")
     spark.stop()
 
 
