@@ -798,6 +798,95 @@ def _q_link_depth(spark, sf_dir):
     )
 
 
+def _frontier_from_docs(spark, sf_dir, n=500):
+    """FRONTIER-ish frame from documents: host/status/fetch_time derived
+    deterministically — shared by the reader-tool oracles."""
+    from coherencebot_spark.status import Db
+
+    d = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}")
+    host = F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".h"), (F.col("doc_id") % 23).cast("string"),
+                    F.lit(".example"),
+                    F.when(F.col("doc_id") % 2 == 0, ".org").otherwise(".net"))
+    status = (
+        F.when(F.col("doc_id") % 5 == 0, int(Db.FETCHED))
+        .when(F.col("doc_id") % 5 == 1, int(Db.NOTMODIFIED))
+        .when(F.col("doc_id") % 5 == 2, int(Db.GONE))
+        .otherwise(int(Db.UNFETCHED))
+    )
+    return d.select(
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host"),
+        status.cast("int").alias("status"),
+        (F.lit(1_700_000_000_000) + F.col("doc_id") * 1000)
+        .cast("long").alias("fetch_time"),
+    )
+
+
+def _q_crawl_completion(spark, sf_dir):
+    # A6 CrawlCompletionStats: fetched/unfetched per host
+    from coherencebot_spark.operators.readdb import crawl_completion_stats
+
+    return crawl_completion_stats(_frontier_from_docs(spark, sf_dir))
+
+
+def _q_domain_stats_suffix(spark, sf_dir):
+    # A7 DomainStatistics in suffix (TLD) mode
+    from coherencebot_spark.operators.readdb import domain_statistics
+
+    out = domain_statistics(_frontier_from_docs(spark, sf_dir),
+                            mode="suffix")
+    return out.select("suffix", F.col("count").alias("cnt"))
+
+
+def _q_segment_merge(spark, sf_dir):
+    # J6 SegmentMerger: latest row per url across two segments (unique
+    # fetch_times by construction — the reference's tie order is
+    # stream-nondeterministic, SURVEY §7.3 risk 2)
+    from coherencebot_spark.operators.merge import merge_segments
+
+    base = _frontier_from_docs(spark, sf_dir)
+    seg1 = base.select("url", "host", "status", "fetch_time")
+    seg2 = base.filter("fetch_time % 3000 = 0").select(
+        "url", "host",
+        F.lit(6).cast("int").alias("status"),
+        (F.col("fetch_time") + 500).cast("long").alias("fetch_time"),
+    )
+    return merge_segments([seg1, seg2])
+
+
+def _q_orphan_mark(spark, sf_dir):
+    # SC6b scoring-orphan: inlink-recency stamping + gone/orphan flips
+    from coherencebot_spark.operators.orphan import mark_orphans
+    from coherencebot_spark.status import Msg
+
+    DAY = 86_400_000
+    t0 = 1_700_000_000_000
+    cur = t0 + 60 * DAY
+    did = ((F.col("fetch_time") - t0) / 1000).cast("long")  # = doc_id
+    f = _frontier_from_docs(spark, sf_dir).select(
+        "url", "host", "status", "fetch_time",
+        # last-inlink stamp ages 0..49 days; every 6th row has NO stamp
+        F.when(
+            did % 6 != 0,
+            F.create_map(
+                F.lit("_last_inlink_"),
+                (F.lit(cur) - (did % 50) * DAY).cast("string"),
+            ),
+        ).alias("metadata"),
+    )
+    # every 4th url receives a fresh inlink this cycle
+    po = f.filter(did % 4 == 0).select(
+        "url", F.lit(int(Msg.LINKED)).alias("status"))
+    out = mark_orphans(f, po, cur, gone_after_ms=30 * DAY,
+                       orphan_after_ms=40 * DAY)
+    return out.select(
+        "url", "status",
+        F.col("metadata").getItem("_last_inlink_").alias("last_inlink"),
+    )
+
+
 def _q_segment_stats(spark, sf_dir):
     # readseg -list aggregation over a fetch-log synthesized from events
     from coherencebot_spark.operators.readseg import segment_list
@@ -910,6 +999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_depth": _q_link_depth,
         "automaton_filter": _q_automaton_filter,
         "validator_filter": _q_validator_filter,
+        "crawl_completion": _q_crawl_completion,
+        "domain_stats_suffix": _q_domain_stats_suffix,
+        "segment_merge": _q_segment_merge,
+        "orphan_mark": _q_orphan_mark,
         "segment_stats": _q_segment_stats,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -1488,6 +1581,79 @@ def oracle_sql() -> dict[str, str]:
             -- 5 no authority; 6 valid host + 1-5 digit port; 7 single-label
             -- host (needs >= 2 labels)
             SELECT url, (k IN (0, 4, 6)) AS valid FROM u
+        """,
+        "crawl_completion": """
+            WITH base AS (
+              SELECT doc_id,
+                's' || (doc_id % 7) || '.h' || (doc_id % 23) || '.example'
+                  || (CASE WHEN doc_id % 2 = 0 THEN '.org' ELSE '.net' END)
+                  AS host,
+                CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 6 WHEN 2 THEN 3
+                  ELSE 1 END AS status
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT host,
+                   SUM(CASE WHEN status IN (2, 6) THEN 1 ELSE 0 END)::BIGINT
+                     AS fetched,
+                   SUM(CASE WHEN status = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS unfetched
+            FROM base GROUP BY host
+        """,
+        "domain_stats_suffix": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'org' ELSE 'net' END
+                     AS suffix,
+                   COUNT(*)::BIGINT AS cnt
+            FROM documents WHERE doc_id < 500 GROUP BY 1
+        """,
+        "segment_merge": """
+            WITH base AS (
+              SELECT doc_id,
+                's' || (doc_id % 7) || '.h' || (doc_id % 23) || '.example'
+                  || (CASE WHEN doc_id % 2 = 0 THEN '.org' ELSE '.net' END)
+                  AS host,
+                CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 6 WHEN 2 THEN 3
+                  ELSE 1 END AS status,
+                1700000000000 + doc_id * 1000 AS fetch_time
+              FROM documents WHERE doc_id < 500
+            ),
+            f AS (SELECT 'http://' || host || '/p/' || doc_id AS url,
+                         host, status, fetch_time FROM base),
+            u AS (
+              SELECT url, host, status, fetch_time FROM f
+              UNION ALL
+              SELECT url, host, 6 AS status, fetch_time + 500
+              FROM f WHERE fetch_time % 3000 = 0
+            )
+            SELECT url, host, status, fetch_time FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                                           ORDER BY fetch_time DESC) AS rn
+              FROM u
+            ) WHERE rn = 1
+        """,
+        "orphan_mark": """
+            WITH base AS (
+              SELECT doc_id,
+                's' || (doc_id % 7) || '.h' || (doc_id % 23) || '.example'
+                  || (CASE WHEN doc_id % 2 = 0 THEN '.org' ELSE '.net' END)
+                  AS host,
+                CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 6 WHEN 2 THEN 3
+                  ELSE 1 END AS status
+              FROM documents WHERE doc_id < 500
+            )
+            -- inlink-this-cycle (doc_id%4=0) and first-sighting
+            -- (doc_id%6=0, no stamp) rows stamp cur and keep status;
+            -- otherwise age = doc_id%50 days: >40 orphan(8), >30 gone(3)
+            SELECT 'http://' || host || '/p/' || doc_id AS url,
+              CASE WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN status
+                   WHEN doc_id % 50 > 40 THEN 8
+                   WHEN doc_id % 50 > 30 THEN 3
+                   ELSE status END AS status,
+              CASE WHEN doc_id % 4 = 0 OR doc_id % 6 = 0
+                   THEN (1705184000000)::VARCHAR
+                   ELSE (1705184000000
+                         - (doc_id % 50) * 86400000)::VARCHAR
+                END AS last_inlink
+            FROM base
         """,
         "segment_stats": """
             SELECT COUNT(*)::BIGINT AS generated,
