@@ -130,20 +130,34 @@ class CrawlDriver:
             F.xxhash64("host"), F.lit(int(self.cfg.host_buckets))
         ).cast("int")
 
-    def _refresh_seen_blooms(self, touched: list[int] | None) -> None:
-        """(Re)build URL-seen bloom shards from the committed frontier.
-        ``touched=None`` rebuilds every shard; a list rebuilds only those
-        host-buckets (dynamic-partition overwrite — untouched shards stay,
-        and stay exact, because their buckets' url sets didn't change)."""
+    def _refresh_seen_blooms(self, touched: list[int] | None,
+                             frontier_df: DataFrame | None = None) -> None:
+        """(Re)build URL-seen bloom shards.  ``touched=None`` rebuilds
+        every shard; a list rebuilds only those host-buckets
+        (dynamic-partition overwrite — untouched shards stay, and stay
+        exact, because their buckets' url sets didn't change).
+
+        ``frontier_df`` (bucket column required) supplies the rows —
+        the cycle passes the NOT-YET-COMMITTED next frontier so the
+        refresh happens BEFORE the snapshot commit: a crash between
+        refresh and commit leaves shards with extra urls (false
+        positives — safe, the exact join decides), whereas the reverse
+        order would leave a STALE shard after a crash-after-commit
+        (false negatives → double-insert on the next cycle; the
+        committed-cycle resume path is an early-return no-op and could
+        never repair it)."""
         from ..functions.hashing import build_bloom_sharded
 
         n_buckets = int(self.cfg.host_buckets)
-        frontier = self.frontier.read(self.spark)
+        if frontier_df is not None:
+            frontier = frontier_df
+        else:
+            frontier = self.frontier.read(self.spark)
         if touched is not None:
             frontier = frontier.filter(F.col("bucket").isin(touched))
         hist = self.frontier.history()
-        cap = (hist[-1]["metrics"] or {}).get("frontier_size") or max(
-            frontier.count(), 1024)
+        cap = ((hist[-1]["metrics"] or {}).get("frontier_size")
+               if hist else None) or max(frontier.count(), 1024)
         built = build_bloom_sharded(
             frontier, "url", int(cap), n_buckets,
             bucket_expr=F.col("bucket").cast("int"),
@@ -340,6 +354,20 @@ class CrawlDriver:
             m.per_partition.setdefault(str(r["p"]), {})[str(r["status"])] = r["count"]
 
         new_frontier = new_frontier.persist()
+
+        # URL-seen shard refresh BEFORE the frontier commit: with
+        # additions allowed the key-set grows this cycle, and the shards
+        # must never go stale relative to a committed snapshot (see
+        # _refresh_seen_blooms on crash ordering).  Built from the
+        # persisted next-frontier rows — touched buckets only in merge
+        # mode.
+        if cfg.use_url_seen and cfg.additions_allowed \
+                and os.path.exists(self._blooms_path):
+            self._refresh_seen_blooms(
+                touched if use_merge else None,
+                frontier_df=self._with_bucket(new_frontier),
+            )
+
         meta = {k: v for k, v in m.as_dict().items() if k != "per_partition"}
         if use_merge:
             # incremental frontier_size: parent size − touched-bucket rows
@@ -375,15 +403,6 @@ class CrawlDriver:
                 metrics=meta, lineage=m.per_partition,
             )
         new_frontier.unpersist()
-
-        # URL-seen shard refresh: with additions allowed the frontier
-        # key-set grew this cycle — rebuild the affected shards from the
-        # just-committed snapshot (touched buckets only in merge mode,
-        # each a partition-pruned scan) so next cycle's probe has no
-        # false negatives
-        if cfg.use_url_seen and cfg.additions_allowed \
-                and os.path.exists(self._blooms_path):
-            self._refresh_seen_blooms(touched if use_merge else None)
 
         # ancillary tables (optional steps in the reference loop)
         self._update_linkdb(po_all, cycle_id, use_merge)

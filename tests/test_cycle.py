@@ -207,3 +207,42 @@ def test_segment_reader_tools(spark, tmp_path):
     text = "".join(open(f).read() for f in glob.glob(out + "/part-*"))
     assert "CrawlDatum:: status=" in text and "Content:: fmt=" in text
     assert url in text
+
+
+def test_url_seen_crash_after_commit_stays_fresh(spark, tmp_path):
+    """Crash AFTER the frontier commit (before ancillary steps), then
+    resume: the committed-cycle resume is an early-return no-op, so the
+    URL-seen shards must already be fresh — they refresh BEFORE the
+    commit.  With the old after-commit ordering this scenario left a
+    stale shard and cycle 1 double-inserted every url added in cycle 0."""
+
+    def snap(d):
+        return sorted(
+            (r.url, r.status, r.fetch_time, r.retries, float(r.score))
+            for r in d.frontier.read(spark).collect()
+        )
+
+    base = CrawlDriver(spark, str(tmp_path / "base"), CFG, **FETCH_KW)
+    seen = CrawlDriver(spark, str(tmp_path / "seen"),
+                       CFG.with_(use_url_seen=True), **FETCH_KW)
+    for d in (base, seen):
+        d.inject(seeds_df(spark), T0)
+
+    base.run_cycle(0, T0 + 1000)
+
+    # crash the seen driver right after the frontier snapshot commit
+    orig = seen._update_linkdb
+    def boom(*a, **k):
+        raise RuntimeError("crash before ancillary steps")
+    seen._update_linkdb = boom
+    with pytest.raises(RuntimeError, match="crash"):
+        seen.run_cycle(0, T0 + 1000)
+    assert seen.frontier.snapshot_for_cycle(0) is not None  # commit landed
+    seen._update_linkdb = orig
+
+    # resume (early-return no-op), then the NEXT cycle must still match
+    m = seen.run_cycle(0, T0 + 1000)
+    assert m.generated == 0
+    base.run_cycle(1, T0 + 3_601_000)
+    seen.run_cycle(1, T0 + 3_601_000)
+    assert snap(base) == snap(seen)
