@@ -575,7 +575,13 @@ def _q_ann_ivf(spark, sf_dir):
     q = em.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk_ivf(em, q, k=5, n_centroids=8, nprobe=3)
+    # codebook='first' (not the 'refined' production default): the oracle
+    # twin needs a codebook DuckDB can recompute bit-identically; the
+    # Lloyd-mean refinement sums floats in engine-specific order.  Refined
+    # codebook QUALITY is covered by the recall pytest
+    # (tests/test_datapipe.py::test_ivf_refined_codebook_recall).
+    out = cosine_topk_ivf(em, q, k=5, n_centroids=8, nprobe=3,
+                          codebook="first")
     return out.select("query_id", "vec_id",
                       F.round("cosine", 4).alias("cosine"), "rank")
 
@@ -905,6 +911,122 @@ def _q_segment_stats(spark, sf_dir):
     return segment_list(log)
 
 
+def _hostdb_from_docs(spark, sf_dir):
+    """HOSTDB-shaped frame aggregated deterministically from documents —
+    shared by the readhostdb_* oracles (counter sums are exact integers,
+    score is an integer-sum ratio, so both engines agree bit-for-bit)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+    m5 = F.col("doc_id") % 5
+    return d.groupBy(host.alias("host")).agg(
+        F.avg((F.col("doc_id") % 10).cast("double")).alias("score"),
+        F.sum(F.when(m5 == 0, 1).otherwise(0)).cast("long").alias("unfetched"),
+        F.sum(F.when(m5 == 1, 1).otherwise(0)).cast("long").alias("fetched"),
+        F.sum(F.when((m5 == 4) & (F.col("doc_id") % 2 == 1), 1).otherwise(0))
+        .cast("long").alias("not_modified"),
+        F.sum(F.when(m5 == 3, 1).otherwise(0)).cast("long").alias("redir_perm"),
+        F.sum(F.when((m5 == 4) & (F.col("doc_id") % 2 == 0), 1).otherwise(0))
+        .cast("long").alias("redir_temp"),
+        F.sum(F.when(m5 == 2, 1).otherwise(0)).cast("long").alias("gone"),
+        F.sum(F.when(F.col("doc_id") % 13 == 0, 1).otherwise(0))
+        .cast("long").alias("duplicate"),
+        F.sum(F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0))
+        .cast("long").alias("dns_failures"),
+        F.sum(F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0))
+        .cast("long").alias("connection_failures"),
+    ).withColumn("metadata", F.lit(None).cast("map<string,string>"))
+
+
+def _q_readhostdb_dump(spark, sf_dir):
+    # S11 ReadHostDb -dump with a JEXL filter expression (translated to a
+    # pushed SQL predicate over the ReadHostDbMapper variable set)
+    from coherencebot_spark.operators.readhostdb import dump
+
+    out = dump(_hostdb_from_docs(spark, sf_dir),
+               expr="fetched > 2 && ok >= gone")
+    return out.select("host", "unfetched", "fetched", "gone",
+                      "redirs", "ok", "num_records", "sum_failures")
+
+
+def _q_readhostdb_get(spark, sf_dir):
+    # S11 ReadHostDb -get: point lookup by hostname
+    from coherencebot_spark.operators.readhostdb import get
+
+    return get(_hostdb_from_docs(spark, sf_dir), "h5").select(
+        "host", "unfetched", "fetched", "gone", "num_records")
+
+
+def _q_readhostdb_stats(spark, sf_dir):
+    # S11 ReadHostDb stats: aggregate totals over the hostdb
+    from coherencebot_spark.operators.readhostdb import stats
+
+    return stats(_hostdb_from_docs(spark, sf_dir))
+
+
+def _q_protocol_status_stats(spark, sf_dir):
+    # util/ProtocolStatusStatistics: per-proto-status URL counts with the
+    # UNFETCHED branch for never-fetched records
+    from coherencebot_spark.operators.readseg import protocol_status_statistics
+
+    e = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("int"))
+        .when(F.col("event_type") == "click", 200)
+        .when(F.col("event_type") == "view", 301)
+        .otherwise(503)
+    )
+    return protocol_status_statistics(e.select(code.alias("proto_status")))
+
+
+def _q_politeness_clock_threads(spark, sf_dir):
+    # P2 with threads_per_queue=2: k in-flight slots — spacing applies per
+    # slot batch (fetch_ts = start + floor(rank/threads)·delay), mirroring
+    # FetchItemQueue's maxThreads>1 concurrency with minCrawlDelay spacing
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    delay, threads = 5000, 2
+    k = F.row_number().over(w) - 1
+    return e.select("user_id", "event_id").withColumn(
+        "k", k
+    ).withColumn(
+        "fetch_ts",
+        F.lit(1_700_000_000_000)
+        + F.floor(F.col("k") / threads).cast("long") * delay,
+    )
+
+
+def _q_dedup_phash_meta(spark, sf_dir):
+    # cross-cycle phash dedup (graft A5/J3 variant): the dedup key is the
+    # metadata-recorded img.phash, so images fetched under different urls
+    # in different cycles compete in one whole-db argmax
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.dedup import dedup
+    from coherencebot_spark.status import Db
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    f = d.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 23).cast("string"),
+                 F.lit(".example.org/p/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        F.lit(None).cast("string").alias("host"),
+        F.when(F.col("doc_id") % 4 == 0, int(Db.NOTMODIFIED))
+        .when(F.col("doc_id") % 4 == 3, int(Db.UNFETCHED))
+        .otherwise(int(Db.FETCHED)).cast("int").alias("status"),
+        (F.lit(1_700_000_000_000) + (F.col("doc_id") % 17) * 1000)
+        .cast("long").alias("fetch_time"),
+        (F.col("doc_id") % 97).cast("float").alias("score"),
+        F.when(F.col("doc_id") % 5 != 0,
+               F.create_map(F.lit("img.phash"),
+                            (F.col("doc_id") % 50).cast("string")))
+        .alias("metadata"),
+    )
+    out = dedup(
+        f.withColumn("phash_meta", F.col("metadata").getItem("img.phash")),
+        DEFAULT, key_col="phash_meta",
+    )
+    return out.select("url", "status")
+
+
 def _q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
 
@@ -1004,6 +1126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_merge": _q_segment_merge,
         "orphan_mark": _q_orphan_mark,
         "segment_stats": _q_segment_stats,
+        "readhostdb_dump": _q_readhostdb_dump,
+        "readhostdb_get": _q_readhostdb_get,
+        "readhostdb_stats": _q_readhostdb_stats,
+        "protocol_status_stats": _q_protocol_status_stats,
+        "politeness_clock_threads": _q_politeness_clock_threads,
+        "dedup_phash_meta": _q_dedup_phash_meta,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -1183,6 +1311,146 @@ def oracle_sql() -> dict[str, str]:
                    + (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
                       - 1) * 5000 AS fetch_ts
             FROM events
+        """,
+        "politeness_clock_threads": """
+            SELECT user_id, event_id,
+                   (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                    - 1)::INT AS k,
+                   1700000000000
+                   + ((ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id) - 1) // 2)
+                     * 5000 AS fetch_ts
+            FROM events
+        """,
+        "readhostdb_dump": """
+            WITH base AS (
+              SELECT doc_id, 'h' || (doc_id % 37) AS host, doc_id % 5 AS m5
+              FROM documents WHERE doc_id < 500
+            ),
+            hdb AS (
+              SELECT host,
+                SUM(CASE WHEN m5 = 0 THEN 1 ELSE 0 END)::BIGINT AS unfetched,
+                SUM(CASE WHEN m5 = 1 THEN 1 ELSE 0 END)::BIGINT AS fetched,
+                SUM(CASE WHEN m5 = 4 AND doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS not_modified,
+                SUM(CASE WHEN m5 = 3 THEN 1 ELSE 0 END)::BIGINT AS redir_perm,
+                SUM(CASE WHEN m5 = 4 AND doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS redir_temp,
+                SUM(CASE WHEN m5 = 2 THEN 1 ELSE 0 END)::BIGINT AS gone,
+                SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS dns_failures,
+                SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS connection_failures
+              FROM base GROUP BY host
+            ),
+            v AS (
+              SELECT *,
+                     (redir_perm + redir_temp)::BIGINT AS redirs,
+                     (fetched + not_modified)::BIGINT AS ok,
+                     (unfetched + fetched + gone + redir_perm + redir_temp
+                      + not_modified)::BIGINT AS num_records,
+                     (dns_failures + connection_failures)::BIGINT AS sum_failures
+              FROM hdb
+            )
+            SELECT host, unfetched, fetched, gone, redirs, ok,
+                   num_records, sum_failures
+            FROM v WHERE fetched > 2 AND ok >= gone
+        """,
+        "readhostdb_get": """
+            WITH base AS (
+              SELECT doc_id, 'h' || (doc_id % 37) AS host, doc_id % 5 AS m5
+              FROM documents WHERE doc_id < 500
+            ),
+            hdb AS (
+              SELECT host,
+                SUM(CASE WHEN m5 = 0 THEN 1 ELSE 0 END)::BIGINT AS unfetched,
+                SUM(CASE WHEN m5 = 1 THEN 1 ELSE 0 END)::BIGINT AS fetched,
+                SUM(CASE WHEN m5 = 4 AND doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS not_modified,
+                SUM(CASE WHEN m5 = 3 THEN 1 ELSE 0 END)::BIGINT AS redir_perm,
+                SUM(CASE WHEN m5 = 4 AND doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS redir_temp,
+                SUM(CASE WHEN m5 = 2 THEN 1 ELSE 0 END)::BIGINT AS gone
+              FROM base GROUP BY host
+            )
+            SELECT host, unfetched, fetched, gone,
+                   (unfetched + fetched + gone + redir_perm + redir_temp
+                    + not_modified)::BIGINT AS num_records
+            FROM hdb WHERE host = 'h5'
+        """,
+        "readhostdb_stats": """
+            WITH base AS (
+              SELECT doc_id, 'h' || (doc_id % 37) AS host, doc_id % 5 AS m5
+              FROM documents WHERE doc_id < 500
+            ),
+            hdb AS (
+              SELECT host,
+                AVG((doc_id % 10)::DOUBLE) AS score,
+                SUM(CASE WHEN m5 = 0 THEN 1 ELSE 0 END)::BIGINT AS unfetched,
+                SUM(CASE WHEN m5 = 1 THEN 1 ELSE 0 END)::BIGINT AS fetched,
+                SUM(CASE WHEN m5 = 4 AND doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS not_modified,
+                SUM(CASE WHEN m5 = 3 THEN 1 ELSE 0 END)::BIGINT AS redir_perm,
+                SUM(CASE WHEN m5 = 4 AND doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS redir_temp,
+                SUM(CASE WHEN m5 = 2 THEN 1 ELSE 0 END)::BIGINT AS gone,
+                SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS dns_failures,
+                SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS connection_failures
+              FROM base GROUP BY host
+            )
+            SELECT COUNT(*)::BIGINT AS hosts,
+                   SUM(unfetched)::BIGINT AS unfetched,
+                   SUM(fetched)::BIGINT AS fetched,
+                   SUM(gone)::BIGINT AS gone,
+                   SUM(redir_perm + redir_temp)::BIGINT AS redirs,
+                   SUM(not_modified)::BIGINT AS not_modified,
+                   SUM(unfetched + fetched + gone + redir_perm + redir_temp
+                       + not_modified)::BIGINT AS num_records,
+                   SUM(dns_failures + connection_failures)::BIGINT AS sum_failures,
+                   ROUND(AVG(score), 4) AS avg_score
+            FROM hdb
+        """,
+        "dedup_phash_meta": """
+            WITH f AS (
+              SELECT 'http://h' || (doc_id % 23) || '.example.org/p/' || doc_id
+                       AS url,
+                     CASE WHEN doc_id % 4 = 0 THEN 6
+                          WHEN doc_id % 4 = 3 THEN 1
+                          ELSE 2 END AS status,
+                     1700000000000 + (doc_id % 17) * 1000 AS fetch_time,
+                     (doc_id % 97)::DOUBLE AS score,
+                     CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 50)::VARCHAR
+                       END AS phash_meta
+              FROM documents WHERE doc_id < 500
+            ),
+            d AS (
+              SELECT url FROM (
+                SELECT url, ROW_NUMBER() OVER (
+                  PARTITION BY phash_meta
+                  ORDER BY score DESC, fetch_time DESC,
+                           LENGTH(url) ASC, url ASC) AS rn
+                FROM f
+                WHERE status IN (2, 6) AND phash_meta IS NOT NULL
+              ) WHERE rn > 1
+            )
+            SELECT f.url,
+                   (CASE WHEN d.url IS NOT NULL THEN 7 ELSE f.status END)::INT
+                     AS status
+            FROM f LEFT JOIN d ON f.url = d.url
+        """,
+        "protocol_status_stats": """
+            WITH codes AS (
+              SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                          WHEN event_type = 'click' THEN 200
+                          WHEN event_type = 'view' THEN 301
+                          ELSE 503 END AS code
+              FROM events
+            )
+            SELECT COUNT(*)::BIGINT AS cnt,
+                   COALESCE(code::VARCHAR, 'UNFETCHED') AS proto_status
+            FROM codes GROUP BY 2
         """,
         "hostdb_agg": """
             SELECT c_nationkey,

@@ -72,8 +72,16 @@ CFG = DEFAULT.with_(
 T0 = 1_700_000_000_000
 
 
-def synthesize_frontier(spark, path: str) -> None:
-    """Deterministic 1M-row frontier, all JVM expressions (no Python)."""
+def synthesize_frontier(spark, path: str,
+                        due_bucket_count: int | None = None,
+                        n_buckets: int = 256) -> None:
+    """Deterministic 1M-row frontier, all JVM expressions (no Python).
+
+    ``due_bucket_count``: concentrate ALL due rows into the first N
+    host-hash buckets (pmod(xxhash64(host), n_buckets) < N) — the
+    bucketed-merge workload shape, where a cycle touches a bounded
+    fraction of the frontier's storage partitions.  None keeps the
+    headline shape (80% due, uniformly spread)."""
     from coherencebot_spark.status import Db
 
     df = spark.range(N_FRONTIER).select(
@@ -87,7 +95,10 @@ def synthesize_frontier(spark, path: str) -> None:
     url = F.concat(F.lit("https://"), host, F.lit("/page/"), F.col("id").cast("string"))
     status = F.when(F.col("r1") % 100 < 70, F.lit(int(Db.UNFETCHED))).otherwise(
         F.lit(int(Db.FETCHED)))
-    due = F.col("r2") % 100 < 80
+    if due_bucket_count is not None:
+        due = F.pmod(F.xxhash64(host), F.lit(int(n_buckets))) < int(due_bucket_count)
+    else:
+        due = F.col("r2") % 100 < 80
     fetch_time = F.when(due, F.lit(T0) - (F.col("r2") % 86_400_000)).otherwise(
         F.lit(T0) + (F.col("r2") % 86_400_000))
     df.select(
@@ -137,6 +148,117 @@ def tiny_payload_batch(idx, _cache: dict = {}) -> "pd.DataFrame":
         "caption": [f"caption {int(e)}" for e in eff],
         "phash": np.array([r[1] for r in rows], dtype=np.int64),
     })
+
+
+def all_success_backend(urls):
+    """Redirect-free protocol backend for the bucketed workload: every URL
+    succeeds with the same image universe as the headline cycle.  Keeping
+    redirects out keeps the touched-host set equal to the due-host set
+    (synthetic redirect targets hash to arbitrary hosts, which would touch
+    every storage bucket and destroy the ∝-touched measurement)."""
+    import numpy as np
+    import pandas as pd
+
+    from coherencebot_spark.status import Proto
+    from coherencebot_spark.synth.world import fnv1a64
+
+    h = fnv1a64(urls)
+    return pd.DataFrame({
+        "proto_status": np.full(len(urls), Proto.SUCCESS, dtype=np.int32),
+        "redirect_to": [None] * len(urls),
+        "image_idx": (h % np.uint64(1_000_000)).astype(np.int64),
+    }, index=urls.index)
+
+
+def bench_bucketed(due_buckets: int = 13, reps: int = 1) -> dict:
+    """VERDICT r3 #1: wall-clock the bucketed/MERGE frontier path.
+
+    Same frontier (6M rows, due rows confined to ``due_buckets`` of 256
+    host-hash buckets), same fetchlist, two full CrawlDriver cycles:
+
+    * merge  — ``bucketed=True``: updatedb/dedup/linkdb/hostdb/bloom
+      refresh all run over touched buckets only; MERGE commit.
+    * full   — ``bucketed=False``: the whole 6M-row frontier is scanned,
+      merged and rewritten (the reference's whole-crawldb update).
+
+    Both cycles pay the identical fetch+parse payload cost (all-success
+    backend, internal links only), so ``full − merge`` isolates the
+    frontier-maintenance cost the MERGE path removes — the term that
+    grows with frontier size (10^10) while merge stays ∝ touched data.
+    Modes are interleaved across reps (VM steal windows hit both), best
+    rep per mode is reported."""
+    from coherencebot_spark.plans.cycle import CrawlDriver
+
+    cfg = CFG.with_(
+        max_count=200,
+        ignore_external_links=True,   # vertical-crawl shape: links stay in-host
+        use_url_seen=True,
+        broadcast_small_sides=True,
+    )
+    base = tempfile.mkdtemp(prefix="cbspark-bucketed-")
+    frontier_path = os.path.join(base, "frontier_src")
+    spark = build_session(master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8),
+                          app_name="cbspark-bucketed-synth")
+    synthesize_frontier(spark, frontier_path, due_bucket_count=due_buckets,
+                        n_buckets=int(cfg.host_buckets))
+    warmup(spark, frontier_path)
+    spark.stop()
+
+    secs: dict[str, list] = {"merge": [], "full": []}
+    info: dict[str, dict] = {}
+    for rep in range(max(reps, 1)):
+        for mode in ("full", "merge"):
+            s = build_session(master=f"local[{CPUS}]",
+                              shuffle_partitions=max(CPUS, 8),
+                              app_name=f"cbspark-bucketed-{mode}-{rep}")
+            wd = os.path.join(base, f"{mode}-{rep}")
+            d = CrawlDriver(s, wd, cfg, bucketed=(mode == "merge"),
+                            backend=all_success_backend,
+                            n_hosts=N_HOSTS, payload_partitions=256)
+            src = s.read.parquet(frontier_path)
+            d._write_frontier(src, cycle_id="seed",
+                              metrics={"frontier_size": N_FRONTIER})
+            d._load_or_build_blooms()  # bootstrap untimed in BOTH modes
+            t0 = time.time()
+            m = d.run_cycle(0, T0 + 1000)
+            sec = time.time() - t0
+            secs[mode].append(round(sec, 3))
+            snap = d.frontier.history()[-1]
+            info[mode] = {
+                "fetchlist_rows": m.generated,
+                "frontier_rows": m.frontier_size,
+                "touched_buckets": len((snap.get("merge") or {})
+                                       .get("touched", []))
+                                   or int(cfg.host_buckets),
+            }
+            s.stop()
+            shutil.rmtree(wd, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    best = {k: min(v) for k, v in secs.items()}
+    return {
+        "version": "r4-bucketed",
+        "workload": {
+            "frontier_rows": N_FRONTIER,
+            "due_buckets": due_buckets,
+            "host_buckets": int(cfg.host_buckets),
+            "payload": "synthetic mixed 32-128px png/jpeg/bmp, real bytes",
+            "protocol": "all-success, internal links only (redirect-free "
+                        "so touched hosts == due hosts)",
+            "steps": "CrawlDriver.run_cycle: generate,fetch,parse,"
+                     "url-seen split,updatedb,dedup_phash,linkdb,hostdb,"
+                     "bloom refresh,snapshot commit",
+            "config": "use_url_seen=True broadcast_small_sides=True "
+                      "max_count=200 ignore_external_links=True",
+        },
+        "merge_cycle_sec": best["merge"],
+        "full_cycle_sec": best["full"],
+        "merge_cycle_reps": secs["merge"],
+        "full_cycle_reps": secs["full"],
+        "maintenance_saved_sec": round(best["full"] - best["merge"], 3),
+        "merge": info["merge"],
+        "full": info["full"],
+    }
 
 
 def warmup(spark, frontier_path: str) -> None:
@@ -357,6 +479,18 @@ def main() -> None:
     }
     results_queries["crawl_cycle"] = round(headline_sec, 3)
 
+    # --- bucketed/MERGE path (VERDICT r3 #1): merge vs full-rewrite cycle
+    # at the same fetch workload — the 10^10 claim, measured ---
+    bucketed = None
+    if os.environ.get("BENCH_BUCKETED", "1") == "1":
+        try:
+            bucketed = bench_bucketed(
+                due_buckets=int(os.environ.get("BENCH_DUE_BUCKETS", "13")),
+                reps=int(os.environ.get("BENCH_BUCKETED_REPS", "1")),
+            )
+        except Exception as e:  # noqa: BLE001 — never lose the main metrics
+            bucketed = {"error": f"{type(e).__name__}: {e}"}
+
     shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps({
         "metric": "crawl_cycle_sec",
@@ -382,6 +516,7 @@ def main() -> None:
         "throughput": {f"urls_per_sec_local{CPUS}":
                        round(headline_counts["fetch_rows"] / headline_sec, 1)},
         "scaling": scaling,
+        "bucketed_workload": bucketed,
     }))
 
 

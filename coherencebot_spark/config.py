@@ -116,6 +116,14 @@ class CrawlConfig:
     # --- dedup (crawl/DeduplicationJob) ---
     dedup_group_mode: str = "none"        # dedup.group.mode (none|host|domain)
     dedup_compare_order: tuple[str, ...] = ("score", "fetchTime", "urlLength")
+    # cross-cycle whole-db phash dedup (ref src/bin/crawl:421-422 runs
+    # DeduplicationJob over the whole crawldb each iteration): dedup on the
+    # metadata-recorded img.phash so duplicates fetched in DIFFERENT cycles
+    # are marked, not just within one cycle's content frame.  In bucketed
+    # mode this runs at the compaction cadence (the only cycles that see
+    # the full frontier) — the 10^10 cost model's equivalent of the
+    # reference's whole-db pass.
+    dedup_phash_meta: bool = False
 
     # --- partitioning / determinism ---
     seed: int = 42                        # per-run partition seed (Generator.java:1017)

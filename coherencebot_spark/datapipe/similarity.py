@@ -189,30 +189,94 @@ def ivf_assign(vectors: DataFrame, cent_rows: list[tuple],
     )
 
 
+def ivf_seed_codebook(vectors: DataFrame, n_centroids: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      method: str = "sample", seed: int = 42) -> list[tuple]:
+    """Deterministic IVF seed centroids as [(cent_id, vector), ...].
+
+    ``method='sample'`` (default): the ``n_centroids`` vectors with the
+    smallest ``xxhash64(id, seed)`` — a deterministic uniform sample of
+    the corpus (a TakeOrdered job over (hash, id, vec) only).  On
+    clustered real data this spreads seeds ∝ cluster mass, unlike
+    ``method='first'`` (the first ``n_centroids`` by id — the r3 codebook,
+    kept for the bit-exact DuckDB oracle twin), which degenerates to one
+    region whenever ids correlate with content."""
+    if method == "first":
+        picked = vectors.orderBy(F.asc(id_col)).limit(int(n_centroids))
+    elif method == "sample":
+        picked = vectors.orderBy(
+            F.xxhash64(F.col(id_col), F.lit(int(seed))), F.asc(id_col)
+        ).limit(int(n_centroids))
+    else:
+        raise ValueError(method)
+    return [(r[0], list(r[1]))
+            for r in picked.select(id_col, vec_col).collect()]
+
+
+def ivf_refine_codebook(vectors: DataFrame, cent_rows: list[tuple],
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        iters: int = 1) -> list[tuple]:
+    """k-means-lite refinement: ``iters`` Lloyd passes over the corpus.
+
+    Each pass is (shuffle-free assignment projection) → (posexplode +
+    two-level groupBy mean).  The posexplode shuffle moves only
+    (cent_id, pos, val) triples and partial-aggregates map-side, so the
+    exchange carries ~n_centroids × dim rows per upstream partition — not
+    the corpus.  Centroids whose inverted list came up empty keep their
+    previous vector (standard Lloyd empty-cluster handling); cent_ids are
+    stable across passes."""
+    for _ in range(max(int(iters), 0)):
+        assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
+        agg = (
+            assigned
+            .select("cent_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cent_id", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+            .collect()
+        )
+        means = {r["cent_id"]: [x["m"] for x in r["ps"]] for r in agg}
+        cent_rows = [(cid, means.get(cid, vec)) for cid, vec in cent_rows]
+    return cent_rows
+
+
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
                     n_centroids: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    qid_col: str = "query_id") -> DataFrame:
-    """IVF-style ANN: deterministic seed centroids (the first
-    ``n_centroids`` vectors by id — no k-means iterations, so the plan is
-    one assignment pass), every vector assigned to its nearest centroid,
-    queries probe their ``nprobe`` nearest centroids and rerank exactly
-    within those inverted lists.
+                    qid_col: str = "query_id",
+                    codebook: str | list = "refined",
+                    refine_iters: int = 1, seed: int = 42) -> DataFrame:
+    """IVF-style ANN: deterministic codebook, every vector assigned to its
+    nearest centroid (shuffle-free projection), queries probe their
+    ``nprobe`` nearest centroids and rerank exactly within those inverted
+    lists.
+
+    ``codebook``: ``'refined'`` (default — hash-sampled seeds +
+    ``refine_iters`` Lloyd passes, the quality codebook), ``'sample'``
+    (seeds only), ``'first'`` (first-N by id — degenerate on clustered
+    data; retained because it is bit-exactly computable in the DuckDB
+    oracle twin), or an explicit [(cent_id, vector), ...] list.
 
     Scale shape: the codebook is ≤ ``n_centroids`` rows by construction,
-    so it is collected once (a TakeOrdered job over ids only) and embedded
-    as array literals — centroid assignment is then a pure projection over
-    the corpus (no crossJoin, no window, no exchange; the former
-    crossJoin+window form shuffled |corpus|×n_centroids rows *carrying the
-    embedding column* just to take an argmax).  A query touches
-    nprobe/n_centroids of the data; recall improves with nprobe
-    (= brute force at nprobe == n_centroids).
+    so it is collected once and embedded as array literals — centroid
+    assignment is then a pure projection over the corpus (no crossJoin,
+    no window, no exchange; the former crossJoin+window form shuffled
+    |corpus|×n_centroids rows *carrying the embedding column* just to
+    take an argmax).  A query touches nprobe/n_centroids of the data;
+    recall improves with nprobe (= brute force at nprobe == n_centroids).
     """
-    cent_rows = [
-        (r[0], list(r[1]))
-        for r in vectors.orderBy(F.asc(id_col)).limit(int(n_centroids))
-        .select(id_col, vec_col).collect()
-    ]
+    if isinstance(codebook, list):
+        cent_rows = codebook
+    elif codebook == "refined":
+        cent_rows = ivf_refine_codebook(
+            vectors,
+            ivf_seed_codebook(vectors, n_centroids, id_col, vec_col,
+                              method="sample", seed=seed),
+            id_col, vec_col, iters=refine_iters,
+        )
+    else:
+        cent_rows = ivf_seed_codebook(vectors, n_centroids, id_col, vec_col,
+                                      method=codebook, seed=seed)
     if not cent_rows:
         return vectors.sparkSession.createDataFrame(
             [], f"{qid_col} long, {id_col} long, cosine double, rank int")

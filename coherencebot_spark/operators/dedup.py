@@ -48,16 +48,23 @@ def _order_cols(compare_order: tuple[str, ...]) -> list[Column]:
 
 
 def find_duplicates(frontier: DataFrame, cfg: CrawlConfig = DEFAULT,
-                    group_col: str | None = None) -> DataFrame:
-    """Return (url) rows to be marked db_duplicate."""
+                    group_col: str | None = None,
+                    key_col: str = "signature") -> DataFrame:
+    """Return (url) rows to be marked db_duplicate.
+
+    ``key_col`` replaces the signature as the dedup key (the graft's
+    cross-cycle phash dedup passes the metadata-derived ``phash_meta``
+    column — rows with a NULL key never compete, mirroring the
+    reference's hasSignature gate); ``group_col`` adds a second key
+    column on top (the reference's dedup.group.mode extension)."""
     eligible = frontier.filter(
         F.col("status").isin(int(Db.FETCHED), int(Db.NOTMODIFIED))
-        & F.col("signature").isNotNull()
+        & F.col(key_col).isNotNull()
     )
     if group_col is not None:
-        keys = [F.col("signature"), F.col(group_col)]
+        keys = [F.col(key_col), F.col(group_col)]
     elif cfg.dedup_group_mode == "host":
-        keys = [F.col("signature"), F.col("host")]
+        keys = [F.col(key_col), F.col("host")]
     elif cfg.dedup_group_mode == "domain":
         from ..functions.urls import domain_of
 
@@ -67,9 +74,9 @@ def find_duplicates(frontier: DataFrame, cfg: CrawlConfig = DEFAULT,
         eligible = eligible.withColumn(
             "_dom", F.pandas_udf(_dom, "string")(F.col("host"))
         )
-        keys = [F.col("signature"), F.col("_dom")]
+        keys = [F.col(key_col), F.col("_dom")]
     else:
-        keys = [F.col("signature")]
+        keys = [F.col(key_col)]
 
     w = Window.partitionBy(*keys).orderBy(*_order_cols(cfg.dedup_compare_order))
     return (
@@ -80,10 +87,11 @@ def find_duplicates(frontier: DataFrame, cfg: CrawlConfig = DEFAULT,
 
 
 def dedup(frontier: DataFrame, cfg: CrawlConfig = DEFAULT,
-          group_col: str | None = None) -> DataFrame:
+          group_col: str | None = None,
+          key_col: str = "signature") -> DataFrame:
     """Full dedup job: returns the frontier with duplicates marked
     (J3 status-merge, ``DeduplicationJob.java:243-266``)."""
-    dups = find_duplicates(frontier, cfg, group_col).withColumn(
+    dups = find_duplicates(frontier, cfg, group_col, key_col).withColumn(
         "_dup", F.lit(True)
     )
     return (

@@ -180,7 +180,15 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     fl = fl.withColumn("robots_denied", robots_denied)
 
     # --- per-host virtual clock (P2), robots-denied items pace-free ---
-    if cfg.threads_per_queue > 1:
+    # threads_per_queue > 1 (``fetcher.threads.per.queue``): the reference
+    # runs maxThreads items of one queue concurrently with minCrawlDelay
+    # between starts (``FetchItemQueue.getFetchItem:118-137`` inProgress
+    # gate + ``setEndTime:163-169`` maxThreads>1 → minCrawlDelay).  The
+    # virtual-clock model is k in-flight slots: rank r starts at
+    # ``cycle_start + floor(r / threads) · minCrawlDelay`` — each delay
+    # window admits `threads` starts instead of one.
+    threads = max(int(cfg.threads_per_queue), 1)
+    if threads > 1:
         base_delay = F.lit(int(cfg.min_crawl_delay_ms))
     else:
         base_delay = F.greatest(
@@ -198,7 +206,9 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         F.when(F.col("robots_denied"), F.lit(0))
         .otherwise(F.row_number().over(paced) - 1),
     ).withColumn(
-        "fetch_ts", F.lit(int(cycle_start)) + F.col("_k") * delay
+        "fetch_ts",
+        F.lit(int(cycle_start))
+        + F.floor(F.col("_k") / F.lit(threads)).cast("long") * delay,
     )
 
     # --- time limit (P9): unfetched overflow stays in the frontier ---

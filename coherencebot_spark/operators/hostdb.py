@@ -10,6 +10,9 @@ reference's ResolverThread/counters do.
 
 from __future__ import annotations
 
+from typing import Callable
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -17,14 +20,30 @@ from ..config import CrawlConfig, DEFAULT
 from ..status import Db
 from ..schemas import HOSTDB
 
+# resolver(hosts: pd.Series) -> pd.DataFrame[host, dns_failed, cnx_failed]
+# — the ResolverThread analogue (hostdb/ResolverThread.java:1-127,
+# UpdateHostDb.checkAny): per-host DNS/connection probes whose failures
+# increment the persistent failure counters.  No network in the sandbox,
+# so the probe is injectable; None (default) skips checking entirely, the
+# reference's hostdb.check.* = false configuration.
+DnsResolver = Callable[[pd.Series], pd.DataFrame]
+
 
 def _cnt(status: int):
     return F.sum(F.when(F.col("status") == status, 1).otherwise(0)).cast("long")
 
 
 def update_hostdb(frontier: DataFrame, hostdb: DataFrame | None = None,
-                  cfg: CrawlConfig = DEFAULT) -> DataFrame:
-    """Aggregate the frontier per host; merge counters into existing hostdb."""
+                  cfg: CrawlConfig = DEFAULT,
+                  resolver: DnsResolver | None = None) -> DataFrame:
+    """Aggregate the frontier per host; merge counters into existing hostdb.
+
+    ``resolver`` (optional) runs once per DISTINCT host (mapInPandas over
+    the aggregated per-host frame, the same shape as the fetch engine's
+    robots lookup) and its failures land in this snapshot's
+    dns_failures/connection_failures — which then ACCUMULATE into the old
+    hostdb's running totals exactly like the reference's
+    UpdateHostDbReducer counter merge."""
     agg = frontier.filter(F.col("host").isNotNull()).groupBy("host").agg(
         F.avg("score").cast("float").alias("score"),
         _cnt(Db.UNFETCHED).alias("unfetched"),
@@ -37,6 +56,34 @@ def update_hostdb(frontier: DataFrame, hostdb: DataFrame | None = None,
     ).withColumn("dns_failures", F.lit(0).cast("long")) \
      .withColumn("connection_failures", F.lit(0).cast("long")) \
      .withColumn("metadata", F.lit(None).cast("map<string,string>"))
+
+    if resolver is not None:
+        res = resolver
+
+        def probe(it):
+            for pdf in it:
+                r = res(pdf["host"])
+                yield pd.DataFrame({
+                    "host": r["host"],
+                    "_dns_failed": r["dns_failed"].astype("int64"),
+                    "_cnx_failed": r["cnx_failed"].astype("int64"),
+                })
+
+        checks = agg.select("host").mapInPandas(
+            probe, schema="host string, _dns_failed long, _cnx_failed long"
+        )
+        agg = (
+            agg.join(F.broadcast(checks), "host", "left")
+            .withColumn(
+                "dns_failures",
+                (F.col("dns_failures")
+                 + F.coalesce(F.col("_dns_failed"), F.lit(0))).cast("long"))
+            .withColumn(
+                "connection_failures",
+                (F.col("connection_failures")
+                 + F.coalesce(F.col("_cnx_failed"), F.lit(0))).cast("long"))
+            .drop("_dns_failed", "_cnx_failed")
+        )
 
     if hostdb is None:
         return agg.select([f.name for f in HOSTDB.fields])

@@ -29,6 +29,27 @@ def segment_list(fetch_log: DataFrame) -> DataFrame:
     )
 
 
+def protocol_status_statistics(df: DataFrame,
+                               code_col: str = "proto_status") -> DataFrame:
+    """Per-protocol-status URL counts (ref
+    ``util/ProtocolStatusStatistics.java:140-176``).
+
+    The reference maps crawldb records, keying by the
+    ``nutch.protocol.code`` metadata value and emitting ``UNFETCHED`` for
+    records that never carried one, then count-sums in a combiner+reducer.
+    Here the engine's fetch_log carries ``proto_status`` as a real column,
+    so the whole job is one partial-aggregated groupBy; records with a
+    NULL code (never fetched) count under ``UNFETCHED`` exactly like the
+    reference's missing-metadata branch.  Output shape mirrors the
+    reference reducer's ``(count, code)`` rows."""
+    key = F.coalesce(F.col(code_col).cast("string"), F.lit("UNFETCHED"))
+    return (
+        df.groupBy(key.alias("proto_status"))
+        .agg(F.count("*").alias("cnt"))
+        .select("cnt", "proto_status")
+    )
+
+
 def segment_get(fetch_log: DataFrame, content: DataFrame | None,
                 url: str) -> dict:
     """Point lookup of one URL's segment records (``-get``)."""

@@ -28,12 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
-    BloomFilter, bloom_contains_col, bloom_contains_sharded, build_bloom,
+    BloomFilter, bloom_contains_col, bloom_contains_sharded, build_bloom_local,
     build_bloom_sharded,
 )
 
 
 class UrlSeenFilter:
+    """Small-frontier convenience (driver-broadcast monolithic bitmap).
+
+    The underlying builder is capacity-guarded (``build_bloom_local``), so
+    this class cannot silently be reached with a 10^10 frontier — the
+    crawl driver and every scale path use :class:`ShardedUrlSeenFilter`."""
+
     def __init__(self, spark: SparkSession, bloom: BloomFilter):
         self.spark = spark
         self.bloom = bloom
@@ -44,7 +50,7 @@ class UrlSeenFilter:
                       fpp: float = 0.01) -> "UrlSeenFilter":
         if capacity is None:
             capacity = max(frontier.count(), 1024)
-        return cls(spark, build_bloom(frontier, "url", capacity, fpp))
+        return cls(spark, build_bloom_local(frontier, "url", capacity, fpp))
 
     def with_maybe_seen(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         return bloom_contains_col(self.spark, df, url_col, self.bloom)

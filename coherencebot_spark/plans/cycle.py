@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig, DEFAULT
-from ..operators.dedup import dedup_by_phash
+from ..operators.dedup import dedup as dedup_job, dedup_by_phash
 from ..operators.fetch import fetch
 from ..operators.generate import generate, stamp_generated
 from ..operators.hostdb import update_hostdb
@@ -327,6 +327,18 @@ class CrawlDriver:
         new_frontier = dedup_by_phash(
             new_frontier, content, cfg,
             broadcast_content=cfg.broadcast_small_sides)
+        if cfg.dedup_phash_meta and not use_merge:
+            # cross-cycle whole-db phash dedup (ref src/bin/crawl:421-422):
+            # parse landed img.phash in frontier metadata (PARSE_META
+            # rows), so images fetched under different urls in DIFFERENT
+            # cycles compete here.  Merge cycles only see touched buckets,
+            # so the whole-db pass runs on full-snapshot cycles — every
+            # cycle when unbucketed, the compaction cadence when bucketed.
+            new_frontier = dedup_job(
+                new_frontier.withColumn(
+                    "phash_meta", F.col("metadata").getItem("img.phash")),
+                cfg, key_col="phash_meta",
+            ).drop("phash_meta")
 
         # metrics + per-partition lineage (north rule)
         status_counts = {r["status"]: r["count"]
@@ -521,13 +533,28 @@ class CrawlDriver:
             metrics={"frontier_snapshot": self.frontier.current_id()},
         )
 
-    def run(self, n_cycles: int, t0: int, cycle_ms: int = 3_600_000) -> list[CycleMetrics]:
-        """The crawl loop (`bin/crawl`): n cycles (or until .STOP)."""
+    def run(self, n_cycles: int, t0: int, cycle_ms: int = 3_600_000,
+            feed=None, feed_every: int = 1) -> list[CycleMetrics]:
+        """The crawl loop (`bin/crawl`): n cycles (or until .STOP).
+
+        ``feed`` — a seed source with ``fetch_seeds(spark) -> DataFrame``
+        (``sources.seeds.FeedInjector``): its seeds are injected before
+        every ``feed_every``-th cycle, matching the production
+        ``--feed`` invocation that pulls the collection API each
+        iteration (ref ``deploy/README.md:69``, ``crawl/FeedInjector``).
+        A feed failure skips that cycle's injection but not the crawl —
+        the reference loop likewise survives a collection-API outage."""
         out = []
         start = len([s for s in self.frontier.history()
                      if isinstance(s["cycle_id"], int)])
         for k in range(start, start + n_cycles):
             if self.should_stop():
                 break
-            out.append(self.run_cycle(k, t0 + k * cycle_ms))
+            cur = t0 + k * cycle_ms
+            if feed is not None and feed_every > 0 and k % feed_every == 0:
+                try:
+                    self.inject(feed.fetch_seeds(self.spark), cur)
+                except Exception as e:  # noqa: BLE001 — feed is external I/O
+                    print(f"feed-inject failed for cycle {k}: {e}")
+            out.append(self.run_cycle(k, cur))
         return out

@@ -68,6 +68,25 @@ def test_per_host_spacing(spark):
     assert (diffs >= DEFAULT.server_delay_ms).all()
 
 
+def test_threads_per_queue_slots(spark):
+    # P2 with fetcher.threads.per.queue=2: the reference runs maxThreads
+    # items of a queue concurrently with minCrawlDelay between starts
+    # (FetchItemQueue.getFetchItem inProgress gate + setEndTime maxThreads>1
+    # branch) — the virtual clock admits `threads` starts per delay window
+    rows = [flrow(f"https://h1.example.org/p{i}", "h1.example.org", sort_key=i)
+            for i in range(6)]
+    cfg = DEFAULT.with_(threads_per_queue=2, min_crawl_delay_ms=2000)
+    log, _ = fetch(fldf(spark, rows), T, cfg, backend=all_success_backend,
+                   robots_provider=open_robots)
+    times = sorted(r.fetch_time for r in log.collect())
+    assert times == [T, T, T + 2000, T + 2000, T + 4000, T + 4000]
+    # threads=1 keeps the serial clock (one start per crawl-delay window)
+    log1, _ = fetch(fldf(spark, rows), T, DEFAULT.with_(server_delay_ms=2000),
+                    backend=all_success_backend, robots_provider=open_robots)
+    times1 = sorted(r.fetch_time for r in log1.collect())
+    assert times1 == [T + 2000 * i for i in range(6)]
+
+
 def test_robots_disallow_and_delay_cap(spark):
     def provider(hosts: pd.Series) -> pd.DataFrame:
         rows = []

@@ -72,3 +72,94 @@ def test_generate_hostdb_variable_maxcount_and_delay(spark):
                for r in by_host["big.example.org"])
     assert all((r.metadata or {}).get("_variableFetchDelay_") is None
                for r in by_host["small.example.org"])
+
+
+def _hostdb(spark):
+    rows = [
+        dict(host="a.org", score=1.0, unfetched=5, fetched=10, not_modified=2,
+             redir_perm=1, redir_temp=1, gone=0, duplicate=0,
+             dns_failures=2, connection_failures=1,
+             metadata={"homepage_url": "http://a.org/"}),
+        dict(host="b.org", score=0.5, unfetched=50, fetched=0, not_modified=0,
+             redir_perm=0, redir_temp=0, gone=3, duplicate=0,
+             dns_failures=0, connection_failures=0, metadata=None),
+        dict(host="c.org", score=2.0, unfetched=0, fetched=4, not_modified=0,
+             redir_perm=0, redir_temp=2, gone=1, duplicate=1,
+             dns_failures=1, connection_failures=0, metadata=None),
+    ]
+    return spark.createDataFrame(rows, HOSTDB)
+
+
+def test_readhostdb_dump_variables_and_jexl(spark):
+    # ReadHostDb -dump: derived JEXL variable set (ReadHostDbMapper.map
+    # jcontext) + a JEXL expression translated to a pushed SQL predicate
+    from coherencebot_spark.operators.readhostdb import dump, jexl_to_sql
+
+    assert " ".join(
+        jexl_to_sql("fetched > 2 && ok == 0 || !(gone != 1)").split()
+    ) == "fetched > 2 AND ok = 0 OR NOT (gone <> 1)"
+    out = {r.host: r for r in dump(_hostdb(spark)).collect()}
+    a = out["a.org"]
+    assert (a.redirs, a.ok, a.num_records, a.sum_failures) == (2, 12, 19, 3)
+    # JEXL operators in the filter expression
+    kept = {r.host for r in
+            dump(_hostdb(spark), expr="fetched > 0 && dns_failures == 1").collect()}
+    assert kept == {"c.org"}
+
+
+def test_readhostdb_get_hostnames_homepages_stats(spark):
+    from coherencebot_spark.operators.readhostdb import (
+        get, homepages, hostnames, stats,
+    )
+
+    hdb = _hostdb(spark)
+    g = get(hdb, "b.org").collect()
+    assert len(g) == 1 and g[0].num_records == 53
+    assert {r.host for r in hostnames(hdb, expr="gone > 0").collect()} \
+        == {"b.org", "c.org"}
+    # -dumpHomepages: only hosts with a recorded homepage url
+    assert [r.homepage_url for r in homepages(hdb).collect()] \
+        == ["http://a.org/"]
+    s = stats(hdb).collect()[0]
+    assert (s.hosts, s.fetched, s.num_records) == (3, 14, 79)
+    assert abs(s.avg_score - round((1.0 + 0.5 + 2.0) / 3, 4)) < 1e-9
+
+
+def test_protocol_status_statistics(spark):
+    # util/ProtocolStatusStatistics: groupBy proto code with the UNFETCHED
+    # branch for records that never carried one
+    from coherencebot_spark.operators.readseg import protocol_status_statistics
+
+    df = spark.createDataFrame(
+        [(200,), (200,), (301,), (None,), (None,), (503,)],
+        "proto_status int")
+    out = {r.proto_status: r.cnt
+           for r in protocol_status_statistics(df).collect()}
+    assert out == {"200": 2, "301": 1, "UNFETCHED": 2, "503": 1}
+
+
+def test_hostdb_dns_resolver_hook(spark):
+    # hostdb/ResolverThread analogue: injectable per-distinct-host probe
+    # whose failures accumulate into the persistent counters
+    import pandas as pd
+
+    from coherencebot_spark.operators.hostdb import update_hostdb
+
+    rows = [frow("http://a.org/1", "a.org", Db.FETCHED),
+            frow("http://dead.org/1", "dead.org", Db.UNFETCHED)]
+    f = spark.createDataFrame(rows, FRONTIER)
+
+    def resolver(hosts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": hosts,
+            "dns_failed": [1 if h == "dead.org" else 0 for h in hosts],
+            "cnx_failed": [0] * len(hosts),
+        })
+
+    h1 = update_hostdb(f, resolver=resolver)
+    got = {r.host: r.dns_failures for r in h1.collect()}
+    assert got == {"a.org": 0, "dead.org": 1}
+    # failures ACCUMULATE across updates (UpdateHostDbReducer running totals)
+    h2 = update_hostdb(f, hostdb=h1, resolver=resolver)
+    got2 = {r.host: r.dns_failures for r in h2.collect()}
+    assert got2 == {"a.org": 0, "dead.org": 2}
