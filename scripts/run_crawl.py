@@ -45,6 +45,16 @@ def main() -> None:
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="after the run, expire all but the last N "
                          "snapshots per table (0 = keep everything)")
+    ap.add_argument("--dedup-phash-meta", action="store_true",
+                    help="cross-cycle whole-db dedup on the metadata-"
+                         "recorded img.phash (ref bin/crawl dedup step)")
+    ap.add_argument("--threads-per-queue", type=int, default=1,
+                    help="fetcher.threads.per.queue: k in-flight slots "
+                         "per host, minCrawlDelay spacing per batch")
+    ap.add_argument("--feed-url", help="HTTP collection-API feed endpoint "
+                                       "(pulled before every cycle; needs "
+                                       "network outside the sandbox)")
+    ap.add_argument("--feed-every", type=int, default=1)
     args = ap.parse_args()
 
     from coherencebot_spark.config import DEFAULT
@@ -56,7 +66,9 @@ def main() -> None:
     cfg = DEFAULT.with_(topn=args.topn, num_partitions=args.num_partitions,
                         max_count=args.max_count,
                         hostdb_every=args.hostdb_every,
-                        use_url_seen=args.use_url_seen)
+                        use_url_seen=args.use_url_seen,
+                        dedup_phash_meta=args.dedup_phash_meta,
+                        threads_per_queue=args.threads_per_queue)
     driver = CrawlDriver(spark, args.workdir, cfg, n_hosts=args.n_hosts,
                          bucketed=args.bucketed)
 
@@ -74,9 +86,24 @@ def main() -> None:
         sid = driver.inject(seeds, args.t0)
         print(f"injected → frontier snapshot {sid}")
 
+    feed = None
+    if args.feed_url:
+        import urllib.request
+
+        from coherencebot_spark.sources.seeds import FeedInjector
+
+        def http_get(url, api_key):
+            req = urllib.request.Request(
+                url, headers={"x-api-key": api_key} if api_key else {})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.read().decode("utf-8")
+
+        feed = FeedInjector(args.feed_url, http_get=http_get)
+
     t = time.time()
     metrics = driver.run(args.cycles, args.t0 + 1000,
-                         cycle_ms=args.cycle_minutes * 60_000)
+                         cycle_ms=args.cycle_minutes * 60_000,
+                         feed=feed, feed_every=args.feed_every)
     for m in metrics:
         print(json.dumps(m.as_dict()))
     print(f"{len(metrics)} cycles in {time.time()-t:.1f}s")

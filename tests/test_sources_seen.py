@@ -206,3 +206,75 @@ def test_monolithic_bloom_capacity_guard(spark):
     frontier = spark.range(10).selectExpr("concat('http://h/', id) as url")
     with _pytest.raises(ValueError, match="build_bloom_sharded"):
         UrlSeenFilter.from_frontier(spark, frontier, capacity=10_000_000_000)
+
+
+def test_file_dumper(spark, tmp_path):
+    # tools/FileDumper analogue: one file per payload + mimetype histogram
+    import os
+
+    from coherencebot_spark.operators.tools import dump_content_files
+    from coherencebot_spark.schemas import CONTENT
+
+    rows = [
+        dict(url="http://a.org/img/cat.png", image_id="i1", bytes=b"PNGDATA",
+             w=2, h=2, fmt="png", caption="c", phash=1),
+        dict(url="http://a.org/img/dog.bmp", image_id="i2", bytes=b"BMPDATA",
+             w=2, h=2, fmt="bmp", caption="c", phash=2),
+        dict(url="http://a.org/missing", image_id=None, bytes=None,
+             w=None, h=None, fmt=None, caption=None, phash=None),
+    ]
+    content = spark.createDataFrame(rows, CONTENT)
+    outdir = str(tmp_path / "dump")
+    hist = dump_content_files(content, outdir)
+    assert hist == {"png": 1, "bmp": 1}
+    files = sorted(os.listdir(outdir))
+    assert len(files) == 2
+    assert any(f.endswith("_cat.png.png") for f in files)
+    data = {f.split(".")[-1]: open(os.path.join(outdir, f), "rb").read()
+            for f in files}
+    assert data == {"png": b"PNGDATA", "bmp": b"BMPDATA"}
+    # format filter (the reference's mimeTypes arg)
+    outdir2 = str(tmp_path / "dump2")
+    assert dump_content_files(content, outdir2, formats=["png"]) == {"png": 1}
+
+
+def test_dmoz_parser(spark, tmp_path):
+    # tools/DmozParser analogue: RDF → seed lines with topic subset filter
+    from coherencebot_spark.operators.inject import parse_seed_lines
+    from coherencebot_spark.operators.tools import parse_dmoz_rdf
+
+    rdf = """<?xml version="1.0" encoding="UTF-8"?>
+<RDF xmlns:r="http://www.w3.org/TR/RDF/">
+<Topic r:id="Top/Arts"><catid>2</catid></Topic>
+<ExternalPage about="http://arts.example.org/">
+  <d:Title>Arts site</d:Title>
+  <topic>Top/Arts</topic>
+</ExternalPage>
+<ExternalPage about="http://science.example.org/page">
+  <d:Title>Science site</d:Title>
+  <topic>Top/Science/Physics</topic>
+</ExternalPage>
+<ExternalPage about="http://no-topic.example.org/">
+  <d:Title>Orphan</d:Title>
+</ExternalPage>
+</RDF>
+"""
+    p = tmp_path / "dmoz.rdf"
+    p.write_text(rdf)
+    seeds = parse_dmoz_rdf(spark, str(p))
+    lines = sorted(r.line for r in seeds.collect())
+    assert lines == [
+        "http://arts.example.org/\tdmoz.topic=Top/Arts",
+        "http://no-topic.example.org/",
+        "http://science.example.org/page\tdmoz.topic=Top/Science/Physics",
+    ]
+    # topic subset regex (the -topic arg)
+    sci = parse_dmoz_rdf(spark, str(p), topic_pattern="^Top/Science")
+    assert [r.line for r in sci.collect()] \
+        == ["http://science.example.org/page\tdmoz.topic=Top/Science/Physics"]
+    # the output is injector-ready seed-line shape
+    from coherencebot_spark.config import DEFAULT
+
+    parsed = parse_seed_lines(seeds, DEFAULT, 1_700_000_000_000)
+    got = {r.url: r.metadata for r in parsed.collect()}
+    assert got["http://arts.example.org/"].get("dmoz.topic") == "Top/Arts"
