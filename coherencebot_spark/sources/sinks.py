@@ -259,3 +259,88 @@ def read_warc_records(path: str) -> list[dict]:
                             "payload": payload, **hdr})
             pos = body_start + length + 4
     return records
+
+
+# ---------------------------------------------------------------------------
+# indexer-solr analogue (S9): Solr XML update commands, server-free
+# ---------------------------------------------------------------------------
+
+
+def write_solr_xml(df: DataFrame, path: str, id_col: str = "url") -> None:
+    """indexer-solr analogue without the network (ref
+    ``src/plugin/indexer-solr``, the reference's production ``--index``
+    sink): the classic Solr XML update format — ``<update>`` root with
+    ``<add><doc><field name=..>..</field></doc></add>`` per document and
+    ``<delete><id>..</id></delete>`` for rows flagged ``_delete`` (the J5
+    document builder's deletion contract, IndexerMapReduce delete logic).
+    One self-contained file per partition; POST any part verbatim to
+    ``/solr/<core>/update``.  Binary columns are hex-encoded; null fields
+    are omitted like SolrInputDocument skips unset fields."""
+    import os
+    from xml.sax.saxutils import escape
+
+    os.makedirs(path, exist_ok=True)
+    has_delete = "_delete" in df.columns
+    doc_cols = [
+        F.hex(F.col(f.name)).alias(f.name)
+        if f.dataType.simpleString() == "binary"
+        else F.col(f.name).cast("string").alias(f.name)
+        if f.dataType.simpleString().startswith(("map", "array", "struct"))
+        else F.col(f.name)
+        for f in df.schema.fields if f.name != "_delete"
+    ]
+    flag = (F.coalesce(F.col("_delete"), F.lit(False)) if has_delete
+            else F.lit(False))
+    rows = df.select(F.struct(*doc_cols).alias("d"), flag.alias("_del"),
+                     F.col(id_col).cast("string").alias("_id"))
+
+    def write_part(it) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = None
+        try:
+            for row in it:
+                if out is None:
+                    out = open(os.path.join(path, f"part-{pid:05d}.xml"), "w",
+                               encoding="utf-8")
+                    out.write("<update>\n")
+                if row["_del"]:
+                    out.write(f"<delete><id>{escape(row['_id'])}</id>"
+                              "</delete>\n")
+                    continue
+                out.write("<add><doc>")
+                for k, v in row["d"].asDict().items():
+                    if v is None:
+                        continue
+                    out.write(f'<field name="{escape(k)}">'
+                              f"{escape(str(v))}</field>")
+                out.write("</doc></add>\n")
+            if out is not None:
+                out.write("</update>\n")
+        finally:
+            if out is not None:
+                out.close()
+
+    rows.foreachPartition(write_part)
+
+
+def read_solr_xml(path: str) -> tuple[list[dict], list[str]]:
+    """Parse update files written by :func:`write_solr_xml` (round-trip
+    check): returns (added docs as dicts, deleted ids)."""
+    import glob
+    import os
+    import xml.etree.ElementTree as ET
+
+    adds, deletes = [], []
+    for fn in sorted(glob.glob(os.path.join(path, "*.xml"))):
+        root = ET.parse(fn).getroot()
+        assert root.tag == "update"
+        for el in root:
+            if el.tag == "add":
+                for doc in el.findall("doc"):
+                    adds.append({f.get("name"): f.text
+                                 for f in doc.findall("field")})
+            elif el.tag == "delete":
+                deletes.extend(i.text for i in el.findall("id"))
+    return adds, deletes

@@ -278,3 +278,29 @@ def test_dmoz_parser(spark, tmp_path):
     parsed = parse_seed_lines(seeds, DEFAULT, 1_700_000_000_000)
     got = {r.url: r.metadata for r in parsed.collect()}
     assert got["http://arts.example.org/"].get("dmoz.topic") == "Top/Arts"
+
+
+def test_solr_xml_sink_round_trip(spark, tmp_path):
+    """indexer-solr analogue: XML update commands (add docs + delete ids)
+    parse back exactly; XML-escaping-safe values, hex binaries, nulls
+    omitted like unset SolrInputDocument fields."""
+    from coherencebot_spark.sources.sinks import read_solr_xml, write_solr_xml
+
+    df = spark.createDataFrame(
+        [("https://a.example.org/x", 'needs <escaping> & "quotes"',
+          b"\x01\x02", None, False),
+         ("https://b.example.org/y", "plain", None, 7, False),
+         ("https://gone.example.org/z", "dead", None, None, True)],
+        "url string, title string, sig binary, n int, _delete boolean",
+    )
+    out = str(tmp_path / "solr")
+    write_solr_xml(df, out)
+    adds, deletes = read_solr_xml(out)
+    assert deletes == ["https://gone.example.org/z"]
+    by_url = {d["url"]: d for d in adds}
+    assert set(by_url) == {"https://a.example.org/x", "https://b.example.org/y"}
+    a = by_url["https://a.example.org/x"]
+    assert a["title"] == 'needs <escaping> & "quotes"'
+    assert a["sig"] == "0102"
+    assert "n" not in a  # null field omitted
+    assert by_url["https://b.example.org/y"]["n"] == "7"
