@@ -57,7 +57,17 @@ def find_duplicates(frontier: DataFrame, cfg: CrawlConfig = DEFAULT,
     column — rows with a NULL key never compete, mirroring the
     reference's hasSignature gate); ``group_col`` adds a second key
     column on top (the reference's dedup.group.mode extension)."""
-    eligible = frontier.filter(
+    # prune to the deciding columns BEFORE the comparator window: at a
+    # 10^10 frontier most rows are fetched and eligible, and the window
+    # exchange must not carry signatures/metadata/full rows — only
+    # (url, key, comparator columns), the same discipline dedup_by_phash
+    # applies (PLANS.md §dedup)
+    narrow = {"url", "host", "status", "score", "fetch_time", key_col}
+    if group_col is not None:
+        narrow.add(group_col)
+    eligible = frontier.select(
+        *[c for c in frontier.columns if c in narrow]
+    ).filter(
         F.col("status").isin(int(Db.FETCHED), int(Db.NOTMODIFIED))
         & F.col(key_col).isNotNull()
     )
