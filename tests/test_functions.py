@@ -494,3 +494,32 @@ def test_validator_in_filter_chain():
                    "http://bad host/x",
                    "http://ok.example.org/img.gif"], dtype=object)
     assert list(chain.accept(s)) == [True, False, False]
+
+
+def test_fast_mask_fixpoint_property():
+    """Property (hypothesis): for ANY generated url-ish string the
+    vectorized fast-path mask may only claim a URL that the per-string
+    slow path would leave byte-identical — the invariant that makes the
+    residue split safe at any corpus composition."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from coherencebot_spark.functions.urls import (
+        _fast_canonical_mask, _normalize_one,
+    )
+
+    scheme = st.sampled_from(["http", "https", "ftp", "HTTP", "Http"])
+    label = st.text(alphabet="abcz09-AB.", min_size=1, max_size=8)
+    hostish = st.lists(label, min_size=1, max_size=3).map(".".join)
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    pathish = st.text(
+        alphabet="abz09/.%~?=&#_- ", min_size=0, max_size=20)
+
+    @settings(max_examples=300, deadline=None)
+    @given(scheme, hostish, port, pathish)
+    def check(sc, host, p, path):
+        u = f"{sc}://{host}{p}/{path}"
+        if bool(_fast_canonical_mask(pd.Series([u])).iloc[0]):
+            assert _normalize_one(u) == u, u
+
+    check()
