@@ -97,10 +97,16 @@ def synthesize_frontier(spark, path: str,
         F.lit(int(Db.FETCHED)))
     if due_bucket_count is not None:
         due = F.pmod(F.xxhash64(host), F.lit(int(n_buckets))) < int(due_bucket_count)
+        # not-due rows sit strictly >1h in the future: an accidental
+        # r2 % day == 0 row would otherwise be due at cur_time and drag
+        # its whole (untouched) bucket into the merge set — at 6M rows
+        # that's ~70 stray buckets, which destroys the ∝-touched signal
+        not_due_time = F.lit(T0 + 3_600_000) + (F.col("r2") % 86_400_000)
     else:
         due = F.col("r2") % 100 < 80
+        not_due_time = F.lit(T0) + (F.col("r2") % 86_400_000)
     fetch_time = F.when(due, F.lit(T0) - (F.col("r2") % 86_400_000)).otherwise(
-        F.lit(T0) + (F.col("r2") % 86_400_000))
+        not_due_time)
     df.select(
         url.alias("url"),
         host.alias("host"),
