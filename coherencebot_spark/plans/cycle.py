@@ -103,13 +103,17 @@ class CrawlDriver:
         )
 
     def _write_frontier(self, df: DataFrame, **kw) -> int:
-        # sorted by fetch_time at rest within each host-bucket: row-group
-        # min/max stats stay tight, so generate's due-filter prunes
-        # not-yet-due row groups at the parquet scan (PLANS.md §storage)
+        # hash-distributed (one file per bucket — Iceberg
+        # write.distribution-mode=hash; without it every task writes a
+        # file per bucket it holds: small-file explosion) and sorted by
+        # fetch_time at rest within each host-bucket: row-group min/max
+        # stats stay tight, so generate's due-filter prunes not-yet-due
+        # row groups at the parquet scan (PLANS.md §storage)
         return self.frontier.write(
             self._with_bucket(df.drop("bucket")) if "bucket" not in df.columns
             else df,
             partition_by=["bucket"], sort_within=["bucket", "fetch_time"],
+            distribute_by=["bucket"],
             **kw,
         )
 
@@ -400,6 +404,7 @@ class CrawlDriver:
                 self._with_bucket(new_frontier), touched, cycle_id=cycle_id,
                 metrics=meta, lineage=m.per_partition,
                 sort_within=["bucket", "fetch_time"],
+                distribute_by=["bucket"],
             )
             if parent_size is None:
                 self._full_count_jobs += 1
@@ -467,6 +472,7 @@ class CrawlDriver:
             merged = merge_linkdb(old_touched, new_links, self.cfg)
             self.linkdb.merge_write(
                 self._with_url_bucket(merged), touched, cycle_id=cycle_id,
+                distribute_by=["bucket"],
             )
             new_links.unpersist()
         else:
@@ -479,7 +485,7 @@ class CrawlDriver:
             merged = merge_linkdb(old, new_links, self.cfg)
             self.linkdb.write(
                 self._with_url_bucket(merged), cycle_id=cycle_id,
-                partition_by=["bucket"],
+                partition_by=["bucket"], distribute_by=["bucket"],
             )
 
     def _touched_since_last_hostdb(self) -> list[int] | None:

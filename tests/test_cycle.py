@@ -336,3 +336,22 @@ def test_feed_inject_cadence_in_loop(spark, tmp_path):
 
     ms2 = d.run(1, T0, feed=FeedInjector("http://api", http_get=broken))
     assert len(ms2) == 1
+
+
+def test_frontier_write_one_file_per_bucket(spark, tmp_path):
+    # write-side hash distribution (Iceberg write.distribution-mode=hash
+    # analogue): each bucket's rows land in one task → exactly one parquet
+    # file per bucket dir, instead of one per (task × bucket) — the
+    # small-file explosion that compounds at 10^10 × 1000 executors
+    import glob
+    import os
+
+    d = CrawlDriver(spark, str(tmp_path / "c"), CFG, **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    m = d.frontier._load()
+    ddir = os.path.join(d.frontier.path, "snapshots", m["snapshots"][-1]["dir"])
+    bdirs = glob.glob(os.path.join(ddir, "bucket=*"))
+    assert bdirs
+    for bdir in bdirs:
+        files = glob.glob(os.path.join(bdir, "*.parquet"))
+        assert len(files) == 1, bdir
