@@ -344,9 +344,18 @@ class CrawlDriver:
                 cfg, key_col="phash_meta",
             ).drop("phash_meta")
 
-        # metrics + per-partition lineage (north rule)
-        status_counts = {r["status"]: r["count"]
-                         for r in log.groupBy("status").count().collect()}
+        # metrics + per-partition lineage (north rule): ONE pass over the
+        # fetch log yields both the per-partition lineage and (summed
+        # driver-side) the global status counters — the former separate
+        # global groupBy was a second full log scan per cycle
+        per_part = (
+            log.withColumn("p", F.spark_partition_id())
+            .groupBy("p", "status").count().collect()
+        )
+        status_counts: dict[int, int] = {}
+        for r in per_part:
+            m.per_partition.setdefault(str(r["p"]), {})[str(r["status"])] = r["count"]
+            status_counts[r["status"]] = status_counts.get(r["status"], 0) + r["count"]
         m.fetched = status_counts.get(int(Fetch.SUCCESS), 0)
         m.redirected = (status_counts.get(int(Fetch.REDIR_TEMP), 0)
                         + status_counts.get(int(Fetch.REDIR_PERM), 0))
@@ -362,12 +371,6 @@ class CrawlDriver:
             .join(frontier.select("url"), "url", "left_anti")
             .count()
         )
-        per_part = (
-            log.withColumn("p", F.spark_partition_id())
-            .groupBy("p", "status").count().collect()
-        )
-        for r in per_part:
-            m.per_partition.setdefault(str(r["p"]), {})[str(r["status"])] = r["count"]
 
         new_frontier = new_frontier.persist()
 
