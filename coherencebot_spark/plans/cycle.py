@@ -57,6 +57,10 @@ class CycleMetrics:
     new_links: int = 0
     frontier_size: int = 0
     per_partition: dict = field(default_factory=dict)
+    # wall seconds per cycle phase (the reference logs per-MR-job
+    # durations in bin/crawl; this is the same observability, and the
+    # tool that found the small-file write cost)
+    timings: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -239,6 +243,16 @@ class CrawlDriver:
             m.frontier_size = snap["metrics"].get("frontier_size", 0)
             return m
 
+        import time as _time
+
+        _t0 = _time.time()
+
+        def tick(phase: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            m.timings[phase] = round(now - _t0, 3)
+            _t0 = now
+
         resumed = self.fetch_log.snapshot_for_cycle(cycle_id)
         if resumed:
             # mid-cycle resume: fetch already ran — reload the segment
@@ -258,6 +272,7 @@ class CrawlDriver:
             self.content.write(content, cycle_id=cycle_id)
             log = self.fetch_log.read(self.spark)
             content = self.content.read(self.spark)
+        tick("segment")  # generate + fetch + payload + segment commit
 
         # parse + redirect-linked rows
         parse_out = parse(log, content, cfg).unionByName(redirect_link_rows(log))
@@ -308,6 +323,7 @@ class CrawlDriver:
                 .distinct()
             )
             touched = [r["b"] for r in hosts.collect()]
+            tick("touched_buckets")
             frontier_all = self.frontier.read(self.spark)
             frontier = (
                 frontier_all.filter(F.col("bucket").isin(touched)).drop("bucket")
@@ -371,6 +387,7 @@ class CrawlDriver:
             .join(frontier.select("url"), "url", "left_anti")
             .count()
         )
+        tick("metrics")  # lineage pass + new-link discovery count
 
         new_frontier = new_frontier.persist()
 
@@ -386,6 +403,7 @@ class CrawlDriver:
                 touched if use_merge else None,
                 frontier_df=self._with_bucket(new_frontier),
             )
+            tick("url_seen_refresh")  # also materializes new_frontier
 
         meta = {k: v for k, v in m.as_dict().items() if k != "per_partition"}
         if use_merge:
@@ -422,11 +440,14 @@ class CrawlDriver:
                 new_frontier, cycle_id=cycle_id,
                 metrics=meta, lineage=m.per_partition,
             )
+        tick("frontier_commit")  # updatedb/dedup execute here if not above
         new_frontier.unpersist()
 
         # ancillary tables (optional steps in the reference loop)
         self._update_linkdb(po_all, cycle_id, use_merge)
+        tick("linkdb")
         self._update_hostdb(cycle_id)
+        tick("hostdb")
         if use_merge:
             parse_out.unpersist()
         if seen_new is not None:
