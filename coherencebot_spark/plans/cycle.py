@@ -69,7 +69,8 @@ class CycleMetrics:
 class CrawlDriver:
     def __init__(self, spark: SparkSession, workdir: str,
                  cfg: CrawlConfig = DEFAULT, bucketed: bool = False,
-                 full_rewrite_every: int = 16, **fetch_kwargs):
+                 full_rewrite_every: int = 16, dns_resolver=None,
+                 **fetch_kwargs):
         """``bucketed=True`` enables MERGE-style frontier commits: updatedb
         runs only over the buckets touched by this cycle's fetchlist +
         discovered links, and the snapshot carries untouched buckets forward
@@ -81,6 +82,9 @@ class CrawlDriver:
         self.cfg = cfg
         self.bucketed = bucketed
         self.full_rewrite_every = full_rewrite_every
+        # hostdb DNS/connection probe (operators.hostdb.DnsResolver);
+        # injectable — no network in the sandbox (ResolverThread analogue)
+        self.dns_resolver = dns_resolver
         self.fetch_kwargs = fetch_kwargs
         # full-frontier count jobs taken for the frontier_size metric in
         # merge cycles (0 in steady state — tests assert this)
@@ -559,7 +563,8 @@ class CrawlDriver:
                 return  # nothing moved since last hostdb commit
             src = cur.filter(F.col("bucket").isin(touched)).drop("bucket")
         self.hostdb.write(
-            update_hostdb(src, old, self.cfg), cycle_id=cycle_id,
+            update_hostdb(src, old, self.cfg, resolver=self.dns_resolver),
+            cycle_id=cycle_id,
             metrics={"frontier_snapshot": self.frontier.current_id()},
         )
 

@@ -355,3 +355,27 @@ def test_frontier_write_one_file_per_bucket(spark, tmp_path):
     for bdir in bdirs:
         files = glob.glob(os.path.join(bdir, "*.parquet"))
         assert len(files) == 1, bdir
+
+
+def test_driver_dns_resolver_in_loop(spark, tmp_path):
+    # the ResolverThread analogue wired through the driver: per-host DNS
+    # probe failures accumulate in hostdb across cycles
+    import pandas as pd
+
+    def resolver(hosts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": hosts,
+            "dns_failed": [1] * len(hosts),
+            "cnx_failed": [0] * len(hosts),
+        })
+
+    d = CrawlDriver(spark, str(tmp_path / "c"), CFG, dns_resolver=resolver,
+                    **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    d.run_cycle(0, T0 + 1000)
+    h1 = {r.host: r.dns_failures for r in d.hostdb.read(spark).collect()}
+    assert h1 and all(v == 1 for v in h1.values())
+    d.run_cycle(1, T0 + 7_200_000)
+    h2 = {r.host: r.dns_failures for r in d.hostdb.read(spark).collect()}
+    # hosts present in both cycles accumulated a second failure
+    assert any(h2[k] == 2 for k in h1 if k in h2)
