@@ -131,10 +131,17 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
                 )
         return weight
 
-    bits = []
+    sig = F.lit(0)
+    for dot, p in _plane_dots(vec_col, dim, n_planes, make_weight):
+        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def _plane_dots(vec_col, dim: int, n_planes: int, make_weight):
+    """[(dot_expr, plane_index)] for each hyperplane."""
+    out = []
     for p in range(n_planes):
         weight = make_weight(p)
-
         dot = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -144,11 +151,57 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = F.lit(0)
-    for b in bits:
-        sig = sig + b
-    return sig
+        out.append((dot, p))
+    return out
+
+
+def _hyperplane_probe_buckets(vec_col, dim: int, n_planes: int, seed: int,
+                              n_probe: int, portable: bool = False):
+    """Multi-probe bucket list (Lv et al., multi-probe LSH): the base
+    bucket plus ``n_probe`` perturbed buckets obtained by flipping, one at
+    a time, the planes whose |dot| margin is smallest — the planes most
+    likely to have put a true neighbor on the other side.  Pure JVM
+    expression: an array of (|dot|, bitmask) structs sorted ascending, the
+    first ``n_probe`` masks XORed onto the base signature."""
+    # reuse _hyperplane_sig's weight construction so probe buckets match
+    # the corpus-side signatures bit-for-bit
+    def make_weight(p: int):
+        if portable:
+            prefix = f"{seed * 1_000_003 + p}:"
+
+            def weight(i):
+                h = F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(prefix), i.cast("string"))
+                              .cast("binary")),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long")
+                return h.cast("double") / F.lit(float(1 << 59)) - F.lit(1.0)
+        else:
+            def weight(i):
+                return (
+                    F.xxhash64(
+                        F.lit(seed * 1_000_003 + p).cast("long")
+                        * F.lit(131_071).cast("long")
+                        + i.cast("long")
+                    ).cast("double") / F.lit(float(2 ** 63))
+                )
+        return weight
+
+    dots = _plane_dots(vec_col, dim, n_planes, make_weight)
+    base = F.lit(0)
+    for dot, p in dots:
+        base = base + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    margins = F.array(*[
+        F.struct(F.abs(dot).alias("a"), F.lit(1 << p).cast("int").alias("m"))
+        for dot, p in dots
+    ])
+    flips = F.slice(F.array_sort(margins), 1, int(n_probe))
+    return F.concat(
+        F.array(base),
+        F.transform(flips, lambda s: base.bitwiseXOR(s["m"])),
+    )
 
 
 def _centroid_score_structs(vec_col, cent_rows, elem_type: str):
@@ -324,29 +377,42 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_planes: int = 8,
                     n_tables: int = 4, seed: int = 42,
-                    portable: bool = False) -> DataFrame:
+                    portable: bool = False, multiprobe: int = 0) -> DataFrame:
     """ANN: random-hyperplane LSH bucketing + exact rerank inside buckets.
 
-    Recall is tunable via (n_planes, n_tables); candidates shuffle only by
-    (table, bucket) — no crossJoin ever touches the big side.  Size the
-    bucket space with :func:`lsh_params_for` — the 8-plane default is a
-    small-corpus setting, not a 10^10 one."""
-    def bucketize(df, vc):
+    Recall is tunable via (n_planes, n_tables) and ``multiprobe``: each
+    query additionally probes the ``multiprobe`` buckets reached by
+    flipping its lowest-margin planes (multi-probe LSH) — recall per
+    table rises without growing the corpus-side index, so fewer tables
+    reach the same recall (n_tables multiplies the CORPUS explode; probes
+    only multiply the tiny broadcast query side).  Candidates shuffle
+    only by (table, bucket) — no crossJoin ever touches the big side.
+    Size the bucket space with :func:`lsh_params_for` — the 8-plane
+    default is a small-corpus setting, not a 10^10 one."""
+    def bucketize(df, vc, n_probe=0):
+        def buckets(t):
+            if n_probe > 0:
+                return _hyperplane_probe_buckets(
+                    F.col(vc), dim, n_planes, seed + t, n_probe, portable)
+            return F.array(
+                _hyperplane_sig(F.col(vc), dim, n_planes, seed + t, portable)
+            )
+
         return df.select(
             "*",
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _hyperplane_sig(F.col(vc), dim, n_planes, seed + t,
-                                    portable).alias("bkt"),
+            F.explode(F.flatten(F.array(*[
+                F.transform(
+                    buckets(t),
+                    lambda b: F.struct(F.lit(t).alias("tbl"), b.alias("bkt")),
                 )
                 for t in range(n_tables)
-            ])).alias("_b"),
+            ]))).alias("_b"),
         ).select(*df.columns, F.col("_b.tbl"), F.col("_b.bkt"))
 
     v = bucketize(vectors.select(id_col, vec_col), vec_col)
     q = bucketize(
-        queries.select(qid_col, F.col(vec_col).alias("_qv")), "_qv"
+        queries.select(qid_col, F.col(vec_col).alias("_qv")), "_qv",
+        n_probe=int(multiprobe),
     )
     # score every candidate match map-side (the broadcast join leaves the
     # big side un-shuffled), THEN dedup multi-table duplicates on the

@@ -434,3 +434,41 @@ def test_ivf_refined_codebook_recall(spark):
     r_refined = recall("refined")
     assert r_refined > r_first, (r_first, r_refined)
     assert r_refined >= 0.8, r_refined
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe LSH: flipping the lowest-margin planes recovers
+    neighbors that landed one bit away — recall at ONE table with probes
+    must beat the same table without, and never lose the self-match."""
+    rng = np.random.RandomState(11)
+    dim, n = 16, 400
+    pts = rng.randn(n, dim).astype(np.float64)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    qids = list(range(12))
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in qids],
+        "query_id long, embedding array<float>",
+    )
+    k = 10
+    brute = {}
+    for r in cosine_topk_bruteforce(vecs, queries, k=k).collect():
+        brute.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(multiprobe):
+        got = {}
+        out = cosine_topk_lsh(vecs, queries, k=k, dim=dim, n_planes=7,
+                              n_tables=1, multiprobe=multiprobe)
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        # self-match must always survive (query is its own bucket)
+        for q in qids:
+            assert q in got.get(q, set())
+        return np.mean([len(got.get(q, set()) & brute[q]) / k for q in qids])
+
+    r0 = recall(0)
+    r3 = recall(3)
+    assert r3 > r0, (r0, r3)
