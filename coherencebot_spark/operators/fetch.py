@@ -141,6 +141,28 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
 
     fl = fetchlist.join(F.broadcast(robots), "host", "left")
 
+    # --- politeness queue key (P1; ``fetcher.queue.mode``) ---
+    # byHost (default): the host IS the queue.  byDomain: all hosts of a
+    # registered domain share one queue (FetchItemQueues.getQueueID) —
+    # derived once per DISTINCT host (pandas over |hosts| rows, broadcast
+    # back), never per fetchlist row.  Robots stay per-host either way.
+    if cfg.queue_mode == "byDomain":
+        from ..functions.urls import domain_of
+
+        def _dom(it):
+            for pdf in it:
+                yield pd.DataFrame({
+                    "host": pdf["host"],
+                    "_qkey": domain_of(pdf["host"]).astype(object),
+                })
+
+        dom = fetchlist.select("host").distinct().mapInPandas(
+            _dom, schema="host string, _qkey string")
+        fl = fl.join(F.broadcast(dom), "host", "left").withColumn(
+            "_qkey", F.coalesce(F.col("_qkey"), F.col("host")))
+    else:
+        fl = fl.withColumn("_qkey", F.col("host"))
+
     # --- protocol outcome (vectorized backend; synthetic = pure fn of URL) ---
     be = backend
 
@@ -199,8 +221,8 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     var_delay = F.col("metadata").getItem("_variableFetchDelay_").cast("long")
     delay = F.coalesce(var_delay, base_delay)
 
-    wh = Window.partitionBy("host").orderBy("sort_key", "url")
-    paced = Window.partitionBy("host", "robots_denied").orderBy("sort_key", "url")
+    wh = Window.partitionBy("_qkey").orderBy("sort_key", "url")
+    paced = Window.partitionBy("_qkey", "robots_denied").orderBy("sort_key", "url")
     fl = fl.withColumn(
         "_k",
         F.when(F.col("robots_denied"), F.lit(0))
@@ -276,6 +298,11 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     # when persisting.
     pf, pbf = payload_fn, payload_batch_fn
     _COLS = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    # http.content.limit (P/F6; conf default 1 MB): payloads larger than
+    # the limit are cut off mid-stream exactly like the reference's
+    # protocol readers — the truncated blob then fails parse's decode
+    # gate and the row is skipped (ParseSegment's truncation check)
+    content_limit = int(cfg.content_limit)
 
     def materialize(it):
         for pdf in it:
@@ -303,6 +330,13 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
                         row = pf(int(u))
                         for k in cols:
                             cols[k][i] = row[k]
+            if content_limit > 0:
+                cols["bytes"] = [
+                    b[:content_limit]
+                    if isinstance(b, (bytes, bytearray))
+                    and len(b) > content_limit else b
+                    for b in cols["bytes"]
+                ]
             out = pdf[["url", "host", "score", "metadata"]].copy()
             for k, v in cols.items():
                 out[k] = v
@@ -334,6 +368,71 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     content = success.mapInPandas(materialize, schema=content_schema)
 
     return fetch_log.drop("image_idx"), content
+
+
+def fetch_with_redirects(fetchlist: DataFrame, cycle_start: int,
+                         cfg: CrawlConfig = DEFAULT,
+                         **kw) -> tuple[DataFrame, DataFrame]:
+    """P6 follow mode (``http.redirect.max`` > 0): redirect targets are
+    fetched IN-CYCLE, up to ``redirect_max`` rounds (the reference queues
+    the target as a new fetch item in the same fetch round —
+    ``FetcherThread.handleRedirect`` → ``FetchItemQueues.addFetchItem``).
+
+    Each round's targets are deduped, stripped of urls already fetched
+    this cycle (loop guard — a self-redirect or A↔B cycle terminates),
+    and paced through the normal politeness clock on THEIR OWN hosts.
+    Rounds restart the virtual clock at ``cycle_start`` — the same
+    approximation as the reference, where a redirect target re-enters its
+    queue's tail with its own delay slot.  With ``redirect_max == 0``
+    (the default) this is exactly :func:`fetch`."""
+    log, content = fetch(fetchlist, cycle_start, cfg, **kw)
+    logs, contents = [log], [content]
+    seen = fetchlist.select("url")
+    for _ in range(max(int(cfg.redirect_max), 0)):
+        tgt = (
+            log.filter(
+                F.col("status").isin(int(Fetch.REDIR_PERM),
+                                     int(Fetch.REDIR_TEMP))
+                & F.col("redirect_to").isNotNull()
+            )
+            .select(F.col("redirect_to").alias("url"),
+                    F.col("url").alias("_src"),
+                    "retries", "fetch_interval", "score", "metadata")
+            .join(seen, "url", "left_anti")
+        )
+        w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("_src"))
+        tgt = (
+            tgt.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(
+                "url",
+                F.lower(F.expr("parse_url(url, 'HOST')")).alias("host"),
+                F.lit(1).cast("int").alias("status"),      # Db.UNFETCHED
+                F.lit(int(cycle_start)).cast("long").alias("fetch_time"),
+                F.col("retries").cast("int"),
+                F.col("fetch_interval").cast("long"),
+                F.col("score").cast("float"),
+                F.lit(None).cast("binary").alias("signature"),
+                F.lit(0).cast("long").alias("modified_time"),
+                "metadata",
+                F.lit(1).cast("int").alias("segnum"),
+                F.lit(0).cast("int").alias("partition_id"),
+                F.xxhash64("url").alias("sort_key"),
+            )
+        ).persist()
+        if not tgt.limit(1).count():
+            tgt.unpersist()
+            break
+        seen = seen.unionByName(tgt.select("url"))
+        log, content = fetch(tgt, cycle_start, cfg, **kw)
+        logs.append(log)
+        contents.append(content)
+    out_log, out_content = logs[0], contents[0]
+    for l in logs[1:]:
+        out_log = out_log.unionByName(l)
+    for c in contents[1:]:
+        out_content = out_content.unionByName(c)
+    return out_log, out_content
 
 
 def fetch_metrics(fetch_log: DataFrame) -> DataFrame:

@@ -270,7 +270,13 @@ class CrawlDriver:
             if cfg.generate_update_crawldb:
                 stamped = stamp_generated(frontier, fetchlist, cur_time)
                 self._write_frontier(stamped, cycle_id=f"gen@{cycle_id}")
-            log, content = fetch(fetchlist, cur_time, cfg, **self.fetch_kwargs)
+            if cfg.redirect_max > 0:
+                from ..operators.fetch import fetch_with_redirects
+                log, content = fetch_with_redirects(
+                    fetchlist, cur_time, cfg, **self.fetch_kwargs)
+            else:
+                log, content = fetch(fetchlist, cur_time, cfg,
+                                     **self.fetch_kwargs)
             # durable midpoint: the "segment" commit (checkpoint/resume)
             self.fetch_log.write(log, cycle_id=cycle_id)
             self.content.write(content, cycle_id=cycle_id)

@@ -196,3 +196,83 @@ def test_payload_per_row_invariant(spark):
             assert images.psnr(src, dec) >= 40.0
         else:
             assert (dec == src).all()
+
+
+def test_queue_mode_by_domain(spark):
+    # fetcher.queue.mode=byDomain: all hosts of one registered domain
+    # share a single politeness queue (FetchItemQueues.getQueueID)
+    rows = [flrow(f"https://a.shared.org/p{i}", "a.shared.org", sort_key=i)
+            for i in range(2)]
+    rows += [flrow(f"https://b.shared.org/p{i}", "b.shared.org", sort_key=i)
+             for i in range(2)]
+    cfg = DEFAULT.with_(queue_mode="byDomain", server_delay_ms=1000)
+    log, _ = fetch(fldf(spark, rows), T, cfg, backend=all_success_backend,
+                   robots_provider=open_robots)
+    times = sorted(r.fetch_time for r in log.collect())
+    assert times == [T, T + 1000, T + 2000, T + 3000]  # ONE serialized queue
+    # byHost default: two parallel queues of two
+    log2, _ = fetch(fldf(spark, rows), T, DEFAULT.with_(server_delay_ms=1000),
+                    backend=all_success_backend, robots_provider=open_robots)
+    times2 = sorted(r.fetch_time for r in log2.collect())
+    assert times2 == [T, T, T + 1000, T + 1000]
+
+
+def test_content_limit_truncates_and_parse_drops(spark):
+    # http.content.limit: oversized payloads are cut off; the truncated
+    # blob then fails parse's decode gate (ParseSegment truncation check)
+    from coherencebot_spark.config import DEFAULT as D
+    from coherencebot_spark.operators.parse import parse
+
+    rows = [flrow(f"https://h1.example.org/p{i}", "h1.example.org", sort_key=i)
+            for i in range(3)]
+    cfg = D.with_(content_limit=4, server_delay_ms=0)
+    log, content = fetch(fldf(spark, rows), T, cfg,
+                         backend=all_success_backend,
+                         robots_provider=open_robots, n_images=10)
+    got = content.collect()
+    assert got and all(len(bytes(r.bytes)) <= 4 for r in got)
+    # truncated payloads fail the per-row decode/validate gate → no parse
+    # output rows (the reference's ParseSegment truncation skip)
+    po = parse(log, content, cfg, validate_fn=world.validate_payload_rows)
+    assert po.count() == 0
+    # sanity: without the limit the same rows parse fine
+    log2, content2 = fetch(fldf(spark, rows), T, D.with_(server_delay_ms=0),
+                           backend=all_success_backend,
+                           robots_provider=open_robots, n_images=10)
+    assert parse(log2, content2, cfg,
+                 validate_fn=world.validate_payload_rows).count() > 0
+
+
+def test_redirect_follow_mode(spark):
+    # http.redirect.max > 0: targets fetched in-cycle, paced on their own
+    # hosts; redirect_max=0 leaves them as linked-only (default)
+    from coherencebot_spark.operators.fetch import fetch_with_redirects
+
+    target = "https://h2.example.org/land"
+
+    def backend(urls: pd.Series) -> pd.DataFrame:
+        red = urls.str.contains("/redir").to_numpy()
+        return pd.DataFrame({
+            "proto_status": np.where(red, Proto.MOVED, Proto.SUCCESS
+                                     ).astype(np.int32),
+            "redirect_to": [target if r else None for r in red],
+            "image_idx": np.where(red, -1, np.arange(len(urls))),
+        }, index=urls.index)
+
+    rows = [flrow("https://h1.example.org/redir/0", "h1.example.org")]
+    cfg = DEFAULT.with_(redirect_max=2)
+    log, content = fetch_with_redirects(
+        fldf(spark, rows), T, cfg, backend=backend,
+        robots_provider=open_robots)
+    by_url = {r.url: r.status for r in log.collect()}
+    assert by_url["https://h1.example.org/redir/0"] == Fetch.REDIR_PERM
+    assert by_url[target] == Fetch.SUCCESS
+    assert {r.url for r in content.collect()} == {target}
+
+    # default redirect_max=0: single pass, no target fetch
+    log0, content0 = fetch_with_redirects(
+        fldf(spark, rows), T, DEFAULT, backend=backend,
+        robots_provider=open_robots)
+    assert {r.url for r in log0.collect()} \
+        == {"https://h1.example.org/redir/0"}
+    assert content0.count() == 0
