@@ -87,7 +87,6 @@ class CrawlConfig:
     purge_404: bool = False               # db.update.purge.404
     purge_orphan: bool = False            # db.update.purge.orphan (fork)
     purge_withdrawn: bool = False         # purge db_withdrawn rows (fork)
-    schedule_inject_modify: bool = False  # db.fetch.schedule.mime... n/a
     score_internal: float = 1.0           # db.score.link.internal
     score_external: float = 1.0           # db.score.link.external
     score_count_filtered: bool = False    # db.score.count.filtered

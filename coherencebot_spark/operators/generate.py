@@ -53,8 +53,19 @@ from ..schemas import FETCHLIST
 
 
 def _gates(frontier: DataFrame, cur_time: int, cfg: CrawlConfig,
-           chain: URLFilterChain | None) -> DataFrame:
+           chain: URLFilterChain | None, normalize: bool = False) -> DataFrame:
     df = frontier
+    if cfg.normalise_on_generate and normalize:
+        # generate.normalise (GeneratorMapper: normalize BEFORE filtering;
+        # a url the normalizer rejects is dropped).  Opt-in per call: the
+        # frontier is already normalized at ingest, so the per-generate
+        # pass only matters when normalizer rules changed since rows were
+        # written — exactly the reference's use of the flag.
+        from ..functions.urls import with_host, with_normalized_url
+
+        df = with_normalized_url(df, "url", "url") \
+            .filter(F.col("url").isNotNull())
+        df = with_host(df, "url", "host")
     if cfg.filter_on_generate and chain is not None:
         df = with_filter_accept(df, chain, "url", "_ok").filter("_ok").drop("_ok")
 
@@ -251,7 +262,8 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
              hostdb: DataFrame | None = None,
              max_count_expr: str | None = None,
              fetch_delay_expr: str | None = None,
-             broadcast_select: bool = False) -> DataFrame:
+             broadcast_select: bool = False,
+             normalize: bool = False) -> DataFrame:
     """Select the next fetchlist.  Returns FETCHLIST-schema DataFrame.
 
     ``hostdb`` (optional) is broadcast-joined on host (strictly better than
@@ -268,7 +280,7 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
     default (or bucket the frontier by url and let the join-back be
     storage-partitioned).
     """
-    df = _gates(frontier, cur_time, cfg, chain)
+    df = _gates(frontier, cur_time, cfg, chain, normalize=normalize)
     df = _with_host_attrs(df, cfg)
 
     if hostdb is not None:

@@ -179,3 +179,28 @@ def test_broadcast_select_equivalence(spark):
             )
 
         assert snap() == snap(broadcast_select=True), cfg
+
+
+def test_generate_normalise_flag(spark):
+    # generate.normalise (GeneratorMapper): normalize BEFORE filtering —
+    # only matters when normalizer rules changed after rows were written
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.generate import generate
+    from coherencebot_spark.schemas import FRONTIER
+
+    T = 1_700_000_000_000
+    rows = [dict(url="HTTP://Mixed.Example.org:80/a/../p", host="mixed.example.org",
+                 status=1, fetch_time=T - 10, retries=0,
+                 fetch_interval=2_592_000, score=1.0, signature=None,
+                 modified_time=0, metadata=None)]
+    f = spark.createDataFrame(rows, FRONTIER)
+    cfg = DEFAULT.with_(topn=10, num_partitions=1, filter_on_generate=False)
+    out0 = generate(f, T, cfg).collect()
+    assert out0[0].url == "HTTP://Mixed.Example.org:80/a/../p"  # untouched
+    out1 = generate(f, T, cfg, normalize=True).collect()
+    assert out1[0].url == "http://mixed.example.org/p"
+    assert out1[0].host == "mixed.example.org"
+    # cfg gate: normalise_on_generate=False wins even with normalize=True
+    out2 = generate(f, T, cfg.with_(normalise_on_generate=False),
+                    normalize=True).collect()
+    assert out2[0].url == "HTTP://Mixed.Example.org:80/a/../p"
