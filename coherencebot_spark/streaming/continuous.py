@@ -115,6 +115,23 @@ def stream_politeness_pacer(candidates, delay_ms: int,
     )
 
 
+def stream_dedup_urls(stream_df: DataFrame, watermark: str = "1 hour",
+                      ts_col: str = "ts", url_col: str = "url") -> DataFrame:
+    """Streaming URL-seen dedup for intake streams
+    (``dropDuplicatesWithinWatermark``): a url arriving again within the
+    watermark is dropped — across micro-batches AND restarts (the dedup
+    state is checkpointed) — while state stays BOUNDED by the watermark
+    instead of growing with every url ever seen.  The streaming twin of
+    the batch URL-seen filter: the batch bloom answers "ever seen" against
+    the frontier, this answers "seen recently" on the wire, which is
+    exactly what dedupes a re-delivering feed/drop-dir source before the
+    exact inject merge runs."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([url_col])
+    )
+
+
 def stream_fetch_window_metrics(spark: SparkSession, src_dir: str,
                                 out_dir: str, checkpoint_dir: str,
                                 window: str = "10 minutes",
