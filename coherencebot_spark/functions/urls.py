@@ -510,15 +510,25 @@ class SuffixURLFilter:
 
 class DomainURLFilter:
     """urlfilter-domain: accept only URLs whose host or registered domain is
-    in the allow set."""
+    in the allow set.  ``deny=True`` flips it into urlfilter-domaindenylist
+    (``DomainDenylistURLFilter.java``): REJECT matching hosts/domains,
+    accept everything else — the block-list form used to excise abusive
+    domains without touching the allow rules."""
 
-    def __init__(self, domains: list[str]):
+    def __init__(self, domains: list[str], deny: bool = False):
         self.domains = frozenset(d.lower() for d in domains)
+        self.deny = deny
 
     def accept(self, urls: pd.Series) -> pd.Series:
         hosts = host_of(urls)
         doms = domain_of(hosts)
-        return hosts.isin(self.domains) | doms.isin(self.domains)
+        hit = hosts.isin(self.domains) | doms.isin(self.domains)
+        return ~hit if self.deny else hit
+
+
+def DomainDenylistURLFilter(domains: list[str]) -> DomainURLFilter:
+    """urlfilter-domaindenylist (plugin-name alias)."""
+    return DomainURLFilter(domains, deny=True)
 
 
 class DescendantURLFilter:

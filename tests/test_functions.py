@@ -523,3 +523,22 @@ def test_fast_mask_fixpoint_property():
             assert _normalize_one(u) == u, u
 
     check()
+
+
+def test_domain_denylist_filter():
+    # urlfilter-domaindenylist: reject listed hosts/registered domains,
+    # accept everything else (the inverse of urlfilter-domain)
+    from coherencebot_spark.functions.urls import (
+        DomainDenylistURLFilter, DomainURLFilter,
+    )
+
+    urls = pd.Series([
+        "https://spam.example.org/x",      # registered domain listed
+        "https://sub.spam.example.org/y",  # hmm: registered domain = example.org
+        "https://bad.host.net/z",          # exact host listed
+        "https://good.other.io/ok",
+    ])
+    allow = DomainURLFilter(["example.org", "bad.host.net"])
+    deny = DomainDenylistURLFilter(["example.org", "bad.host.net"])
+    assert list(allow.accept(urls)) == [True, True, True, False]
+    assert list(deny.accept(urls)) == [False, False, False, True]
