@@ -563,6 +563,24 @@ def _q_ann_lsh(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def _q_ann_lsh_multiprobe(spark, sf_dir):
+    # multi-probe LSH under the full oracle: the portable md5 planes make
+    # the base bucket AND the lowest-|margin| flip selection bit-exact in
+    # DuckDB, so the probe set itself is verified — 3 tables × (1 base +
+    # 2 probes) per query
+    from coherencebot_spark.datapipe.similarity import cosine_topk_lsh
+
+    em = _t(spark, sf_dir, "embeddings")
+    dim = len(em.select("embedding").first()[0])
+    q = em.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_lsh(em, q, k=5, dim=dim, n_planes=6, n_tables=3,
+                          portable=True, multiprobe=2)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
 def _q_ann_ivf(spark, sf_dir):
     # IVF ANN under the full oracle: embeddings cast to double so the
     # left-fold cosine (assignment argmax + rerank) is bit-identical in
@@ -1113,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_ivf": _q_ann_ivf,
         "free_generator": _q_free_generator,
         "html_outlinks": _q_html_outlinks,
@@ -1654,6 +1673,83 @@ def oracle_sql() -> dict[str, str]:
             cand AS (
               SELECT DISTINCT q.query_id, v.vec_id, v.embedding, q.qemb
               FROM bk v JOIN q ON v.tbl = q.tbl AND v.bkt = q.bkt
+            ),
+            scored AS (
+              SELECT query_id, vec_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(list_zip(embedding, qemb),
+                                      z -> z[1]::DOUBLE * z[2]::DOUBLE)),
+                       (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+                          (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(qemb, x -> x::DOUBLE * x::DOUBLE)),
+                            (a, b) -> a + b))) AS c
+              FROM cand
+            )
+            SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rank FROM (
+              SELECT query_id, vec_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_lsh_multiprobe": """
+            WITH em AS (SELECT vec_id, embedding FROM embeddings),
+            tabs AS (SELECT unnest(range(0, 3)) AS tbl),
+            pls AS (SELECT unnest(range(0, 6)) AS p),
+            -- corpus buckets: 6 sign bits per table (same planes as Spark)
+            bk AS (
+              SELECT vec_id, embedding, t.tbl,
+                     (SELECT SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(embedding, (x, i) -> x::DOUBLE *
+                           (CAST(('0x' || substring(md5(
+                              (((42 + t.tbl) * 1000003 + p.p)::VARCHAR || ':'
+                               || (i - 1)::VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+                            / 576460752303423488.0 - 1.0))),
+                         (a, b) -> a + b) >= 0
+                       THEN (1 << p.p) ELSE 0 END)
+                      FROM pls p) AS bkt
+              FROM em, tabs t
+            ),
+            -- query side: per-plane dots to pick the lowest-|margin| flips
+            qd AS (
+              SELECT e.vec_id AS query_id, e.embedding AS qemb, t.tbl, p.p,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(e.embedding, (x, i) -> x::DOUBLE *
+                         (CAST(('0x' || substring(md5(
+                            (((42 + t.tbl) * 1000003 + p.p)::VARCHAR || ':'
+                             || (i - 1)::VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+                          / 576460752303423488.0 - 1.0))),
+                       (a, b) -> a + b) AS dot
+              FROM (SELECT vec_id, embedding FROM em WHERE vec_id < 3) e,
+                   tabs t, pls p
+            ),
+            qsig AS (
+              SELECT query_id, qemb, tbl,
+                     SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::INT
+                       AS base
+              FROM qd GROUP BY query_id, qemb, tbl
+            ),
+            qflip AS (
+              SELECT query_id, tbl, (1 << p)::INT AS m,
+                     ROW_NUMBER() OVER (PARTITION BY query_id, tbl
+                                        ORDER BY ABS(dot) ASC, (1 << p) ASC)
+                       AS rn
+              FROM qd
+            ),
+            probes AS (
+              SELECT query_id, qemb, tbl, base AS bkt FROM qsig
+              UNION ALL
+              SELECT s.query_id, s.qemb, s.tbl, xor(s.base, f.m) AS bkt
+              FROM qsig s JOIN qflip f
+                ON s.query_id = f.query_id AND s.tbl = f.tbl
+              WHERE f.rn <= 2
+            ),
+            cand AS (
+              SELECT DISTINCT q.query_id, v.vec_id, v.embedding, q.qemb
+              FROM bk v JOIN probes q ON v.tbl = q.tbl AND v.bkt = q.bkt
             ),
             scored AS (
               SELECT query_id, vec_id,
