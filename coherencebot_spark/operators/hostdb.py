@@ -44,6 +44,18 @@ def update_hostdb(frontier: DataFrame, hostdb: DataFrame | None = None,
     dns_failures/connection_failures — which then ACCUMULATE into the old
     hostdb's running totals exactly like the reference's
     UpdateHostDbReducer counter merge."""
+    # homepage detection (UpdateHostDbMapper.map:144-181): the host's root
+    # url, when its row is no longer unfetched, is recorded as the
+    # homepage.  (The reference additionally resolves a redirected root to
+    # its target via the protocol-status repr url; the frontier does not
+    # persist repr urls, so a redirected root records itself — documented
+    # subset.)
+    proto = F.regexp_extract("url", r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    is_root = F.col("url") == F.concat(proto, F.lit("://"),
+                                       F.col("host"), F.lit("/"))
+    hp = F.when(is_root & (F.col("status") != int(Db.UNFETCHED)),
+                F.col("url"))
+
     agg = frontier.filter(F.col("host").isNotNull()).groupBy("host").agg(
         F.avg("score").cast("float").alias("score"),
         _cnt(Db.UNFETCHED).alias("unfetched"),
@@ -53,9 +65,15 @@ def update_hostdb(frontier: DataFrame, hostdb: DataFrame | None = None,
         _cnt(Db.REDIR_TEMP).alias("redir_temp"),
         _cnt(Db.GONE).alias("gone"),
         _cnt(Db.DUPLICATE).alias("duplicate"),
+        F.min(hp).alias("_homepage"),
     ).withColumn("dns_failures", F.lit(0).cast("long")) \
      .withColumn("connection_failures", F.lit(0).cast("long")) \
-     .withColumn("metadata", F.lit(None).cast("map<string,string>"))
+     .withColumn(
+         "metadata",
+         F.when(F.col("_homepage").isNotNull(),
+                F.create_map(F.lit("homepage_url"), F.col("_homepage")))
+         .cast("map<string,string>"),
+     ).drop("_homepage")
 
     if resolver is not None:
         res = resolver

@@ -24,7 +24,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_OUT_DIR: str | None = None
+
+
 def _emit(df, limit: int | None = None) -> None:
+    if _OUT_DIR:
+        # distributed write — nothing funnels through the driver
+        df.write.mode("overwrite").json(_OUT_DIR)
+        return
     it = df.toJSON().toLocalIterator()
     n = 0
     for line in it:
@@ -52,11 +59,17 @@ def main() -> None:
                     help="per-proto-status counts over the latest segment")
     ap.add_argument("--limit", type=int, default=0,
                     help="cap printed rows (0 = all)")
+    ap.add_argument("--out", help="write result as json parts to this dir "
+                                  "instead of printing (distributed — the "
+                                  "right mode for a 10^10-row dump; the "
+                                  "reference likewise dumps to HDFS)")
     args = ap.parse_args()
 
     from coherencebot_spark.session import build_session
     from coherencebot_spark.sources.snapshot import SnapshotTable
 
+    global _OUT_DIR
+    _OUT_DIR = args.out
     spark = build_session(app_name=f"cb-{args.tool}")
     limit = args.limit or None
 

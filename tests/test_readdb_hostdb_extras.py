@@ -163,3 +163,30 @@ def test_hostdb_dns_resolver_hook(spark):
     h2 = update_hostdb(f, hostdb=h1, resolver=resolver)
     got2 = {r.host: r.dns_failures for r in h2.collect()}
     assert got2 == {"a.org": 0, "dead.org": 2}
+
+
+def test_hostdb_homepage_recorded(spark):
+    # UpdateHostDbMapper homepage detection: a fetched root url lands in
+    # metadata['homepage_url']; an unfetched root does not; the reader's
+    # -dumpHomepages surfaces it
+    from coherencebot_spark.operators.hostdb import update_hostdb
+    from coherencebot_spark.operators.readhostdb import homepages
+
+    rows = [
+        frow("http://a.org/", "a.org", Db.FETCHED),
+        frow("http://a.org/page", "a.org", Db.FETCHED),
+        frow("http://b.org/", "b.org", Db.UNFETCHED),   # root not fetched
+        frow("http://c.org/deep/only", "c.org", Db.FETCHED),  # no root row
+    ]
+    hdb = update_hostdb(spark.createDataFrame(rows, FRONTIER))
+    md = {r.host: (r.metadata or {}) for r in hdb.collect()}
+    assert md["a.org"].get("homepage_url") == "http://a.org/"
+    assert "homepage_url" not in md["b.org"]
+    assert "homepage_url" not in md["c.org"]
+    assert [r.homepage_url for r in homepages(hdb).collect()] \
+        == ["http://a.org/"]
+    # merge keeps the recorded homepage when a later update has none
+    rows2 = [frow("http://a.org/page2", "a.org", Db.FETCHED)]
+    hdb2 = update_hostdb(spark.createDataFrame(rows2, FRONTIER), hostdb=hdb)
+    md2 = {r.host: (r.metadata or {}) for r in hdb2.collect()}
+    assert md2["a.org"].get("homepage_url") == "http://a.org/"
