@@ -37,7 +37,14 @@ class CrawlConfig:
     restrict_status: int | None = None    # generate.restrict.status
     expr: str | None = None               # Jexl expr -> SQL string (C9)
     filter_on_generate: bool = True
-    normalise_on_generate: bool = True
+    # generate.normalise: reference default is TRUE (normalize every url
+    # at every generate).  Here the frontier is normalized at ingest
+    # (inject/updatedb), so the per-generate pandas pass over the whole
+    # due set is pure waste at 10^10 unless normalizer RULES changed
+    # since rows were written — flip this on (or pass --normalise-on-
+    # generate to the CLI) for exactly that migration scenario.
+    # Documented deviation from the reference default.
+    normalise_on_generate: bool = False
     # partition_id/hostordomain via distinct-host broadcast (see
     # generate._with_host_attrs); turn off when the host universe itself
     # is too large to broadcast (falls back to per-row pandas UDFs)

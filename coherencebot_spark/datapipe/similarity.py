@@ -93,9 +93,11 @@ def cosine_topk_pandas(vectors: DataFrame, query_vecs: np.ndarray, k: int,
     )
 
 
-def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
-                    portable: bool = False):
-    """h-bit random-hyperplane signature as a JVM expression.
+def _weight_factory(seed: int, portable: bool):
+    """``make_weight(p) -> (i -> weight_expr)`` — THE single definition of
+    the plane weights, shared by the signature and the multi-probe bucket
+    expressions (they must match bit-for-bit or probe buckets desync from
+    corpus buckets).
 
     Plane weights are deterministic pseudo-randoms:
     default  w[p][i] = xxhash64(seed', i) / 2^63 ∈ (-1, 1);
@@ -103,10 +105,10 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
     md5-based form is computable bit-identically in DuckDB (same
     left-fold dot product → same sign bits), which puts the ANN bucket
     assignment itself under the oracle.
-    """
-    # NOTE: F.transform dispatches on lambda ARITY (2 params = (elem, idx))
-    # — the weight fn must be strictly single-argument, so close over p via
-    # a factory, never a default arg.
+
+    NOTE: F.transform dispatches on lambda ARITY (2 params = (elem, idx))
+    — the weight fn must be strictly single-argument, so close over p via
+    the factory, never a default arg."""
     def make_weight(p: int):
         if portable:
             prefix = f"{seed * 1_000_003 + p}:"
@@ -131,8 +133,15 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
                 )
         return weight
 
+    return make_weight
+
+
+def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
+                    portable: bool = False):
+    """h-bit random-hyperplane signature as a JVM expression."""
     sig = F.lit(0)
-    for dot, p in _plane_dots(vec_col, dim, n_planes, make_weight):
+    for dot, p in _plane_dots(vec_col, dim, n_planes,
+                              _weight_factory(seed, portable)):
         sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
 
@@ -162,34 +171,11 @@ def _hyperplane_probe_buckets(vec_col, dim: int, n_planes: int, seed: int,
     a time, the planes whose |dot| margin is smallest — the planes most
     likely to have put a true neighbor on the other side.  Pure JVM
     expression: an array of (|dot|, bitmask) structs sorted ascending, the
-    first ``n_probe`` masks XORed onto the base signature."""
-    # reuse _hyperplane_sig's weight construction so probe buckets match
-    # the corpus-side signatures bit-for-bit
-    def make_weight(p: int):
-        if portable:
-            prefix = f"{seed * 1_000_003 + p}:"
-
-            def weight(i):
-                h = F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(prefix), i.cast("string"))
-                              .cast("binary")),
-                        1, 15,
-                    ), 16, 10,
-                ).cast("long")
-                return h.cast("double") / F.lit(float(1 << 59)) - F.lit(1.0)
-        else:
-            def weight(i):
-                return (
-                    F.xxhash64(
-                        F.lit(seed * 1_000_003 + p).cast("long")
-                        * F.lit(131_071).cast("long")
-                        + i.cast("long")
-                    ).cast("double") / F.lit(float(2 ** 63))
-                )
-        return weight
-
-    dots = _plane_dots(vec_col, dim, n_planes, make_weight)
+    first ``n_probe`` masks XORed onto the base signature.  Weights come
+    from the shared :func:`_weight_factory`, so probe buckets match the
+    corpus-side signatures bit-for-bit by construction."""
+    dots = _plane_dots(vec_col, dim, n_planes,
+                       _weight_factory(seed, portable))
     base = F.lit(0)
     for dot, p in dots:
         base = base + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))

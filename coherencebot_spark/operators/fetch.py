@@ -372,22 +372,29 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
 
 def fetch_with_redirects(fetchlist: DataFrame, cycle_start: int,
                          cfg: CrawlConfig = DEFAULT,
+                         chain=None,
                          **kw) -> tuple[DataFrame, DataFrame]:
     """P6 follow mode (``http.redirect.max`` > 0): redirect targets are
     fetched IN-CYCLE, up to ``redirect_max`` rounds (the reference queues
     the target as a new fetch item in the same fetch round —
     ``FetcherThread.handleRedirect`` → ``FetchItemQueues.addFetchItem``).
 
-    Each round's targets are deduped, stripped of urls already fetched
+    Each round's targets are normalized and gated by the URL filter
+    ``chain`` (handleRedirect normalizes+filters before queueing — a
+    target the crawl's policy excludes must not be fetched just because
+    a page redirected to it), deduped, stripped of urls already fetched
     this cycle (loop guard — a self-redirect or A↔B cycle terminates),
     and paced through the normal politeness clock on THEIR OWN hosts.
     Rounds restart the virtual clock at ``cycle_start`` — the same
     approximation as the reference, where a redirect target re-enters its
     queue's tail with its own delay slot.  With ``redirect_max == 0``
     (the default) this is exactly :func:`fetch`."""
+    from ..functions.urls import with_filter_accept, with_normalized_url
+
     log, content = fetch(fetchlist, cycle_start, cfg, **kw)
     logs, contents = [log], [content]
     seen = fetchlist.select("url")
+    persisted = []
     for _ in range(max(int(cfg.redirect_max), 0)):
         tgt = (
             log.filter(
@@ -398,8 +405,13 @@ def fetch_with_redirects(fetchlist: DataFrame, cycle_start: int,
             .select(F.col("redirect_to").alias("url"),
                     F.col("url").alias("_src"),
                     "retries", "fetch_interval", "score", "metadata")
-            .join(seen, "url", "left_anti")
         )
+        tgt = with_normalized_url(tgt, "url", "url") \
+            .filter(F.col("url").isNotNull())
+        if chain is not None:
+            tgt = with_filter_accept(tgt, chain, "url", "_ok") \
+                .filter("_ok").drop("_ok")
+        tgt = tgt.join(seen, "url", "left_anti")
         w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("_src"))
         tgt = (
             tgt.withColumn("_rn", F.row_number().over(w))
@@ -420,8 +432,8 @@ def fetch_with_redirects(fetchlist: DataFrame, cycle_start: int,
                 F.xxhash64("url").alias("sort_key"),
             )
         ).persist()
+        persisted.append(tgt)
         if not tgt.limit(1).count():
-            tgt.unpersist()
             break
         seen = seen.unionByName(tgt.select("url"))
         log, content = fetch(tgt, cycle_start, cfg, **kw)
@@ -432,6 +444,11 @@ def fetch_with_redirects(fetchlist: DataFrame, cycle_start: int,
         out_log = out_log.unionByName(l)
     for c in contents[1:]:
         out_content = out_content.unionByName(c)
+    # release the per-round caches: the unions keep the LINEAGE, so a
+    # consumer that materializes later just recomputes the tiny target
+    # frames — nothing stays pinned in executor storage across cycles
+    for t in persisted:
+        t.unpersist()
     return out_log, out_content
 
 

@@ -55,12 +55,12 @@ from ..schemas import FETCHLIST
 def _gates(frontier: DataFrame, cur_time: int, cfg: CrawlConfig,
            chain: URLFilterChain | None, normalize: bool = False) -> DataFrame:
     df = frontier
-    if cfg.normalise_on_generate and normalize:
+    if normalize:
         # generate.normalise (GeneratorMapper: normalize BEFORE filtering;
-        # a url the normalizer rejects is dropped).  Opt-in per call: the
-        # frontier is already normalized at ingest, so the per-generate
-        # pass only matters when normalizer rules changed since rows were
-        # written — exactly the reference's use of the flag.
+        # a url the normalizer rejects is dropped).  The frontier is
+        # already normalized at ingest, so this pass only matters when
+        # normalizer rules changed since rows were written — exactly the
+        # reference's use of the flag.
         from ..functions.urls import with_host, with_normalized_url
 
         df = with_normalized_url(df, "url", "url") \
@@ -263,7 +263,7 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
              max_count_expr: str | None = None,
              fetch_delay_expr: str | None = None,
              broadcast_select: bool = False,
-             normalize: bool = False) -> DataFrame:
+             normalize: bool | None = None) -> DataFrame:
     """Select the next fetchlist.  Returns FETCHLIST-schema DataFrame.
 
     ``hostdb`` (optional) is broadcast-joined on host (strictly better than
@@ -280,7 +280,11 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
     default (or bucket the frontier by url and let the join-back be
     storage-partitioned).
     """
-    df = _gates(frontier, cur_time, cfg, chain, normalize=normalize)
+    # generate.normalise: cfg drives it (reachable from the crawl driver
+    # and CLI); an explicit call-site bool overrides
+    do_norm = (cfg.normalise_on_generate if normalize is None
+               else bool(normalize))
+    df = _gates(frontier, cur_time, cfg, chain, normalize=do_norm)
     df = _with_host_attrs(df, cfg)
 
     if hostdb is not None:

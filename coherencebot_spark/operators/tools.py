@@ -32,7 +32,12 @@ def dump_content_files(content: DataFrame, outdir: str,
     """FileDumper: one file per payload, named ``md5(url)_<basename>.<fmt>``
     (``DumpFileUtil.createFileName`` shape).  ``formats`` filters like the
     reference's ``mimeTypes`` arg (None = all).  Returns the per-format
-    count histogram the reference logs."""
+    count histogram the reference logs.
+
+    ``outdir`` must be on a filesystem every executor can reach (the
+    reference writes through the Hadoop FS API to HDFS; here tasks open
+    plain paths, so on a multi-node cluster point this at the shared
+    mount — on a local-mode driver any path works)."""
     os.makedirs(outdir, exist_ok=True)
     df = content.filter(F.col("bytes").isNotNull())
     if formats is not None:

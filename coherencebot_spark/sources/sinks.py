@@ -277,7 +277,7 @@ def write_solr_xml(df: DataFrame, path: str, id_col: str = "url") -> None:
     ``/solr/<core>/update``.  Binary columns are hex-encoded; null fields
     are omitted like SolrInputDocument skips unset fields."""
     import os
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
 
     os.makedirs(path, exist_ok=True)
     has_delete = "_delete" in df.columns
@@ -313,7 +313,9 @@ def write_solr_xml(df: DataFrame, path: str, id_col: str = "url") -> None:
                 for k, v in row["d"].asDict().items():
                     if v is None:
                         continue
-                    out.write(f'<field name="{escape(k)}">'
+                    # quoteattr: attribute position needs quote escaping
+                    # (a column named with backtick-quotes can carry ")
+                    out.write(f"<field name={quoteattr(k)}>"
                               f"{escape(str(v))}</field>")
                 out.write("</doc></add>\n")
             if out is not None:

@@ -27,10 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _OUT_DIR: str | None = None
 
 
-def _emit(df, limit: int | None = None) -> None:
+def _emit(df, limit: int | None = None, name: str | None = None) -> None:
     if _OUT_DIR:
-        # distributed write — nothing funnels through the driver
-        df.write.mode("overwrite").json(_OUT_DIR)
+        # distributed write — nothing funnels through the driver.  A
+        # multi-result command (readdb --stats) writes each result to its
+        # own subdir so the second write can't clobber the first.
+        target = os.path.join(_OUT_DIR, name) if name else _OUT_DIR
+        df.write.mode("overwrite").json(target)
         return
     it = df.toJSON().toLocalIterator()
     n = 0
@@ -81,8 +84,8 @@ def main() -> None:
         ).read(spark).drop("bucket")
         if args.stats:
             s = readdb.stats(frontier)
-            _emit(s["global"])
-            _emit(readdb.status_names(s["by_status"]))
+            _emit(s["global"], name="global")
+            _emit(readdb.status_names(s["by_status"]), name="by_status")
         elif args.topn:
             _emit(readdb.topn(frontier, args.topn))
         elif args.url:

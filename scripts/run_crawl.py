@@ -55,6 +55,10 @@ def main() -> None:
                                        "(pulled before every cycle; needs "
                                        "network outside the sandbox)")
     ap.add_argument("--feed-every", type=int, default=1)
+    ap.add_argument("--normalise-on-generate", action="store_true",
+                    help="re-normalize frontier urls at every generate "
+                         "(generate.normalise; needed only after "
+                         "normalizer-rule changes)")
     args = ap.parse_args()
 
     from coherencebot_spark.config import DEFAULT
@@ -68,7 +72,8 @@ def main() -> None:
                         hostdb_every=args.hostdb_every,
                         use_url_seen=args.use_url_seen,
                         dedup_phash_meta=args.dedup_phash_meta,
-                        threads_per_queue=args.threads_per_queue)
+                        threads_per_queue=args.threads_per_queue,
+                        normalise_on_generate=args.normalise_on_generate)
     driver = CrawlDriver(spark, args.workdir, cfg, n_hosts=args.n_hosts,
                          bucketed=args.bucketed)
 

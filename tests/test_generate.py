@@ -200,7 +200,10 @@ def test_generate_normalise_flag(spark):
     out1 = generate(f, T, cfg, normalize=True).collect()
     assert out1[0].url == "http://mixed.example.org/p"
     assert out1[0].host == "mixed.example.org"
-    # cfg gate: normalise_on_generate=False wins even with normalize=True
-    out2 = generate(f, T, cfg.with_(normalise_on_generate=False),
-                    normalize=True).collect()
-    assert out2[0].url == "HTTP://Mixed.Example.org:80/a/../p"
+    # cfg-driven path (what the crawl driver/CLI reaches): cfg flag alone
+    out2 = generate(f, T, cfg.with_(normalise_on_generate=True)).collect()
+    assert out2[0].url == "http://mixed.example.org/p"
+    # explicit call-site False overrides the cfg flag
+    out3 = generate(f, T, cfg.with_(normalise_on_generate=True),
+                    normalize=False).collect()
+    assert out3[0].url == "HTTP://Mixed.Example.org:80/a/../p"
