@@ -1013,6 +1013,23 @@ def _q_politeness_clock_threads(spark, sf_dir):
     )
 
 
+def _q_politeness_clock_domain(spark, sf_dir):
+    # P1 queue_mode=byDomain: the politeness clock keyed by the REGISTERED
+    # DOMAIN derived from the host — all hosts of one domain share a
+    # serialized queue (FetchItemQueues.getQueueID byDomain)
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("a"), (F.col("event_id") % 3).cast("string"),
+                    F.lit(".dom"), (F.col("user_id") % 20).cast("string"),
+                    F.lit(".org"))
+    dom = F.regexp_extract(host, r"([^.]+[.][^.]+)$", 1)
+    w = Window.partitionBy("domain").orderBy("event_id")
+    return e.select("event_id", dom.alias("domain")).withColumn(
+        "k", F.row_number().over(w) - 1
+    ).withColumn(
+        "fetch_ts", F.lit(1_700_000_000_000) + F.col("k") * 5000
+    )
+
+
 def _q_dedup_phash_meta(spark, sf_dir):
     # cross-cycle phash dedup (graft A5/J3 variant): the dedup key is the
     # metadata-recorded img.phash, so images fetched under different urls
@@ -1150,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readhostdb_stats": _q_readhostdb_stats,
         "protocol_status_stats": _q_protocol_status_stats,
         "politeness_clock_threads": _q_politeness_clock_threads,
+        "politeness_clock_domain": _q_politeness_clock_domain,
         "dedup_phash_meta": _q_dedup_phash_meta,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -1340,6 +1358,24 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY event_id) - 1) // 2)
                      * 5000 AS fetch_ts
             FROM events
+        """,
+        "politeness_clock_domain": """
+            WITH h AS (
+              SELECT event_id,
+                     regexp_extract(
+                       'a' || (event_id % 3)::VARCHAR || '.dom'
+                         || (user_id % 20)::VARCHAR || '.org',
+                       '([^.]+[.][^.]+)$', 1) AS domain
+              FROM events
+            )
+            SELECT event_id, domain,
+                   (ROW_NUMBER() OVER (PARTITION BY domain ORDER BY event_id)
+                    - 1)::INT AS k,
+                   1700000000000
+                   + (ROW_NUMBER() OVER (PARTITION BY domain
+                                         ORDER BY event_id) - 1) * 5000
+                     AS fetch_ts
+            FROM h
         """,
         "readhostdb_dump": """
             WITH base AS (
