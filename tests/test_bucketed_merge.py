@@ -159,3 +159,29 @@ def test_expire_keeps_merge_parents(spark, tmp_path):
     # the merge chain's full parent must survive expiry
     assert snap(d, spark) == before
     assert removed == 0 or d.frontier.read(spark).count() > 0
+
+
+def test_bucketed_equals_full_with_new_knobs(spark, tmp_path):
+    """Storage-mode invariance must hold under the round-4 fetcher knobs
+    too: redirect following + byDomain queues + threads>1 are cycle
+    semantics, orthogonal to how the frontier is committed."""
+    cfg = CFG.with_(redirect_max=1, queue_mode="byDomain",
+                    threads_per_queue=2, min_crawl_delay_ms=100)
+    full = CrawlDriver(spark, str(tmp_path / "full"), cfg, bucketed=False, **KW)
+    merged = CrawlDriver(spark, str(tmp_path / "merge"), cfg, bucketed=True,
+                         full_rewrite_every=1000, **KW)
+    for d in (full, merged):
+        d.inject(seeds_df(spark), T0)
+    for k in range(2):
+        t = T0 + 1000 + k * 3_600_000
+        full.run_cycle(k, t)
+        merged.run_cycle(k, t)
+        assert snap(full, spark) == snap(merged, spark), f"cycle {k} diverged"
+    # redirect follow mode actually fired: some fetch-log rows are
+    # redirect targets fetched in-cycle (urls never present in a fetchlist
+    # snapshot would otherwise only appear as linked frontier rows)
+    import pyspark.sql.functions as F
+
+    log = full.fetch_log.read(spark)
+    red = log.filter(F.col("status").isin(36, 35)).count()  # REDIR_* in log
+    assert red > 0
