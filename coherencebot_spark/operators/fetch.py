@@ -160,8 +160,11 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
             _dom, schema="host string, _qkey string")
         fl = fl.join(F.broadcast(dom), "host", "left").withColumn(
             "_qkey", F.coalesce(F.col("_qkey"), F.col("host")))
+        qkey = "_qkey"
     else:
-        fl = fl.withColumn("_qkey", F.col("host"))
+        # byHost default: the host column IS the queue key — no duplicate
+        # column through the politeness exchange
+        qkey = "host"
 
     # --- protocol outcome (vectorized backend; synthetic = pure fn of URL) ---
     be = backend
@@ -221,8 +224,8 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     var_delay = F.col("metadata").getItem("_variableFetchDelay_").cast("long")
     delay = F.coalesce(var_delay, base_delay)
 
-    wh = Window.partitionBy("_qkey").orderBy("sort_key", "url")
-    paced = Window.partitionBy("_qkey", "robots_denied").orderBy("sort_key", "url")
+    wh = Window.partitionBy(qkey).orderBy("sort_key", "url")
+    paced = Window.partitionBy(qkey, "robots_denied").orderBy("sort_key", "url")
     fl = fl.withColumn(
         "_k",
         F.when(F.col("robots_denied"), F.lit(0))
