@@ -318,8 +318,9 @@ def run_cycle(spark, frontier_path: str,
     parse_out = parse(log, content, cfg,
                       validate_fn=validate_payload_rows,
                       ).unionByName(redirect_link_rows(log))
+    upd_cache: list = []
     nf = updatedb(frontier, log, parse_out, T0, cfg,
-                  broadcast_delta=BCAST_DELTA).persist()
+                  broadcast_delta=BCAST_DELTA, cache=upd_cache).persist()
     # dedup reads the merged frontier twice (phash attach + mark-back):
     # materialize it once rather than evaluating the merge plan twice
     nf2 = dedup_by_phash(nf, content, cfg, broadcast_content=BCAST_DELTA)
@@ -329,6 +330,8 @@ def run_cycle(spark, frontier_path: str,
     content.unpersist()
     nf.unpersist()
     frontier.unpersist()
+    for c in upd_cache:
+        c.unpersist()
     return sec, {"fetch_rows": n_fetch_rows, "frontier_rows": n_frontier}
 
 

@@ -119,6 +119,7 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
           robots_provider: Callable[[pd.Series], pd.DataFrame] | None = None,
           n_images: int = 1_000_000, n_hosts: int = 1000,
           payload_partitions: int | None = None,
+          cache: list | None = None,
           ) -> tuple[DataFrame, DataFrame]:
     """Run one fetch cycle over a fetchlist.
 
@@ -126,6 +127,14 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     ``content`` has CONTENT schema (success rows only).  Rows dropped by the
     time limit or circuit breaker appear in neither — they stay due in the
     frontier, exactly like the reference's purged queue items.
+
+    ``cache`` (optional list): when given, the internal byte-free fetch
+    log is persisted and appended to it, so a caller that materializes
+    BOTH outputs (the cycle driver writes fetch_log and content as two
+    jobs) executes the protocol/politeness pipeline exactly once — with a
+    real backend a second execution would re-fetch every URL and could
+    diverge on nondeterministic outcomes.  The caller unpersists the
+    registered frames after its actions.
     """
     if backend is None:
         from ..synth.world import proto_outcomes
@@ -293,6 +302,11 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         "redirect_to",
         "image_idx",
     )
+    if cache is not None:
+        # one fetch execution feeds both outputs (see docstring); the
+        # cached rows are byte-free — payload is born downstream
+        fetch_log = fetch_log.persist()
+        cache.append(fetch_log)
 
     # --- payload materialization (image bytes + caption) for successes ---
     # host/score/metadata ride along so parse never joins the byte-bearing

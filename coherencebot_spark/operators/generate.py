@@ -59,8 +59,11 @@ def _gates(frontier: DataFrame, cur_time: int, cfg: CrawlConfig,
         # generate.normalise (GeneratorMapper: normalize BEFORE filtering;
         # a url the normalizer rejects is dropped).  The frontier is
         # already normalized at ingest, so this pass only matters when
-        # normalizer rules changed since rows were written — exactly the
-        # reference's use of the flag.
+        # normalizer rules changed since rows were written — and in that
+        # migration scenario the frontier KEYS must also be rewritten once
+        # (operators.migrate.normalize_frontier), or the renamed urls in
+        # the fetch delta never match their old frontier rows and the
+        # originals stay due forever.
         from ..functions.urls import with_host, with_normalized_url
 
         df = with_normalized_url(df, "url", "url") \
@@ -280,6 +283,12 @@ def generate(frontier: DataFrame, cur_time: int, cfg: CrawlConfig = DEFAULT,
     default (or bucket the frontier by url and let the join-back be
     storage-partitioned).
     """
+    # metadata overlays below use map_concat with last-wins semantics
+    # (the reference's MapWritable.putAll overwrites keys); enforce the
+    # policy at the operator boundary — a session not built by
+    # session.build_session defaults to EXCEPTION and would abort on the
+    # first re-stamped key
+    frontier.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     # generate.normalise: cfg drives it (reachable from the crawl driver
     # and CLI); an explicit call-site bool overrides
     do_norm = (cfg.normalise_on_generate if normalize is None
@@ -429,6 +438,10 @@ def stamp_generated(frontier: DataFrame, fetchlist: DataFrame,
     """generate.update.crawldb: write _ngt_ back into the frontier so the
     next generate (within gen_delay) skips in-flight URLs
     (CrawlDbUpdater, Generator.java:642-691)."""
+    # re-stamping a still-pending row concats a duplicate _ngt_ key —
+    # last-wins by contract (MapWritable.putAll), enforced here so the
+    # operator works on sessions not built by session.build_session
+    frontier.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     marked = fetchlist.select("url", F.lit(str(cur_time)).alias("_gt"))
     return (
         frontier.join(marked, "url", "left")

@@ -76,8 +76,15 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
              cfg: CrawlConfig = DEFAULT,
              seeds_in_service: list[str] | None = None,
              frontier_unique: bool = True,
-             broadcast_delta: bool = False) -> DataFrame:
+             broadcast_delta: bool = False,
+             cache: list | None = None) -> DataFrame:
     """Produce the next frontier snapshot.  Pure function of its inputs.
+
+    ``cache``: with ``broadcast_delta`` the delta is persisted (it feeds
+    both the broadcast join and the anti join); callers that loop cycles
+    MUST pass a list here and unpersist its entries after materializing
+    the result, or one fetchlist-sized cache leaks per call for the
+    session lifetime.
 
     ``parse_out`` carries Msg.SIGNATURE / Msg.LINKED / Msg.PARSE_META rows
     (PARSE_OUT schema); pass None when parse did not run.
@@ -91,6 +98,10 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
     pass False when merging external/hand-built crawldbs that may carry
     duplicate urls (reference semantics: latest fetch_time wins).
     """
+    # metadata overlays use map_concat with last-wins semantics
+    # (MapWritable.putAll); enforce the policy at the operator
+    # boundary for sessions not built by session.build_session
+    frontier.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     row_struct = F.struct(
         "fetch_time", "status", "retries", "fetch_interval",
         "score", "signature", "modified_time", "metadata", "host",
@@ -177,6 +188,8 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
         # storage-partitioned joins and even that disappears; broadcast is
         # the local-mode physical analogue (delta ≈ fetchlist-sized).
         delta = delta.persist()
+        if cache is not None:
+            cache.append(delta)
         g = old.join(F.broadcast(delta), "url", "left_outer")
         if cfg.additions_allowed:
             new_rows = delta.join(old.select("url"), "url", "left_anti").select(

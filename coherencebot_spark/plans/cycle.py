@@ -229,6 +229,62 @@ class CrawlDriver:
         return sid
 
     # ------------------------------------------------------------------
+    def _write_gen_stamp(self, frontier: DataFrame, fetchlist: DataFrame,
+                         cur_time: int, cycle_id: int) -> None:
+        """generate.update.crawldb: persist the ``_ngt_`` pending-generate
+        stamps.  In bucketed mode only the fetchlist-host buckets changed,
+        so the stamp is a MERGE commit over those buckets — a full rewrite
+        here would make every cycle O(frontier) and (being merge-less)
+        reset the hostdb touched-bucket tracking."""
+        stamped = stamp_generated(frontier, fetchlist, cur_time)
+        if self.bucketed and self.frontier.exists():
+            tb = [
+                r["b"] for r in fetchlist.select(
+                    F.pmod(F.xxhash64("host"),
+                           F.lit(int(self.cfg.host_buckets))).alias("b")
+                ).distinct().collect()
+            ]
+            if not tb:
+                return
+            sb = self._with_bucket(stamped).filter(F.col("bucket").isin(tb))
+            self.frontier.merge_write(
+                sb, tb, cycle_id=f"gen@{cycle_id}",
+                sort_within=["bucket", "fetch_time"],
+                distribute_by=["bucket"],
+            )
+        else:
+            self._write_frontier(stamped, cycle_id=f"gen@{cycle_id}")
+
+    def _complete_ancillary(self, cycle_id: int) -> None:
+        """Finish linkdb/hostdb for a cycle whose frontier committed but
+        whose post-commit ancillary updates were lost to a crash.  Purely
+        catch-up: anything already written for this (or a later) cycle is
+        left untouched, so re-running a committed cycle stays a no-op."""
+        if self.linkdb.snapshot_for_cycle(cycle_id) is None:
+            rs = self.fetch_log.snapshot_for_cycle(cycle_id)
+            cs = self.content.snapshot_for_cycle(cycle_id)
+            if rs and cs:
+                log = self.fetch_log.read(self.spark, rs["id"])
+                content = self.content.read(self.spark, cs["id"])
+                po = parse(log, content, self.cfg).unionByName(
+                    redirect_link_rows(log))
+                fsnap = self.frontier.snapshot_for_cycle(cycle_id)
+                self._update_linkdb(
+                    po, cycle_id,
+                    use_merge=bool(fsnap and fsnap.get("merge"))
+                    and self.linkdb.exists(),
+                )
+        # hostdb: only if it never advanced to (or past) this cycle — a
+        # later cycle's update already covers this one's frontier state,
+        # and re-running would double-accumulate the failure counters
+        newest = max(
+            (s["cycle_id"] for s in self.hostdb.history()
+             if isinstance(s["cycle_id"], int)),
+            default=None,
+        )
+        if newest is None or newest < cycle_id:
+            self._update_hostdb(cycle_id)
+
     def should_stop(self) -> bool:
         return os.path.exists(os.path.join(self.workdir, ".STOP"))
 
@@ -242,9 +298,12 @@ class CrawlDriver:
         m = CycleMetrics(cycle_id=cycle_id)
 
         if self.frontier.snapshot_for_cycle(cycle_id):
-            # cycle fully committed already — nothing to do (resume no-op)
+            # cycle's frontier committed already — but the ancillary
+            # updates run AFTER the commit, so a crash in that window
+            # would otherwise lose the cycle's linkdb inlinks forever
             snap = self.frontier.snapshot_for_cycle(cycle_id)
             m.frontier_size = snap["metrics"].get("frontier_size", 0)
+            self._complete_ancillary(cycle_id)
             return m
 
         import time as _time
@@ -258,34 +317,54 @@ class CrawlDriver:
             _t0 = now
 
         resumed = self.fetch_log.snapshot_for_cycle(cycle_id)
-        if resumed:
+        csnap = self.content.snapshot_for_cycle(cycle_id)
+        if resumed and csnap:
             # mid-cycle resume: fetch already ran — reload the segment
             log = self.fetch_log.read(self.spark, resumed["id"])
-            csnap = self.content.snapshot_for_cycle(cycle_id)
             content = self.content.read(self.spark, csnap["id"])
         else:
+            # note: a TORN segment (fetch_log committed, content not — a
+            # crash between the two writes) is refetched from scratch,
+            # exactly like the reference re-running an incomplete segment;
+            # the fresh snapshots supersede the orphan in the manifest.
             frontier = self.frontier.read(self.spark).drop("bucket")
             fetchlist = generate(frontier, cur_time, cfg,
                                  broadcast_select=cfg.broadcast_small_sides)
             if cfg.generate_update_crawldb:
-                stamped = stamp_generated(frontier, fetchlist, cur_time)
-                self._write_frontier(stamped, cycle_id=f"gen@{cycle_id}")
+                # the stamp write + the fetch below both consume the
+                # selection — cache it so generate runs once
+                fetchlist = fetchlist.persist()
+                self._write_gen_stamp(frontier, fetchlist, cur_time, cycle_id)
+            seg_cache: list = []
             if cfg.redirect_max > 0:
                 from ..operators.fetch import fetch_with_redirects
                 log, content = fetch_with_redirects(
-                    fetchlist, cur_time, cfg, **self.fetch_kwargs)
+                    fetchlist, cur_time, cfg, cache=seg_cache,
+                    **self.fetch_kwargs)
             else:
                 log, content = fetch(fetchlist, cur_time, cfg,
-                                     **self.fetch_kwargs)
-            # durable midpoint: the "segment" commit (checkpoint/resume)
+                                     cache=seg_cache, **self.fetch_kwargs)
+            # durable midpoint: the "segment" commit (checkpoint/resume).
+            # fetch cached its internal log (byte-free) via seg_cache, so
+            # BOTH writes materialize the same single fetch execution —
+            # with a real protocol backend a second execution would both
+            # double-fetch and let the two snapshots diverge on
+            # nondeterministic outcomes.
             self.fetch_log.write(log, cycle_id=cycle_id)
             self.content.write(content, cycle_id=cycle_id)
+            for c in seg_cache:
+                c.unpersist()
+            if cfg.generate_update_crawldb:
+                fetchlist.unpersist()
             log = self.fetch_log.read(self.spark)
             content = self.content.read(self.spark)
         tick("segment")  # generate + fetch + payload + segment commit
 
-        # parse + redirect-linked rows
-        parse_out = parse(log, content, cfg).unionByName(redirect_link_rows(log))
+        # parse + redirect-linked rows — the RAW link universe, before any
+        # URL-seen filtering (metrics + linkdb must see every discovered
+        # link; the reference's linkdb inverts all parse outlinks
+        # regardless of crawldb membership)
+        po_raw = parse(log, content, cfg).unionByName(redirect_link_rows(log))
 
         # URL-seen bloom pre-filter (north rule).  additions-OFF: drop
         # definitely-new link targets before they ever shuffle into
@@ -295,35 +374,46 @@ class CrawlDriver:
         # targets skip the frontier join and take the direct new-row
         # path; the touched shards are rebuilt after this cycle's commit
         # so the no-false-negative invariant holds next cycle.
+        parse_out = po_raw
         seen_new = None
         if cfg.use_url_seen:
             if cfg.additions_allowed:
-                parse_out, seen_new = self._seen_split(parse_out)
-                seen_new = seen_new.persist()
+                parse_out, seen_new = self._seen_split(po_raw)
+                # a redirect target FETCHED in-cycle (redirect_max>0) is
+                # definitely-new to the bloom but already enters the main
+                # updatedb through its fetch row — routing its LINKED row
+                # through the direct new-row path too would commit the
+                # url TWICE into the frontier
+                seen_new = seen_new.join(
+                    log.select("url"), "url", "left_anti").persist()
             else:
-                parse_out = self._seen_filtered(parse_out)
-        # all discovered links, for bucket/metric/linkdb purposes (the
-        # split above only routes rows around the updatedb join)
-        po_all = (parse_out if seen_new is None
-                  else parse_out.unionByName(seen_new))
+                parse_out = self._seen_filtered(po_raw)
+        # rows that actually feed updatedb (the filtered/split view)
+        po_updatedb = (parse_out if seen_new is None
+                       else parse_out.unionByName(seen_new))
 
+        # compaction cadence counts CRAWL CYCLES, not manifest entries —
+        # inject@/gen@/seed snapshots would otherwise drift the "full
+        # rewrite every N cycles" contract with the feed/stamp config
+        cycles_done = len([s for s in self.frontier.history()
+                           if isinstance(s["cycle_id"], int)])
         use_merge = (
             self.bucketed
             and self.frontier.exists()
-            and (len(self.frontier.history()) % self.full_rewrite_every != 0)
+            and ((cycles_done + 1) % self.full_rewrite_every != 0)
         )
         touched: list[int] = []
         if use_merge:
             # buckets touched this cycle: every host the fetchlist selected
             # (incl. time-limit-dropped rows) ∪ every link/redirect target
-            # host.  Rows of untouched buckets are identity under updatedb,
-            # so rewriting only touched buckets is exact.
-            parse_out = parse_out.persist()
-            po_all = (parse_out if seen_new is None
-                      else parse_out.unionByName(seen_new))
+            # host that can change a frontier row.  Rows of untouched
+            # buckets are identity under updatedb, so rewriting only
+            # touched buckets is exact.  (additions-OFF dropped links are
+            # provably no-ops and deliberately NOT counted as touched.)
+            po_raw = po_raw.persist()
             hosts = (
                 log.select("host")
-                .unionByName(po_all.select("host"))
+                .unionByName(po_updatedb.select("host"))
                 .filter(F.col("host").isNotNull())
                 .distinct()
                 .select(
@@ -341,9 +431,11 @@ class CrawlDriver:
         else:
             frontier = self.frontier.read(self.spark).drop("bucket")
 
+        upd_cache: list = []
         new_frontier = updatedb(frontier, log, parse_out, cur_time, cfg,
                                 seeds_in_service=seeds_in_service,
-                                broadcast_delta=cfg.broadcast_small_sides)
+                                broadcast_delta=cfg.broadcast_small_sides,
+                                cache=upd_cache)
         if seen_new is not None:
             # definitely-new targets: same updatedb semantics against an
             # EMPTY frontier — produces exactly the new-row (linked_new)
@@ -392,7 +484,7 @@ class CrawlDriver:
         # newly discovered URLs: linked targets not present in the (touched
         # part of the) frontier — broadcast-anti join, linked side is tiny
         m.new_links = (
-            po_all.filter(F.col("status") == int(Msg.LINKED))
+            po_raw.filter(F.col("status") == int(Msg.LINKED))
             .select("url").distinct()
             .join(frontier.select("url"), "url", "left_anti")
             .count()
@@ -454,14 +546,16 @@ class CrawlDriver:
         new_frontier.unpersist()
 
         # ancillary tables (optional steps in the reference loop)
-        self._update_linkdb(po_all, cycle_id, use_merge)
+        self._update_linkdb(po_raw, cycle_id, use_merge)
         tick("linkdb")
         self._update_hostdb(cycle_id)
         tick("hostdb")
         if use_merge:
-            parse_out.unpersist()
+            po_raw.unpersist()
         if seen_new is not None:
             seen_new.unpersist()
+        for c in upd_cache:  # broadcast-delta caches die with the cycle
+            c.unpersist()
 
         with open(self._cycle_state_path(cycle_id), "w") as f:
             json.dump(m.as_dict(), f, indent=1)

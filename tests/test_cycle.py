@@ -379,3 +379,157 @@ def test_driver_dns_resolver_in_loop(spark, tmp_path):
     h2 = {r.host: r.dns_failures for r in d.hostdb.read(spark).collect()}
     # hosts present in both cycles accumulated a second failure
     assert any(h2[k] == 2 for k in h1 if k in h2)
+
+
+def test_fetch_executes_exactly_once_per_cycle(spark, tmp_path):
+    """The segment commit writes fetch_log and content as two jobs; the
+    cached internal log must make them share ONE fetch execution — a
+    second execution would re-fetch every url (and could diverge on
+    nondeterministic outcomes).  The backend marks each url on first
+    contact and answers GONE on any repeat, so a double-execution shows
+    up as GONE rows / missing content."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+
+    from coherencebot_spark.status import Fetch, Proto
+
+    marks = str(tmp_path / "marks")
+    _os.makedirs(marks, exist_ok=True)
+
+    def once_backend(urls: pd.Series) -> pd.DataFrame:
+        st, idx = [], []
+        for u in urls:
+            p = _os.path.join(marks, hashlib.md5(u.encode()).hexdigest())
+            if _os.path.exists(p):
+                st.append(int(Proto.NOTFOUND))
+                idx.append(-1)
+            else:
+                open(p, "w").close()
+                st.append(int(Proto.SUCCESS))
+                idx.append(abs(hash(u)) % 50)
+        return pd.DataFrame({
+            "proto_status": np.array(st, dtype=np.int32),
+            "redirect_to": [None] * len(urls),
+            "image_idx": np.array(idx, dtype=np.int64),
+        }, index=urls.index)
+
+    d = CrawlDriver(spark, str(tmp_path / "crawl"), CFG,
+                    backend=once_backend, n_hosts=20)
+    d.inject(seeds_df(spark), T0)
+    m = d.run_cycle(0, T0 + 1000)
+    log = d.fetch_log.read(spark)
+    statuses = {r["status"] for r in log.select("status").distinct().collect()}
+    assert statuses == {int(Fetch.SUCCESS)}, statuses
+    # and the content snapshot covers every success row (same execution)
+    assert d.content.read(spark).count() == m.fetched
+
+
+def test_torn_segment_is_refetched(spark, tmp_path):
+    # crash between fetch_log.write and content.write: the cycle restarts
+    # from scratch (the reference re-runs an incomplete segment) instead
+    # of dying on the missing content snapshot
+    d = CrawlDriver(spark, str(tmp_path / "crawl"), CFG, **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    # simulate the torn state: a fetch_log snapshot exists, content none
+    frontier = d.frontier.read(spark).drop("bucket")
+    from coherencebot_spark.operators.fetch import fetch as _fetch
+    from coherencebot_spark.operators.generate import generate as _gen
+
+    fl = _gen(frontier, T0 + 1000, CFG)
+    log, _content = _fetch(fl, T0 + 1000, CFG, **FETCH_KW)
+    d.fetch_log.write(log, cycle_id=0)  # content write "crashed"
+    m = d.run_cycle(0, T0 + 1000)
+    assert m.fetched > 0
+    assert d.content.snapshot_for_cycle(0) is not None
+    assert d.frontier.snapshot_for_cycle(0) is not None
+
+
+def test_crash_before_linkdb_is_completed_on_resume(spark, tmp_path):
+    # crash AFTER the frontier commit but before the linkdb update: the
+    # committed-cycle resume path must complete the ancillary tables
+    # instead of silently losing the cycle's inlinks
+    d = CrawlDriver(spark, str(tmp_path / "crawl"), CFG, **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+
+    class Boom(RuntimeError):
+        pass
+
+    orig = d._update_linkdb
+    def crash(*a, **k):
+        raise Boom("crash before linkdb")
+    d._update_linkdb = crash
+    try:
+        d.run_cycle(0, T0 + 1000)
+    except Boom:
+        pass
+    assert d.frontier.snapshot_for_cycle(0) is not None
+    assert d.linkdb.snapshot_for_cycle(0) is None
+    d._update_linkdb = orig
+    m = d.run_cycle(0, T0 + 1000)  # resume no-op + ancillary completion
+    assert d.linkdb.snapshot_for_cycle(0) is not None
+    assert d.linkdb.read(spark).count() > 0
+    assert d.hostdb.read(spark).count() > 0
+
+
+def test_new_links_metric_with_seen_filter_additions_off(spark, tmp_path):
+    # the discovery metric must count ALL discovered links, not the
+    # post-bloom residue (additions-OFF drops definitely-new rows before
+    # updatedb, which is correct for the merge but not for the metric)
+    cfg = CFG.with_(additions_allowed=False)
+    a = CrawlDriver(spark, str(tmp_path / "a"), cfg, **FETCH_KW)
+    b = CrawlDriver(spark, str(tmp_path / "b"),
+                    cfg.with_(use_url_seen=True), **FETCH_KW)
+    for d in (a, b):
+        d.inject(seeds_df(spark), T0)
+    ma = a.run_cycle(0, T0 + 1000)
+    mb = b.run_cycle(0, T0 + 1000)
+    assert ma.new_links > 0
+    assert mb.new_links == ma.new_links
+
+
+def test_normalize_frontier_migration(spark):
+    # operators.migrate: after a normalizer-rule change, rewrite frontier
+    # KEYS once — collisions keep the best row by the merge order
+    from coherencebot_spark.operators.migrate import normalize_frontier
+    from coherencebot_spark.schemas import FRONTIER
+
+    rows = [
+        dict(url="HTTP://A.Example.org:80/x", host="a.example.org", status=1,
+             fetch_time=T0 - 5, retries=0, fetch_interval=100, score=1.0,
+             signature=None, modified_time=0, metadata=None),
+        dict(url="http://a.example.org/x", host="a.example.org", status=2,
+             fetch_time=T0 - 1, retries=0, fetch_interval=100, score=2.0,
+             signature=None, modified_time=0, metadata=None),
+        dict(url="http://b.example.org/ok", host="b.example.org", status=1,
+             fetch_time=T0, retries=0, fetch_interval=100, score=1.0,
+             signature=None, modified_time=0, metadata=None),
+    ]
+    out = normalize_frontier(spark.createDataFrame(rows, FRONTIER)).collect()
+    by_url = {r.url: r for r in out}
+    # the two variants collided onto the canonical key; latest fetch won
+    assert set(by_url) == {"http://a.example.org/x", "http://b.example.org/ok"}
+    assert by_url["http://a.example.org/x"].status == 2
+
+
+def test_compaction_cadence_counts_cycles_not_snapshots(spark, tmp_path):
+    # inject@/feed snapshots must not drift the full-rewrite-every-N
+    # contract: with a feed injecting before every cycle (2 snapshots per
+    # cycle), a full_rewrite_every=2 driver still merges cycle 0 and
+    # compacts cycle 1
+    import json as _json
+
+    from coherencebot_spark.sources.seeds import FeedInjector
+
+    def http_get(url, api_key):
+        return _json.dumps([{"url": "https://h1.example.org/seed/0"}])
+
+    d = CrawlDriver(spark, str(tmp_path / "c"), CFG, bucketed=True,
+                    full_rewrite_every=2, **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    d.run(2, T0 + 1000, feed=FeedInjector("http://api", http_get=http_get))
+    kinds = {s["cycle_id"]: ("merge" if s.get("merge") else "full")
+             for s in d.frontier.history() if isinstance(s["cycle_id"], int)}
+    assert kinds == {0: "merge", 1: "full"}, kinds
