@@ -175,31 +175,9 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         # column through the politeness exchange
         qkey = "host"
 
-    # --- protocol outcome (vectorized backend; synthetic = pure fn of URL) ---
-    be = backend
-
-    def outcomes(it):
-        for pdf in it:
-            o = be(pdf["url"])
-            pdf = pdf.copy()
-            pdf["proto_status"] = o["proto_status"].to_numpy()
-            pdf["redirect_to"] = o["redirect_to"].to_numpy()
-            pdf["image_idx"] = o["image_idx"].to_numpy()
-            yield pdf
-
-    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
-
-    out_schema = StructType(
-        list(fl.schema.fields)
-        + [
-            StructField("proto_status", IntegerType()),
-            StructField("redirect_to", StringType()),
-            StructField("image_idx", LongType()),
-        ]
-    )
-    fl = fl.mapInPandas(outcomes, schema=out_schema)
-
-    # --- robots gating (P3-P5) ---
+    # --- robots gating FIRST (P3-P5): a robots-denied url must never
+    # reach the protocol backend (with a real backend that would be an
+    # actual disallowed HTTP request) ---
     path = F.expr("parse_url(url, 'PATH')")
     denied_prefix = F.exists(
         F.coalesce(F.col("disallow"), F.array()),
@@ -252,7 +230,45 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
             | (F.col("fetch_ts") <= int(cycle_start) + int(cfg.time_limit_ms))
         )
 
-    # --- exception circuit breaker (P8) ---
+    # --- protocol outcome, AFTER every pre-fetch gate: only rows that
+    # will actually be fetched reach the backend (robots-denied rows get
+    # literal outcome columns — they are finished "asap" without any
+    # protocol contact; time-limit overflow never hits the wire, so it
+    # isn't double-fetched when it comes due next cycle) ---
+    be = backend
+
+    def outcomes(it):
+        for pdf in it:
+            o = be(pdf["url"])
+            pdf = pdf.copy()
+            pdf["proto_status"] = o["proto_status"].to_numpy()
+            pdf["redirect_to"] = o["redirect_to"].to_numpy()
+            pdf["image_idx"] = o["image_idx"].to_numpy()
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(fl.schema.fields)
+        + [
+            StructField("proto_status", IntegerType()),
+            StructField("redirect_to", StringType()),
+            StructField("image_idx", LongType()),
+        ]
+    )
+    fetched_part = fl.filter(~F.col("robots_denied")) \
+        .mapInPandas(outcomes, schema=out_schema)
+    denied_part = fl.filter(F.col("robots_denied")).select(
+        "*",
+        F.lit(int(Proto.ROBOTS_DENIED)).cast("int").alias("proto_status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.lit(-1).cast("long").alias("image_idx"),
+    )
+    fl = fetched_part.unionByName(denied_part)
+
+    # --- exception circuit breaker (P8) --- robots-denied rows carry
+    # ROBOTS_DENIED here, so they never consume the queue's exception
+    # budget (the reference counts only actual fetch attempts)
     if cfg.max_exceptions_per_queue >= 0:
         is_exc = F.when(
             F.col("proto_status").isin(Proto.EXCEPTION, Proto.RETRY), 1
@@ -260,9 +276,15 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         prev_exc = F.sum(is_exc).over(
             wh.rowsBetween(Window.unboundedPreceding, -1)
         )
+        # reference semantics (FetchItemQueues.checkExceptionThreshold:
+        # purge fires when excCount >= max, checked only as exceptions
+        # occur): rows up to and INCLUDING the max-th exception are
+        # output; max=0 behaves like max=1 — the first exception still
+        # happens, the rest of the queue is purged
+        bound = max(int(cfg.max_exceptions_per_queue), 1)
         fl = (
             fl.withColumn("_prev_exc", F.coalesce(prev_exc, F.lit(0)))
-            .filter(F.col("_prev_exc") < int(cfg.max_exceptions_per_queue))
+            .filter(F.col("_prev_exc") < bound)
             .drop("_prev_exc")
         )
 
@@ -347,19 +369,21 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
                         row = pf(int(u))
                         for k in cols:
                             cols[k][i] = row[k]
+            truncated = [False] * n
             if content_limit > 0:
-                cols["bytes"] = [
-                    b[:content_limit]
-                    if isinstance(b, (bytes, bytearray))
-                    and len(b) > content_limit else b
-                    for b in cols["bytes"]
-                ]
+                blobs = cols["bytes"]
+                for j, b in enumerate(blobs):
+                    if isinstance(b, (bytes, bytearray)) \
+                            and len(b) > content_limit:
+                        blobs[j] = b[:content_limit]
+                        truncated[j] = True
             out = pdf[["url", "host", "score", "metadata"]].copy()
             for k, v in cols.items():
                 out[k] = v
+            out["truncated"] = truncated
             yield out
 
-    from pyspark.sql.types import FloatType, MapType
+    from pyspark.sql.types import BooleanType, FloatType, MapType
 
     content_schema = StructType(
         [
@@ -369,6 +393,10 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
             StructField("metadata", MapType(StringType(), StringType())),
         ]
         + [f for f in CONTENT.fields if f.name != "url"]
+        # http.content.limit cut this payload off mid-stream (the
+        # reference's protocol readers flag the same); parse skips
+        # truncated rows by default (parser.skip.truncated)
+        + [StructField("truncated", BooleanType())]
     )
     success = (
         fetch_log.filter(F.col("status") == int(Fetch.SUCCESS))
@@ -406,12 +434,25 @@ def fetch_with_redirects(fetchlist: DataFrame, cycle_start: int,
     approximation as the reference, where a redirect target re-enters its
     queue's tail with its own delay slot.  With ``redirect_max == 0``
     (the default) this is exactly :func:`fetch`."""
+    from ..functions.hashing import nutch_tail_hash
     from ..functions.urls import with_filter_accept, with_normalized_url
+
+    @F.pandas_udf("long")
+    def _nutch_sort_key(url: pd.Series) -> pd.Series:
+        # HashComparator parity (same sort key generate assigns) — the
+        # in-cycle redirect fetch order must match the reference's queue
+        # order, not an arbitrary hash
+        return pd.Series(nutch_tail_hash(url).astype(np.int64),
+                         index=url.index)
 
     log, content = fetch(fetchlist, cycle_start, cfg, **kw)
     logs, contents = [log], [content]
     seen = fetchlist.select("url")
     persisted = []
+    # redirect-target hosts were NOT in the original fetchlist: a robots
+    # frame resolved for the first round must not leak into later rounds
+    # (a new host would left-join to nulls = allow-all with no lookup)
+    kw_rounds = {k: v for k, v in kw.items() if k != "robots"}
     for _ in range(max(int(cfg.redirect_max), 0)):
         tgt = (
             log.filter(
@@ -446,14 +487,14 @@ def fetch_with_redirects(fetchlist: DataFrame, cycle_start: int,
                 "metadata",
                 F.lit(1).cast("int").alias("segnum"),
                 F.lit(0).cast("int").alias("partition_id"),
-                F.xxhash64("url").alias("sort_key"),
+                _nutch_sort_key(F.col("url")).alias("sort_key"),
             )
         ).persist()
         persisted.append(tgt)
         if not tgt.limit(1).count():
             break
         seen = seen.unionByName(tgt.select("url"))
-        log, content = fetch(tgt, cycle_start, cfg, **kw)
+        log, content = fetch(tgt, cycle_start, cfg, **kw_rounds)
         logs.append(log)
         contents.append(content)
     out_log, out_content = logs[0], contents[0]

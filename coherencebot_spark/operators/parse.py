@@ -55,7 +55,9 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
           max_outlinks_per_page: int = 100,
           outlink_source: str = "url",
           validate_fn=None,
-          exemption_filter=None) -> DataFrame:
+          exemption_filter=None,
+          skip_truncated: bool = True,
+          cache: list | None = None) -> DataFrame:
     """Produce the PARSE_OUT rows for updatedb.
 
     ``outlink_fn(col) -> Series[list[(to_url, anchor)]]`` is the outlink
@@ -83,6 +85,12 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
         parsed = content.join(F.broadcast(ok), "url", "inner")
     # pages with no decodable payload are skipped (F6 truncation analogue)
     parsed = parsed.filter(F.col("bytes").isNotNull())
+    if skip_truncated and "truncated" in parsed.columns:
+        # parser.skip.truncated (reference default TRUE,
+        # ParseSegment.java): a payload http.content.limit cut off
+        # mid-stream must not contribute a signature or outlinks
+        parsed = parsed.filter(
+            ~F.coalesce(F.col("truncated"), F.lit(False)))
     if validate_fn is not None:
         # per-row payload validation (north-rule invariant): the injected
         # fn decodes bytes and diffs pixels/caption against the reference
@@ -105,6 +113,11 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
         *[c for c in parsed.columns if c != "bytes"],
         F.unhex(F.md5(F.col("bytes"))).alias("_sig"),
     ).persist()
+    if cache is not None:
+        # let looping callers release this cycle's cache after the
+        # output is materialized (otherwise one cached frame per cycle
+        # pins executor storage until the context cleaner happens by)
+        cache.append(parsed)
 
     # --- signature rows (C3: md5 of raw content, JVM-side) ---
     sig_rows = parsed.select(

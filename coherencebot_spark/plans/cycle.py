@@ -266,7 +266,8 @@ class CrawlDriver:
             if rs and cs:
                 log = self.fetch_log.read(self.spark, rs["id"])
                 content = self.content.read(self.spark, cs["id"])
-                po = parse(log, content, self.cfg).unionByName(
+                pcache: list = []
+                po = parse(log, content, self.cfg, cache=pcache).unionByName(
                     redirect_link_rows(log))
                 fsnap = self.frontier.snapshot_for_cycle(cycle_id)
                 self._update_linkdb(
@@ -274,6 +275,8 @@ class CrawlDriver:
                     use_merge=bool(fsnap and fsnap.get("merge"))
                     and self.linkdb.exists(),
                 )
+                for c in pcache:
+                    c.unpersist()
         # hostdb: only if it never advanced to (or past) this cycle — a
         # later cycle's update already covers this one's frontier state,
         # and re-running would double-accumulate the failure counters
@@ -364,7 +367,9 @@ class CrawlDriver:
         # URL-seen filtering (metrics + linkdb must see every discovered
         # link; the reference's linkdb inverts all parse outlinks
         # regardless of crawldb membership)
-        po_raw = parse(log, content, cfg).unionByName(redirect_link_rows(log))
+        parse_cache: list = []
+        po_raw = parse(log, content, cfg,
+                       cache=parse_cache).unionByName(redirect_link_rows(log))
 
         # URL-seen bloom pre-filter (north rule).  additions-OFF: drop
         # definitely-new link targets before they ever shuffle into
@@ -555,6 +560,8 @@ class CrawlDriver:
         if seen_new is not None:
             seen_new.unpersist()
         for c in upd_cache:  # broadcast-delta caches die with the cycle
+            c.unpersist()
+        for c in parse_cache:
             c.unpersist()
 
         with open(self._cycle_state_path(cycle_id), "w") as f:

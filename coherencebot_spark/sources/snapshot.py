@@ -61,6 +61,17 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path)  # atomic commit point
+        # the rename is only DURABLE once the directory entry is synced;
+        # without this a power loss can persist data files but roll back
+        # the manifest (safe) — or, on some filesystems, the reverse.
+        # (Data-file durability itself is the storage layer's domain:
+        # Spark's committer + HDFS/S3 give it on a cluster; plain local
+        # parquet writes are crash-consistent but not power-loss-proof.)
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # -- API ---------------------------------------------------------------
     @staticmethod

@@ -231,9 +231,15 @@ def test_content_limit_truncates_and_parse_drops(spark):
                          robots_provider=open_robots, n_images=10)
     got = content.collect()
     assert got and all(len(bytes(r.bytes)) <= 4 for r in got)
-    # truncated payloads fail the per-row decode/validate gate → no parse
-    # output rows (the reference's ParseSegment truncation skip)
-    po = parse(log, content, cfg, validate_fn=world.validate_payload_rows)
+    assert all(r.truncated for r in got)  # cut-off rows are flagged
+    # parser.skip.truncated (reference default): flagged rows contribute
+    # no signature/outlinks even WITHOUT payload validation
+    assert parse(log, content, cfg).count() == 0
+    # opt-out mirrors parser.skip.truncated=false
+    assert parse(log, content, cfg, skip_truncated=False).count() > 0
+    # and the per-row decode/validate gate also rejects them
+    po = parse(log, content, cfg, skip_truncated=False,
+               validate_fn=world.validate_payload_rows)
     assert po.count() == 0
     # sanity: without the limit the same rows parse fine
     log2, content2 = fetch(fldf(spark, rows), T, D.with_(server_delay_ms=0),
@@ -276,3 +282,79 @@ def test_redirect_follow_mode(spark):
     assert {r.url for r in log0.collect()} \
         == {"https://h1.example.org/redir/0"}
     assert content0.count() == 0
+
+
+def test_backend_not_invoked_for_denied_or_overbudget(spark, tmp_path):
+    """A robots-disallowed url and a time-limit-overflow url must never
+    reach the protocol backend (with a real backend those would be actual
+    network requests the policy forbids / double fetches next cycle)."""
+    import os as _os
+
+    seen_dir = str(tmp_path / "seen")
+    _os.makedirs(seen_dir, exist_ok=True)
+
+    def recording_backend(urls: pd.Series) -> pd.DataFrame:
+        import hashlib
+        for u in urls:
+            open(_os.path.join(
+                seen_dir, hashlib.md5(u.encode()).hexdigest()), "w").close()
+        return all_success_backend(urls)
+
+    def provider(hosts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": hosts, "robots_status": 200,
+            "disallow": [["/private"] for _ in hosts],
+            "crawl_delay_ms": [None] * len(hosts),
+        })
+
+    rows = [flrow("https://h.example.org/private/x", "h.example.org")]
+    rows += [flrow(f"https://h.example.org/p{i}", "h.example.org", sort_key=i)
+             for i in range(6)]
+    cfg = DEFAULT.with_(server_delay_ms=5000, time_limit_ms=12_000)
+    log, _ = fetch(fldf(spark, rows), T, cfg, backend=recording_backend,
+                   robots_provider=provider)
+    out = {r.url: r for r in log.collect()}
+    assert out["https://h.example.org/private/x"].status == Fetch.GONE
+    assert len(out) == 4  # denied + 3 within budget
+    import hashlib
+    contacted = set(_os.listdir(seen_dir))
+    # exactly the 3 within-budget allowed urls touched the backend
+    assert len(contacted) == 3
+    assert hashlib.md5(
+        b"https://h.example.org/private/x").hexdigest() not in contacted
+
+
+def test_circuit_breaker_max_zero_and_robots_exempt(spark):
+    # max_exceptions_per_queue=0: the first exception still happens, the
+    # REST of the queue is purged (reference checkExceptionThreshold) —
+    # not "fetch nothing"
+    def exc_backend(urls: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"proto_status": [Proto.EXCEPTION] * len(urls),
+             "redirect_to": [None] * len(urls),
+             "image_idx": [-1] * len(urls)},
+            index=urls.index)
+
+    rows = [flrow(f"https://h.example.org/p{i}", "h.example.org", sort_key=i)
+            for i in range(5)]
+    cfg = DEFAULT.with_(max_exceptions_per_queue=0)
+    log, _ = fetch(fldf(spark, rows), T, cfg, backend=exc_backend,
+                   robots_provider=open_robots)
+    assert log.count() == 1
+    # robots-denied rows don't consume the exception budget
+    def provider(hosts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": hosts, "robots_status": 200,
+            "disallow": [["/private"] for _ in hosts],
+            "crawl_delay_ms": [None] * len(hosts)})
+    rows2 = [flrow(f"https://h.example.org/private/{i}", "h.example.org",
+                   sort_key=i) for i in range(3)]
+    rows2 += [flrow(f"https://h.example.org/ok{i}", "h.example.org",
+                    sort_key=10 + i) for i in range(2)]
+    cfg2 = DEFAULT.with_(max_exceptions_per_queue=1)
+    log2, _ = fetch(fldf(spark, rows2), T, cfg2, backend=all_success_backend,
+                    robots_provider=provider)
+    st = {r.url: r.status for r in log2.collect()}
+    # all 3 denied rows present as GONE, both allowed rows fetched
+    assert sum(1 for v in st.values() if v == Fetch.GONE) == 3
+    assert sum(1 for v in st.values() if v == Fetch.SUCCESS) == 2
