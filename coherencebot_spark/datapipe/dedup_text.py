@@ -44,18 +44,25 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def _shingles(docs: DataFrame, id_col: str, text_col: str, k: int,
               max_shingles: int) -> DataFrame:
     """(doc_id, shingle) — character k-shingles, JVM-side via sequence+substring."""
-    n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(0))
+    n = F.length(F.col(text_col)) - (k - 1)
+    # guard the short-text case explicitly: sequence(1, 0) is the
+    # DESCENDING array [1, 0], not empty — without the branch every
+    # empty/short doc got a degenerate whole-text shingle ('' for empty
+    # docs), and 10^6 empty extraction failures all sharing one shingle
+    # is exactly the single-giant-LSH-bucket blowup the skew controls
+    # exist to prevent
+    sh_arr = F.when(
+        n >= 1,
+        F.slice(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.substring(F.col(text_col), i, k),
+            ),
+            1, max_shingles,
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(
-            F.col(id_col),
-            F.slice(
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda i: F.substring(F.col(text_col), i, k),
-                ),
-                1, max_shingles,
-            ).alias("sh"),
-        )
+        docs.select(F.col(id_col), sh_arr.alias("sh"))
         .select(id_col, F.explode(F.array_distinct("sh")).alias("shingle"))
     )
 

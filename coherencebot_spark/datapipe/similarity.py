@@ -139,10 +139,13 @@ def _weight_factory(seed: int, portable: bool):
 def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int,
                     portable: bool = False):
     """h-bit random-hyperplane signature as a JVM expression."""
-    sig = F.lit(0)
+    # LONG arithmetic throughout: 1 << p overflows int32 at p >= 31, and
+    # lsh_params_for prescribes ~33 planes for a 10^10 corpus
+    sig = F.lit(0).cast("long")
     for dot, p in _plane_dots(vec_col, dim, n_planes,
                               _weight_factory(seed, portable)):
-        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + F.when(dot >= 0, F.lit(1 << p).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
     return sig
 
 
@@ -176,11 +179,12 @@ def _hyperplane_probe_buckets(vec_col, dim: int, n_planes: int, seed: int,
     corpus-side signatures bit-for-bit by construction."""
     dots = _plane_dots(vec_col, dim, n_planes,
                        _weight_factory(seed, portable))
-    base = F.lit(0)
+    base = F.lit(0).cast("long")
     for dot, p in dots:
-        base = base + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        base = base + F.when(dot >= 0, F.lit(1 << p).cast("long")) \
+                       .otherwise(F.lit(0).cast("long"))
     margins = F.array(*[
-        F.struct(F.abs(dot).alias("a"), F.lit(1 << p).cast("int").alias("m"))
+        F.struct(F.abs(dot).alias("a"), F.lit(1 << p).cast("long").alias("m"))
         for dot, p in dots
     ])
     flips = F.slice(F.array_sort(margins), 1, int(n_probe))

@@ -129,6 +129,9 @@ def _fast_canonical_mask(s: pd.Series) -> pd.Series:
     fast &= ~s.str.contains(r"(?:/\.|\./|(?<!:)//)", regex=True, na=False)
     # any explicit port goes slow-path (default-port stripping)
     fast &= ~s.str.contains(r"^[a-z]+://[^/]*:", regex=True, na=False)
+    # leading/trailing whitespace is stripped by the slow path (extracted
+    # urls carry it routinely) — found by the fixpoint property test
+    fast &= ~s.str.contains(r"^\s|\s$", regex=True, na=False)
     return fast
 
 
@@ -499,13 +502,23 @@ class PrefixURLFilter:
 
 
 class SuffixURLFilter:
-    """urlfilter-suffix: REJECT URLs whose path ends with a listed suffix."""
+    """urlfilter-suffix: REJECT URLs ending with a listed suffix.
 
-    def __init__(self, suffixes: list[str]):
+    Matches the WHOLE url by default (the reference's
+    ``filterFromPath = false``, ``SuffixURLFilter.java:131,152``);
+    ``from_path=True`` is the rule-file's ``P`` directive — match the
+    PATH only, so ``/big.zip?token=1`` is still rejected and a ``.zip``
+    inside the query string is not."""
+
+    def __init__(self, suffixes: list[str], from_path: bool = False):
         self.suffixes = tuple(suffixes)
+        self.from_path = from_path
 
     def accept(self, urls: pd.Series) -> pd.Series:
-        return ~urls.astype("string").str.lower().str.endswith(self.suffixes, na=True)
+        s = urls.astype("string").str.lower()
+        if self.from_path:
+            s = s.str.replace(r"[?#].*$", "", regex=True)
+        return ~s.str.endswith(self.suffixes, na=True)
 
 
 class DomainURLFilter:
@@ -536,11 +549,18 @@ class DescendantURLFilter:
     path-descendants of the seed URLs (SURVEY.md §2.2 F2c)."""
 
     def __init__(self, seed_urls: list[str]):
-        # normalize seed prefixes: strip trailing filename, keep dir prefix
+        # normalize seed prefixes: strip trailing filename, keep dir
+        # prefix; a hostname-only seed ('https://example.com') means its
+        # ROOT — naive rsplit would degrade it to 'https://', disabling
+        # the descendant boundary for the whole scheme
         pref = []
         for u in seed_urls:
             base = u.split("?")[0].split("#")[0]
-            if not base.endswith("/"):
+            sep = base.find("://")
+            path_start = base.find("/", sep + 3) if sep != -1 else -1
+            if path_start == -1:
+                base = base + "/"
+            elif not base.endswith("/"):
                 base = base.rsplit("/", 1)[0] + "/"
             pref.append(base)
         self.prefixes = tuple(sorted(set(pref)))

@@ -60,9 +60,14 @@ def parse_seed_lines(seeds: DataFrame, cfg: CrawlConfig, cur_time: int,
     df = with_normalized_url(df, "url_raw", "url").filter(F.col("url").isNotNull())
     df = with_filter_accept(df, chain, "url", "_ok").filter("_ok")
 
-    score_md = F.col("seed_meta").getItem("nutch.score").cast("float")
-    interval_md = F.col("seed_meta").getItem("nutch.fetchInterval").cast("long")
-    fixed_md = F.col("seed_meta").getItem("nutch.fixedFetchInterval").cast("long")
+    # try_cast: seed files are EXTERNAL input — a malformed numeric
+    # ('nutch.score=high') must degrade to the default per record, not
+    # abort the whole inject under Spark's default ANSI mode
+    score_md = F.expr("try_cast(seed_meta['nutch.score'] AS FLOAT)")
+    interval_md = F.expr(
+        "try_cast(seed_meta['nutch.fetchInterval'] AS LONG)")
+    fixed_md = F.expr(
+        "try_cast(seed_meta['nutch.fixedFetchInterval'] AS LONG)")
     reserved = F.array(
         F.lit("nutch.score"), F.lit("nutch.fetchInterval"), F.lit("nutch.fixedFetchInterval")
     )
@@ -88,9 +93,18 @@ def parse_seed_lines(seeds: DataFrame, cfg: CrawlConfig, cur_time: int,
         stored_meta.alias("metadata"),
     )
     out = with_host(out)
-    # pin a deterministic winner among duplicate seed lines (see docstring)
+    # pin a deterministic TOTAL order among duplicate seed lines (see
+    # docstring): score desc, metadata size desc, interval asc, then the
+    # sorted metadata entries as the final tie-break — without it a full
+    # tie on the numeric keys picked a stream-order-dependent winner
+    meta_repr = F.array_sort(
+        F.map_entries(F.coalesce(F.col("metadata"), F.expr("map()")))
+    ).cast("string")
     w = Window.partitionBy("url").orderBy(
-        F.desc("score"), F.desc(F.size(F.coalesce(F.col("metadata"), F.expr("map()")))), F.asc("fetch_interval")
+        F.desc("score"),
+        F.desc(F.size(F.coalesce(F.col("metadata"), F.expr("map()")))),
+        F.asc("fetch_interval"),
+        F.asc(meta_repr),
     )
     return (
         out.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
@@ -105,6 +119,9 @@ def inject(frontier: DataFrame, seeds: DataFrame, cur_time: int,
     ``frontier`` may be empty (first inject).  Purges db_gone rows when
     ``cfg.purge_404`` (ref ``crawl/Injector.java:249-253``).
     """
+    # metadata merge below uses map_concat with last-wins semantics
+    # (MapWritable.putAll); enforce the policy at the operator boundary
+    frontier.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     inj = parse_seed_lines(seeds, cfg, cur_time, chain)
 
     old = frontier

@@ -41,13 +41,20 @@ def invert_links(parse_out: DataFrame, cfg: CrawlConfig = DEFAULT) -> DataFrame:
     if cfg.linkdb_ignore_external_links:
         links = links.filter(F.col("from_host") == F.col("host"))
 
-    w = Window.partitionBy("url").orderBy("from_url")
+    # the reference's Inlinks is a HashSet keyed by (from_url, anchor):
+    # identical inlinks collapse — without this a recrawled page re-adds
+    # the same edge every cycle until duplicates crowd real inlinks out
+    # of the 10k cap
+    links = links.dropDuplicates(["url", "from_url", "anchor"])
+    w = Window.partitionBy("url").orderBy("from_url", "anchor")
     capped = (
         links.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= int(cfg.linkdb_max_inlinks))
     )
     return capped.groupBy("url").agg(
-        F.collect_list(F.struct("from_url", "anchor")).alias("inlinks")
+        F.array_sort(
+            F.collect_list(F.struct("from_url", "anchor"))
+        ).alias("inlinks")
     )
 
 
@@ -58,8 +65,13 @@ def merge_linkdb(old: DataFrame | None, new: DataFrame,
     if old is None:
         return new
     u = old.unionByName(new)
+    # HashSet semantics + a pinned total order: dedup identical
+    # (from_url, anchor) edges across cycles, sort, THEN cap — the
+    # former unsorted slice both kept duplicates and made which inlinks
+    # survive the cap collect_list-order-dependent
     return u.groupBy("url").agg(
         F.slice(
-            F.flatten(F.collect_list("inlinks")), 1, int(cfg.linkdb_max_inlinks)
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("inlinks")))),
+            1, int(cfg.linkdb_max_inlinks),
         ).alias("inlinks")
     )

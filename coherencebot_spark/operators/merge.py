@@ -18,21 +18,33 @@ from pyspark.sql import functions as F
 
 
 def merge_crawldbs(dbs: list[DataFrame]) -> DataFrame:
+    # metadata fold uses map_concat with last-wins semantics (putAll);
+    # enforce the policy at the operator boundary — two dbs carrying the
+    # same url share keys in the NORMAL case, and the default EXCEPTION
+    # policy would abort the merge
+    dbs[0].sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     u = reduce(lambda a, b: a.unionByName(b), dbs)
     value = F.struct(
         "fetch_time", "status", "retries", "fetch_interval", "score",
         "signature", "modified_time", "host",
     )
     key = F.struct("fetch_time", "status", "retries", "fetch_interval", "score")
+    # sorted-entries string as the EQUAL-fetch_time tie-break: without a
+    # total order the overlay winner for conflicting keys would be
+    # stream-order-dependent (the struct carries a map, which array_sort's
+    # default lexicographic ordering can't handle — hence the comparator)
+    mrepr = F.array_sort(
+        F.map_entries(F.coalesce(F.col("metadata"), F.expr("map()")))
+    ).cast("string")
     g = u.groupBy("url").agg(
         F.max_by(value, key).alias("v"),
-        # metadata merged in fetch_time order; later entries overwrite.
-        # explicit comparator: the struct carries a map, which array_sort's
-        # default lexicographic ordering can't handle
         F.array_sort(
-            F.collect_list(F.struct("fetch_time", "metadata")),
+            F.collect_list(F.struct("fetch_time", "metadata",
+                                    mrepr.alias("_mrepr"))),
             lambda l, r: F.when(l["fetch_time"] < r["fetch_time"], F.lit(-1))
             .when(l["fetch_time"] > r["fetch_time"], F.lit(1))
+            .when(l["_mrepr"] < r["_mrepr"], F.lit(-1))
+            .when(l["_mrepr"] > r["_mrepr"], F.lit(1))
             .otherwise(F.lit(0)),
         ).alias("metas"),
     )

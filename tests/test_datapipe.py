@@ -472,3 +472,43 @@ def test_lsh_multiprobe_improves_recall(spark):
     r0 = recall(0)
     r3 = recall(3)
     assert r3 > r0, (r0, r3)
+
+
+def test_empty_docs_produce_no_shingles_or_pairs(spark):
+    # sequence(1, 0) is the DESCENDING [1, 0], not empty: without the
+    # guard every empty doc shared one degenerate shingle and all landed
+    # in a single giant LSH bucket
+    from coherencebot_spark.datapipe.dedup_text import (
+        _shingles, minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "abc"), (3, "a much longer document text"),
+         (4, "a much longer document texx")],
+        "doc_id long, text string")
+    sh = _shingles(docs, "doc_id", "text", k=5, max_shingles=100)
+    got = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert got == {3, 4}  # empty + shorter-than-k docs emit nothing
+    pairs = minhash_lsh_pairs(docs, k=5, n_hashes=16, bands=4,
+                              verify_threshold=None).collect()
+    ids = {frozenset((r.id_a, r.id_b)) for r in pairs}
+    assert frozenset((0, 1)) not in ids  # empty docs never pair
+
+
+def test_lsh_33_planes_long_masks(spark):
+    # 1 << p overflows int32 at p>=31 — exactly the ~33-plane regime
+    # lsh_params_for prescribes at 10^10 vectors; signatures and probe
+    # masks must be LONG
+    from coherencebot_spark.datapipe.similarity import cosine_topk_lsh
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(40, 8)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in pts[0]])],
+        "query_id long, embedding array<float>")
+    out = cosine_topk_lsh(vecs, q, k=3, dim=8, n_planes=33, n_tables=1,
+                          multiprobe=2).collect()
+    assert any(r.vec_id == 0 and r.rank == 1 for r in out)  # self-match

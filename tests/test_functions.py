@@ -542,3 +542,31 @@ def test_domain_denylist_filter():
     deny = DomainDenylistURLFilter(["example.org", "bad.host.net"])
     assert list(allow.accept(urls)) == [True, True, True, False]
     assert list(deny.accept(urls)) == [False, False, False, True]
+
+
+def test_descendant_filter_hostname_only_seed():
+    from coherencebot_spark.functions.urls import DescendantURLFilter
+
+    f = DescendantURLFilter(["https://example.com"])
+    urls = pd.Series([
+        "https://example.com/",
+        "https://example.com/sub/page",
+        "https://other.com/x",          # would have passed via 'https://'
+        "http://example.com/x",
+    ])
+    assert list(f.accept(urls)) == [True, True, False, False]
+
+
+def test_suffix_filter_from_path_mode():
+    from coherencebot_spark.functions.urls import SuffixURLFilter
+
+    urls = pd.Series([
+        "http://h/big.zip?token=1",   # path rejects in from_path mode
+        "http://h/page?file=.zip",    # query must not trigger from_path
+        "http://h/big.zip",
+        "http://h/ok.html",
+    ])
+    whole = SuffixURLFilter([".zip"])
+    assert list(whole.accept(urls)) == [True, False, False, True]
+    path = SuffixURLFilter([".zip"], from_path=True)
+    assert list(path.accept(urls)) == [False, True, False, True]

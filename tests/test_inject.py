@@ -105,3 +105,42 @@ def test_purge_404(spark):
     out = inject(_frontier(spark, [gone]), _seeds(spark, ["https://other.example.org/p"]), T, cfg)
     urls = [r.url for r in out.collect()]
     assert OLD["url"] not in urls and len(urls) == 1
+
+
+def test_malformed_numeric_seed_metadata_is_tolerated(spark):
+    # seed files are external input: 'nutch.score=high' must degrade to
+    # the default per record (try_cast), not abort the inject job under
+    # Spark's default ANSI mode
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.inject import parse_seed_lines
+    from coherencebot_spark.schemas import SEEDS
+
+    lines = [
+        ("https://a.example.org/\tnutch.score=high\tnutch.fetchInterval=1d",),
+        ("https://b.example.org/\tnutch.score=2.5",),
+    ]
+    out = parse_seed_lines(
+        spark.createDataFrame(lines, SEEDS), DEFAULT, 1_700_000_000_000
+    ).collect()
+    got = {r.url: r for r in out}
+    a = got["https://a.example.org/"]
+    assert a.score == DEFAULT.score_injected           # bad value → default
+    assert a.fetch_interval == DEFAULT.interval_default_s
+    assert got["https://b.example.org/"].score == 2.5
+
+
+def test_duplicate_seed_lines_total_order(spark):
+    # a FULL tie on score/size/interval must still pick a deterministic
+    # winner (sorted-metadata tie-break), not a stream-order-dependent one
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.inject import parse_seed_lines
+    from coherencebot_spark.schemas import SEEDS
+
+    lines = [("https://a.example.org/\tsrc=b",),
+             ("https://a.example.org/\tsrc=a",)]
+    for perm in (lines, lines[::-1]):
+        out = parse_seed_lines(
+            spark.createDataFrame(perm, SEEDS), DEFAULT, 1_700_000_000_000
+        ).collect()
+        assert len(out) == 1
+        assert out[0].metadata["src"] == "a"  # same winner either order

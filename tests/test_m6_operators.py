@@ -371,3 +371,28 @@ def test_parse_ignore_external_with_exemption(spark):
     # ignore internal: the mirror — externals only
     got = links_of(DEFAULT.with_(ignore_internal_links=True))
     assert set(got) == {"http://other.org/ext", "http://cdn.example.net/img1"}
+
+
+def test_linkdb_merge_dedups_recrawled_edges(spark):
+    # the reference's Inlinks is a HashSet: a recrawled page re-adding the
+    # same (from_url, anchor) edge must not accumulate duplicates that
+    # crowd real inlinks out of the cap
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.linkdb import merge_linkdb
+    from coherencebot_spark.schemas import LINKDB
+
+    rows = [("http://t/", [("http://a/", "x")])]
+    db = spark.createDataFrame(rows, LINKDB)
+    merged = db
+    for _ in range(3):  # three recrawl cycles of the same edge
+        merged = merge_linkdb(merged, db, DEFAULT)
+    got = merged.collect()
+    assert len(got) == 1
+    assert [(i.from_url, i.anchor) for i in got[0].inlinks] \
+        == [("http://a/", "x")]
+    # distinct edges survive the cap deterministically (sorted)
+    db2 = spark.createDataFrame(
+        [("http://t/", [("http://b/", "y"), ("http://a/", "z")])], LINKDB)
+    cap = merge_linkdb(merged, db2, DEFAULT.with_(linkdb_max_inlinks=2))
+    inl = [(i.from_url, i.anchor) for i in cap.collect()[0].inlinks]
+    assert inl == [("http://a/", "x"), ("http://a/", "z")]
