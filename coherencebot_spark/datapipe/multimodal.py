@@ -86,8 +86,6 @@ def resize_images(content: DataFrame, target: int = 32,
     """Decode → bilinear resize to target×target → re-encode PNG.
 
     Returns (url?, image_id, resized_png binary)."""
-    from ..synth.phash import _resize32  # 32×32 bilinear; general path below
-
     keep = [c for c in content.columns if c != bytes_col]
 
     def rs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,6 +142,10 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
         for pdf in it:
             rms, zc = [], []
             for data, codec in zip(pdf["bytes"], pdf["codec"]):
+                if data is None:  # null payload → null features (image
+                    rms.append(None)  # path guards the same way)
+                    zc.append(None)
+                    continue
                 if codec != "pcm16":
                     raise NotImplementedError(
                         f"audio codec {codec!r}: decode requires ffmpeg/librosa"
@@ -167,11 +169,12 @@ def sample_video_frames(video: DataFrame, every_n: int = 30) -> DataFrame:
     decoding frames from wild container formats is stubbed — the
     deterministic ``rawrgb`` container decodes for real via
     :func:`extract_video_frames`."""
-    return video.select(
+    # n_frames=0 must sample NOTHING (sequence(0, 0) would claim a
+    # phantom frame 0 that extract_video_frames correctly never emits)
+    return video.filter(F.col("n_frames") > 0).select(
         "clip_id",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
-                       F.lit(int(every_n)))
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(int(every_n)))
         ).alias("frame_idx"),
     )
 

@@ -62,7 +62,11 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.length(F.regexp_replace(t, r"[^!?.,;:]", ""))
     n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
     n_stop = _word_hits(t, STOPWORDS["en"])
-    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    # true mean word length = non-whitespace chars / words (dividing the
+    # RAW char count inflated it by ~1+ per word — the separators counted)
+    n_wordchars = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_word_len = F.when(n_tokens > 0, n_wordchars / n_tokens) \
+        .otherwise(F.lit(0.0))
     df = (
         docs.withColumn("n_chars_q", n_chars)
         .withColumn("n_tokens", n_tokens)

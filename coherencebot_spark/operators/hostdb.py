@@ -87,8 +87,15 @@ def update_hostdb(frontier: DataFrame, hostdb: DataFrame | None = None,
                     "_cnx_failed": r["cnx_failed"].astype("int64"),
                 })
 
-        checks = agg.select("host").mapInPandas(
-            probe, schema="host string, _dns_failed long, _cnx_failed long"
+        # distinct hosts straight from the frontier: routing the probe
+        # through agg's plan would re-execute the whole per-host
+        # aggregation a second time on the join's build side
+        checks = (
+            frontier.filter(F.col("host").isNotNull())
+            .select("host").distinct()
+            .mapInPandas(
+                probe, schema="host string, _dns_failed long, _cnx_failed long"
+            )
         )
         agg = (
             agg.join(F.broadcast(checks), "host", "left")

@@ -43,10 +43,16 @@ def synthetic_sitemaps(hosts: pd.Series) -> pd.DataFrame:
     changefreqs/priorities (seeded by host index)."""
     import numpy as np
 
+    import re as _re
+
     rows = []
     freqs = list(CHANGEFREQ_S)
     for h in hosts:
-        idx = int(h.split(".")[0].replace("host", "") or 0) if "host" in h else 0
+        # only the synth world's hostNNNN.* pattern carries an index; any
+        # other hostname seeds from 0 (a substring check crashed on e.g.
+        # 'ghost.example.com' → int('g'))
+        m = _re.match(r"host(\d+)\.", str(h))
+        idx = int(m.group(1)) if m else 0
         rng = np.random.default_rng(42 + idx)
         for j in range(3):
             rows.append({

@@ -76,7 +76,9 @@ def linkrank(nodes: DataFrame, edges: DataFrame, iterations: int = 10,
     # same internally)
     rank = nodes.select("url", F.lit(1.0).alias("rank")).localCheckpoint()
     for _ in range(iterations):
-        with_deg = rank.join(deg, "url")
+        # persisted per iteration: the dangling-mass collect and the new
+        # rank's checkpoint would otherwise each rebuild this join
+        with_deg = rank.join(deg, "url").persist()
         contrib = (
             with_deg.filter(F.col("outdegree") > 0)
             .join(e, with_deg["url"] == e["from_url"])
@@ -104,6 +106,7 @@ def linkrank(nodes: DataFrame, edges: DataFrame, iterations: int = 10,
             )
             .localCheckpoint()
         )
+        with_deg.unpersist()
     deg.unpersist()
     e.unpersist()
     urls.unpersist()

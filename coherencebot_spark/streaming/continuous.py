@@ -92,9 +92,13 @@ def stream_politeness_pacer(candidates, delay_ms: int,
             return
         rows = rows.sort_values(["sort_key", "url"], kind="mergesort")
         next_free = state.get[0] if state.exists else 0
-        cur = max(int(next_free), int(rows["cur_time"].min()))
+        cur = int(next_free)
         ts = []
-        for _ in range(len(rows)):
+        # clamp per ROW: a candidate must never be scheduled before its
+        # own cur_time (a batch can mix clocks; seeding from the batch
+        # minimum let later-clock rows start early)
+        for row_cur in rows["cur_time"].astype("int64"):
+            cur = max(cur, int(row_cur))
             ts.append(cur)
             cur += int(delay_ms)
         state.update((cur,))
