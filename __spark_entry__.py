@@ -1110,6 +1110,276 @@ def _q_fingerprint(spark, sf_dir):
                             portable=True).select("doc_id", "fingerprint")
 
 
+def _ix_docs(spark, sf_dir, n=500):
+    """Deterministic indexing-chain document frame over ``documents``:
+    url families, optional repr_url, titles (some empty / with U+FFFD /
+    with a filename extension), anchors with case-duplicates, and
+    metadata maps — every branch keyed on doc_id so the DuckDB twin can
+    state the expected output per construction."""
+    d = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}")
+    sid = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 17 == 0, F.concat(F.lit("not a url "), sid)
+    ).otherwise(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 23).cast("string"),
+                 F.lit(".example.org/dir/p"), sid, F.lit(".html")))
+    repr_url = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("http://repr"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.net/r"), sid))
+    title = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("T�itle Number "), sid,
+                       F.lit(" Of A Very Long Document Name Indeed")))
+        .otherwise(F.concat(F.lit("Title "), sid)))
+    anchors = F.array(
+        F.concat(F.lit("Link "), sid), F.concat(F.lit("link "), sid),
+        F.concat(F.lit("Go "), sid))
+    return d.select(
+        "doc_id", "text", url.alias("url"), repr_url.alias("repr_url"),
+        title.alias("title"), anchors.alias("anchors"),
+        (F.lit(1_700_000_000_000) + F.col("doc_id") * 1000)
+        .cast("long").alias("fetch_time"))
+
+
+def _q_index_basic(spark, sf_dir):
+    # index-basic + index-anchor chain (BasicIndexingFilter.java:71-133,
+    # AnchorIndexingFilter.java:80-106): repr-url preference, malformed-url
+    # drop, host/domain, truncation, U+FFFD clean, empty-title skip,
+    # case-insensitive first-occurrence anchor dedup
+    from coherencebot_spark.operators import indexing as ix
+
+    doc = _ix_docs(spark, sf_dir)
+    out = ix.apply_chain(doc, [
+        ix.basic_filter(max_title_length=20, add_domain=True,
+                        max_content_length=30),
+        ix.anchor_filter(deduplicate=True),
+    ])
+    return out.select("doc_id", "doc_url", "host", "domain", "title",
+                      "content", "tstamp",
+                      F.array_join("anchor", "|").alias("anchors_dd"))
+
+
+def _q_index_more(spark, sf_dir):
+    # index-more (MoreIndexingFilter.java:110-320): Last-Modified parse +
+    # fetch-time fallback, Content-Length trim, mime cleanup + extension
+    # detection + primary/sub parts, Content-Disposition title reset
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 4
+    url = F.when(k == 3, F.concat(F.lit("http://h"), sid, F.lit(".org/f"),
+                                  sid, F.lit(".png"))) \
+        .otherwise(F.concat(F.lit("http://h"), sid, F.lit(".org/f"), sid))
+    lm = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("Tue, "),
+                 F.lpad(((F.col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+                 F.lit(" Feb 2020 08:"),
+                 F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                 F.lit(":00 GMT")))
+    ct = (F.when(k == 0, F.lit("Application/PDF; q=1"))
+          .when(k == 1, F.lit("text/html"))
+          .when(k == 2, F.lit(" IMAGE/JPEG "))
+          .otherwise(F.lit(None).cast("string")))
+    # %6==3 is odd ⇒ title is null there, so the filename reset can fire
+    disp = F.when(F.col("doc_id") % 6 == 3,
+                  F.concat(F.lit('inline; filename="doc'), sid,
+                           F.lit('.ppt"')))
+    title = F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("Keep "), sid))
+    cm = F.map_filter(
+        F.create_map(
+            F.lit("Last-Modified"), lm,
+            F.lit("Content-Length"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit(" "), sid, F.lit(" "))),
+            F.lit("Content-Type"), ct,
+            F.lit("Content-Disposition"), disp),
+        lambda _, v: v.isNotNull())
+    doc = d.select(
+        "doc_id", url.alias("url"), title.alias("title"),
+        (F.lit(1_700_000_000_000) + F.col("doc_id")).cast("long")
+        .alias("fetch_time"), cm.alias("content_meta"))
+    from coherencebot_spark.operators.indexing import more_filter
+    out = more_filter()(doc)
+    return out.select("doc_id", "last_modified_ms", "date_ms",
+                      "content_length", F.col("title").alias("title_out"),
+                      F.array_join("type", "|").alias("type_mv"))
+
+
+def _q_index_links(spark, sf_dir):
+    # index-links (LinksIndexingFilter.java:84-160): host-ignore filters +
+    # hosts-only first-occurrence dedup, malformed link drop
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(F.lit("http://self"), (F.col("doc_id") % 9)
+                    .cast("string"), F.lit(".org/p"), sid)
+    self_host = F.concat(F.lit("http://self"),
+                         (F.col("doc_id") % 9).cast("string"),
+                         F.lit(".org/other"))
+    outl = F.array(self_host,
+                   F.concat(F.lit("http://ext"), sid, F.lit(".org/o1")),
+                   F.lit("bogus link"),
+                   F.concat(F.lit("http://ext"), sid, F.lit(".org/o2")))
+    inl = F.array(F.concat(F.lit("HTTP://SELF"),
+                           (F.col("doc_id") % 9).cast("string"),
+                           F.lit(".ORG/in")),
+                  F.concat(F.lit("http://peer"), sid, F.lit(".net/in2")))
+    doc = d.select("doc_id", page.alias("url"),
+                   outl.alias("outlink_urls"), inl.alias("inlink_urls"))
+    filtered = ix.links_filter(ignore_outlinks_host=True,
+                               ignore_inlinks_host=True)(doc)
+    hosts = ix.links_filter(hosts_only=True)(doc).select(
+        "doc_id", F.array_join("outlinks", "|").alias("out_hosts"),
+        F.array_join("inlinks", "|").alias("in_hosts"))
+    return (filtered.select(
+        "doc_id", F.array_join("outlinks", "|").alias("out_ext"),
+        F.array_join("inlinks", "|").alias("in_ext"))
+        .join(hosts, "doc_id"))
+
+
+def _q_index_gates(spark, sf_dir):
+    # mimetype-filter (MimeTypeIndexingFilter.java:63-105, prefix trie,
+    # accept/block modes) + index-jexl-filter (expression gate) as row
+    # filters: output = the surviving documents
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 3
+    ct = (F.when(k == 0, F.lit("text/html"))
+          .when(k == 1, F.lit("application/pdf"))
+          .otherwise(F.lit("image/png")))
+    doc = d.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), sid, F.lit(".org/x")).alias("url"),
+        (F.col("doc_id") % 10).cast("long").alias("fetch_time"),
+        F.create_map(F.lit("Content-Type"), ct).alias("content_meta"))
+    out = ix.apply_chain(doc, [
+        ix.more_filter(),
+        ix.mimetype_filter(["text/", "image/"], accept_mode=False),
+        ix.jexl_filter("fetch_time >= 4"),
+    ])
+    return out.select("doc_id", F.element_at("type", 1).alias("mime"))
+
+
+def _q_index_criteria_title(spark, sf_dir):
+    # index-criteria bestTitle (CriteriaIndexer.java:105-314): min-length
+    # gate over the real text column + the title/heading/anchor selection
+    # matrix (strength test, word-count tiebreak, extension removal,
+    # boilerplate/single-word anchor skips, no-candidate fallback)
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 6
+    title = (
+        F.when(k == 0, F.concat(
+            F.lit("The Global Policy Review of Water Use in City "), sid))
+        .when(k == 1, F.concat(F.lit("f"), sid))
+        .when(k == 2, F.concat(F.lit("one two three "), sid))
+        .when(k == 4, F.concat(F.lit("annual report 2020."), sid,
+                               F.lit(".pdf"))))
+    heading = (
+        F.when(k == 0, F.lit("Short Head"))
+        .when(k == 1, F.lit("Annual Review of Economic Data in Region"
+                            " Nine Part [from PDF text]"))
+        .when(k == 2, F.lit("a b [from PDF fonts]")))
+    anchors = F.when(k == 3, F.array(
+        F.lit("Download the report"), F.lit("Solo"),
+        F.concat(F.lit("A Moderate Anchor Text "), sid)))
+    doc = d.select(
+        "doc_id", "text",
+        F.concat(F.lit("http://h"), sid, F.lit(".org/x")).alias("url"),
+        title.alias("title"), heading.alias("heading"),
+        anchors.alias("anchor"))
+    out = ix.criteria_filter(min_length=100)(doc)
+    return out.select("doc_id", F.col("title").alias("best_title"),
+                      "title_algorithm")
+
+
+def _q_index_criteria_referrer(spark, sf_dir):
+    # index-criteria bestAuthors + bestInlink (CriteriaIndexer.java:
+    # 345-419): multi-word author pruning; referrer = publication-section
+    # inlink, else longest non-PDF non-homepage inlink
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 3
+    authors = F.array(F.concat(F.lit("Mary Jane W"), sid), F.lit("x y"),
+                      F.lit("Solo"), F.lit(""))
+    base = F.concat(F.lit("http://h"), sid, F.lit(".org"))
+    inlinks = (
+        F.when(k == 0, F.array(
+            F.concat(base, F.lit("/")),
+            F.concat(base, F.lit("/docs/file.pdf")),
+            F.concat(base, F.lit("/publications/2020")),
+            F.concat(base, F.lit("/a-very-long-plain-path/even-longer"))))
+        .when(k == 1, F.array(
+            F.concat(base, F.lit("/short")),
+            F.concat(base, F.lit("/a-very-long-plain-path/even-longer"))))
+        .otherwise(F.array().cast("array<string>")))
+    doc = d.select(
+        "doc_id", "text",
+        F.concat(base, F.lit("/x")).alias("url"),
+        F.concat(F.lit("A Title "), sid).alias("title"),
+        authors.alias("author"), inlinks.alias("inlinks"))
+    out = ix.criteria_filter(min_length=1)(doc)
+    return out.select("doc_id", F.array_join("author", "|").alias("authors"),
+                      "referrer_url")
+
+
+def _q_index_org(spark, sf_dir):
+    # index-org (OrgIndexer.java:84-251): slug-keyed lookup with exact-
+    # match preference over the hit array, domain fallback, first-hit
+    # default, 'null' strings absent, domains ';'-joined
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    j = (F.col("doc_id") % 7).cast("string")
+    slug = F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("org"), j))
+    doc = d.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".org/p"), sid).alias("url"),
+        F.map_filter(F.create_map(F.lit("org.slug"), slug),
+                     lambda _, v: v.isNotNull()).alias("db_meta"))
+    doc = ix.basic_filter(add_domain=True)(doc.withColumn(
+        "text", F.lit("t")).withColumn("title", F.lit("t"))
+        .withColumn("fetch_time", F.lit(0).cast("long")))
+
+    def hit(slug, name, domains, state="S"):
+        return {"slug": slug, "name": name, "city": "C", "state": state,
+                "country_name": "X", "country_code": "XC", "org_type": "ngo",
+                "domains": domains}
+
+    rows = []
+    for j2 in range(7):
+        hits = [hit(f"wrong{j2}", f"Wrong {j2}", [f"w{j2}.org"])]
+        if j2 != 5:
+            hits.append(hit(f"org{j2}", f"Org {j2}",
+                            [f"d{j2}.org", f"e{j2}.org"], state="null"))
+        rows.append((f"org{j2}", hits))
+    for j2 in range(4):
+        hits = [hit(f"a{j2}", f"First {j2}", ["x.org"])]
+        if j2 != 1:
+            hits.append(hit(f"b{j2}", f"Domain {j2}", [f"h{j2}.org"]))
+        rows.append((f"h{j2}.org", hits))
+    orgs = spark.createDataFrame(
+        rows, "query string, hits array<struct<slug:string,name:string,"
+        "city:string,state:string,country_name:string,country_code:string,"
+        "org_type:string,domains:array<string>>>")
+    out = ix.org_filter(orgs)(doc)
+    return out.select("doc_id", "organization_slug", "organization_name",
+                      "organization_region", "organization_domains")
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1172,6 +1442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
+        "index_basic": _q_index_basic,
+        "index_more": _q_index_more,
+        "index_links": _q_index_links,
+        "index_gates": _q_index_gates,
+        "index_criteria_title": _q_index_criteria_title,
+        "index_criteria_referrer": _q_index_criteria_referrer,
+        "index_org": _q_index_org,
     }.items()}
 
 
@@ -2178,6 +2455,156 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(length(text), 1), 4) AS punct_ratio,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::INT
                      AS bpe_tokens
+            FROM documents
+        """,
+        # index-basic + index-anchor over the constructed doc frame: the
+        # oracle re-computes host/domain/truncation/U+FFFD-clean in SQL and
+        # states the anchor dedup per construction
+        "index_basic": """
+            WITH base AS (
+              SELECT doc_id, text,
+                CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || doc_id
+                     ELSE 'http://h' || (doc_id % 23) || '.example.org/dir/p'
+                          || doc_id || '.html' END AS url,
+                CASE WHEN doc_id % 4 = 0
+                     THEN 'http://repr' || (doc_id % 7) || '.example.net/r'
+                          || doc_id END AS repr_url,
+                CASE WHEN doc_id % 5 = 0 THEN ''
+                     WHEN doc_id % 5 = 1
+                     THEN 'T�itle Number ' || doc_id
+                          || ' Of A Very Long Document Name Indeed'
+                     ELSE 'Title ' || doc_id END AS title
+              FROM documents WHERE doc_id < 500
+            ), eff AS (
+              SELECT doc_id, text, title,
+                     COALESCE(repr_url, url) AS doc_url,
+                     NULLIF(regexp_extract(COALESCE(repr_url, url),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1),
+                            '') AS host
+              FROM base
+            )
+            SELECT doc_id, doc_url, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   NULLIF(replace(substr(title, 1, 20), '�', ''), '')
+                     AS title,
+                   replace(substr(text, 1, 30), '�', '') AS content,
+                   (1700000000000 + doc_id * 1000)::BIGINT AS tstamp,
+                   'Link ' || doc_id || '|Go ' || doc_id AS anchors_dd
+            FROM eff WHERE host IS NOT NULL
+        """,
+        # index-more: Last-Modified parse (weekday/zone stripped, UTC),
+        # fetch-time fallback, Content-Length trim, mime clean + extension
+        # detection + primary/sub parts, Content-Disposition title reset
+        "index_more": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN epoch_ms(strptime(
+                          lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0')
+                          || ' Feb 2020 08:'
+                          || lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00',
+                          '%d %b %Y %H:%M:%S')) END AS last_modified_ms,
+                   COALESCE(
+                     CASE WHEN doc_id % 3 = 0 THEN epoch_ms(strptime(
+                            lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0')
+                            || ' Feb 2020 08:'
+                            || lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00',
+                            '%d %b %Y %H:%M:%S')) END,
+                     1700000000000 + doc_id) AS date_ms,
+                   CASE WHEN doc_id % 2 = 0 THEN doc_id::VARCHAR END
+                     AS content_length,
+                   CASE WHEN doc_id % 2 = 0 THEN 'Keep ' || doc_id
+                        WHEN doc_id % 6 = 3 THEN 'doc' || doc_id || '.ppt'
+                   END AS title_out,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'application/pdf|application|pdf'
+                     WHEN 1 THEN 'text/html|text|html'
+                     WHEN 2 THEN 'image/jpeg|image|jpeg'
+                     ELSE 'image/png|image|png' END AS type_mv
+            FROM documents
+        """,
+        # index-links: self-host links dropped under *.host.ignore,
+        # malformed links dropped, hosts-only keeps first occurrence
+        "index_links": """
+            SELECT doc_id,
+                   'http://ext' || doc_id || '.org/o1|http://ext' || doc_id
+                     || '.org/o2' AS out_ext,
+                   'http://peer' || doc_id || '.net/in2' AS in_ext,
+                   'self' || (doc_id % 9) || '.org|ext' || doc_id || '.org'
+                     AS out_hosts,
+                   'self' || (doc_id % 9) || '.org|peer' || doc_id || '.net'
+                     AS in_hosts
+            FROM documents
+        """,
+        # mimetype-filter block-list + expression gate: survivors only
+        "index_gates": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'text/html'
+                                   ELSE 'image/png' END AS mime
+            FROM documents
+            WHERE doc_id % 3 IN (0, 2) AND doc_id % 10 >= 4
+        """,
+        # index-criteria bestTitle: min-length gate over the REAL text
+        # column + the selection matrix stated per construction branch
+        "index_criteria_title": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'The Global Policy Review of Water Use'
+                                 || ' in City ' || doc_id
+                     WHEN 1 THEN 'Annual Review of Economic Data in'
+                                 || ' Region Nine Part'
+                     WHEN 2 THEN 'one two three ' || doc_id
+                     WHEN 3 THEN 'A Moderate Anchor Text ' || doc_id
+                     WHEN 4 THEN 'annual report 2020.' || doc_id
+                     ELSE 'no title' END AS best_title,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'title'
+                     WHEN 1 THEN 'from PDF text'
+                     WHEN 2 THEN 'title'
+                     WHEN 3 THEN 'anchor'
+                     WHEN 4 THEN 'title'
+                     ELSE 'no options' END AS title_algorithm
+            FROM documents WHERE length(text) >= 100
+        """,
+        # index-criteria authors + referrer: multi-word author pruning,
+        # publication-keyword preference, longest non-PDF non-homepage
+        "index_criteria_referrer": """
+            SELECT doc_id,
+                   'Mary Jane W' || doc_id AS authors,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'http://h' || doc_id
+                                 || '.org/publications/2020'
+                     WHEN 1 THEN 'http://h' || doc_id
+                                 || '.org/a-very-long-plain-path/even-longer'
+                   END AS referrer_url
+            FROM documents
+        """,
+        # index-org: exact slug hit, domain-membership hit, first-hit
+        # fallback, missing query, 'null' region absent, domains ';'-joined
+        "index_org": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN
+                     CASE WHEN doc_id % 7 = 5 THEN 'wrong5'
+                          ELSE 'org' || (doc_id % 7) END
+                   WHEN doc_id % 5 = 4 THEN NULL
+                   WHEN doc_id % 5 = 1 THEN 'a1'
+                   ELSE 'b' || (doc_id % 5) END AS organization_slug,
+              CASE WHEN doc_id % 2 = 0 THEN
+                     CASE WHEN doc_id % 7 = 5 THEN 'Wrong 5'
+                          ELSE 'Org ' || (doc_id % 7) END
+                   WHEN doc_id % 5 = 4 THEN NULL
+                   WHEN doc_id % 5 = 1 THEN 'First 1'
+                   ELSE 'Domain ' || (doc_id % 5) END AS organization_name,
+              CASE WHEN doc_id % 2 = 0 THEN
+                     CASE WHEN doc_id % 7 = 5 THEN 'S' END
+                   WHEN doc_id % 5 = 4 THEN NULL
+                   ELSE 'S' END AS organization_region,
+              CASE WHEN doc_id % 2 = 0 THEN
+                     CASE WHEN doc_id % 7 = 5 THEN 'w5.org'
+                          ELSE 'd' || (doc_id % 7) || '.org;e'
+                               || (doc_id % 7) || '.org' END
+                   WHEN doc_id % 5 = 4 THEN NULL
+                   WHEN doc_id % 5 = 1 THEN 'x.org'
+                   ELSE 'h' || (doc_id % 5) || '.org' END
+                AS organization_domains
             FROM documents
         """,
     }

@@ -284,11 +284,9 @@ def more_filter(mime_map: Mapping[str, str] | None = None,
                      F.lit("")),
             F.nullif(F.regexp_extract(disp, r"filename=(\S+)", 1),
                      F.lit("")))
-        has_title = (F.col("title").isNotNull() if _has(doc, "title")
-                     else F.lit(False))
-        return doc.withColumn(
-            "title",
-            F.when(has_title, F.col("title")).otherwise(fname))
+        title = (F.col("title") if _has(doc, "title")
+                 else F.lit(None).cast("string"))
+        return doc.withColumn("title", F.coalesce(title, fname))
 
     return _apply
 
