@@ -70,6 +70,8 @@ class CrawlDriver:
     def __init__(self, spark: SparkSession, workdir: str,
                  cfg: CrawlConfig = DEFAULT, bucketed: bool = False,
                  full_rewrite_every: int = 16, dns_resolver=None,
+                 index_sink: str | None = None, index_filters=None,
+                 analyze: bool = False,
                  **fetch_kwargs):
         """``bucketed=True`` enables MERGE-style frontier commits: updatedb
         runs only over the buckets touched by this cycle's fetchlist +
@@ -85,6 +87,17 @@ class CrawlDriver:
         # hostdb DNS/connection probe (operators.hostdb.DnsResolver);
         # injectable — no network in the sandbox (ResolverThread analogue)
         self.dns_resolver = dns_resolver
+        # --index (ref src/bin/crawl:424-429): per-cycle segment indexing
+        # through the IndexingFilter chain into a file sink ("bulk" =
+        # elastic _bulk NDJSON incl. -deleteGone delete actions, "json",
+        # "solr" = solr-xml update commands).  index_filters overrides the
+        # default index-(basic|anchor) chain (conf plugin.includes).
+        self.index_sink = index_sink
+        self.index_filters = index_filters
+        # --analyze (ref src/bin/crawl:430-481): per-cycle segment dump +
+        # crawl-completion host stats to the analysis dir (the reference
+        # POSTs these to its ES dashboard; the files ARE the payloads)
+        self.analyze = analyze
         self.fetch_kwargs = fetch_kwargs
         # full-frontier count jobs taken for the frontier_size metric in
         # merge cycles (0 in steady state — tests assert this)
@@ -287,6 +300,11 @@ class CrawlDriver:
         )
         if newest is None or newest < cycle_id:
             self._update_hostdb(cycle_id)
+        # index/analyze are dir-marker idempotent — safe catch-up
+        if self.index_sink is not None:
+            self._index_segment(cycle_id)
+        if self.analyze:
+            self._analyze_segment(cycle_id)
 
     def should_stop(self) -> bool:
         return os.path.exists(os.path.join(self.workdir, ".STOP"))
@@ -555,6 +573,12 @@ class CrawlDriver:
         tick("linkdb")
         self._update_hostdb(cycle_id)
         tick("hostdb")
+        if self.index_sink is not None:
+            self._index_segment(cycle_id, log, content)
+            tick("index")
+        if self.analyze:
+            self._analyze_segment(cycle_id, log)
+            tick("analyze")
         if use_merge:
             po_raw.unpersist()
         if seen_new is not None:
@@ -674,6 +698,85 @@ class CrawlDriver:
             cycle_id=cycle_id,
             metrics={"frontier_snapshot": self.frontier.current_id()},
         )
+
+    def _index_segment(self, cycle_id: int, log=None, content=None) -> None:
+        """--index step (ref ``src/bin/crawl:424-429``: ``index crawldb
+        -linkdb linkdb segments/$SEGMENT -deleteGone``): build the J5
+        document join for THIS cycle's segment, run the IndexingFilter
+        chain, write adds + deletions to the configured file sink.
+
+        The doc frame maps the image+caption graft onto the NutchDocument
+        fields: ``text`` = caption (the indexable text of an image doc),
+        ``tstamp``/``fetch_time`` = the segment's actual fetch instant
+        (IndexerMapReduce uses the fetchDatum, not the crawldb's
+        next-fetch time), ``db_meta`` = frontier metadata (org.slug etc.).
+        Payload bytes never enter the join.  Idempotent per cycle: the
+        output dir is the marker, so a crash-resume re-runs it whole.
+        """
+        from ..operators.indexing import anchor_filter, apply_chain, basic_filter
+        from ..sources.sinks import (build_index_documents, write_elastic_bulk,
+                                     write_json, write_solr_xml)
+
+        outdir = os.path.join(self.workdir, "index", f"cycle-{cycle_id}")
+        if os.path.exists(outdir):
+            return
+        if log is None or content is None:
+            rs = self.fetch_log.snapshot_for_cycle(cycle_id)
+            cs = self.content.snapshot_for_cycle(cycle_id)
+            if not (rs and cs):
+                return
+            log = self.fetch_log.read(self.spark, rs["id"])
+            content = self.content.read(self.spark, cs["id"])
+        frontier = self.frontier.read(self.spark).drop("bucket")
+        linkdb = self.linkdb.read(self.spark) if self.linkdb.exists() else None
+        narrow = content.select("url", "image_id", "w", "h", "fmt",
+                                "caption", "phash")
+        docs = build_index_documents(frontier, narrow, linkdb)
+        # segment restriction + the segment's real fetch instant
+        seg = log.select("url", F.col("fetch_time").alias("_seg_ms"))
+        docs = (docs.join(seg, "url")
+                .withColumn("fetch_time", F.col("_seg_ms")).drop("_seg_ms")
+                .withColumn("text", F.coalesce(F.col("caption"), F.lit("")))
+                .withColumn("title", F.lit(None).cast("string"))
+                .withColumn("db_meta", F.col("metadata")))
+        if "anchors" not in docs.columns:
+            docs = docs.withColumn("anchors",
+                                   F.lit(None).cast("array<string>"))
+        deletes = docs.filter(F.col("_delete"))
+        chain = (self.index_filters if self.index_filters is not None
+                 else [basic_filter(add_domain=True), anchor_filter()])
+        # filters only shape/gate ADD docs; deletions bypass the chain
+        # (IndexerMapReduce emits the delete before filtering)
+        adds = apply_chain(docs.filter(~F.col("_delete")), chain)
+        out = adds.unionByName(deletes, allowMissingColumns=True)
+        if self.index_sink == "bulk":
+            write_elastic_bulk(out, outdir, index="coherencebot")
+        elif self.index_sink == "solr":
+            write_solr_xml(out, outdir)
+        else:
+            write_json(out, outdir)
+
+    def _analyze_segment(self, cycle_id: int, log=None) -> None:
+        """--analyze step (ref ``src/bin/crawl:430-481``): readseg-style
+        fetch dump (no payload) + crawl-completion host stats, one dir per
+        cycle under ``analysis/`` — the file payloads the reference POSTs
+        to its ES dashboard.  Idempotent per cycle (dir marker)."""
+        from ..operators.readdb import crawl_completion_stats
+        from ..sources.sinks import write_json
+
+        adir = os.path.join(self.workdir, "analysis", f"cycle-{cycle_id}")
+        if os.path.exists(adir):
+            return
+        if log is None:
+            rs = self.fetch_log.snapshot_for_cycle(cycle_id)
+            if not rs:
+                return
+            log = self.fetch_log.read(self.spark, rs["id"])
+        write_json(log.drop("signature", "metadata"),
+                   os.path.join(adir, "readseg"))
+        frontier = self.frontier.read(self.spark).drop("bucket")
+        write_json(crawl_completion_stats(frontier, mode="host"),
+                   os.path.join(adir, "crawlcomplete"))
 
     def run(self, n_cycles: int, t0: int, cycle_ms: int = 3_600_000,
             feed=None, feed_every: int = 1) -> list[CycleMetrics]:

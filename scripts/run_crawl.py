@@ -59,6 +59,14 @@ def main() -> None:
                     help="re-normalize frontier urls at every generate "
                          "(generate.normalise; needed only after "
                          "normalizer-rule changes)")
+    ap.add_argument("--index", choices=["bulk", "json", "solr"],
+                    help="index each cycle's segment through the "
+                         "IndexingFilter chain into this file sink "
+                         "(ref bin/crawl --index)")
+    ap.add_argument("--analyze", action="store_true",
+                    help="per-cycle segment dump + crawl-completion stats "
+                         "under <workdir>/analysis (ref bin/crawl "
+                         "--analyze)")
     args = ap.parse_args()
 
     from coherencebot_spark.config import DEFAULT
@@ -75,7 +83,8 @@ def main() -> None:
                         threads_per_queue=args.threads_per_queue,
                         normalise_on_generate=args.normalise_on_generate)
     driver = CrawlDriver(spark, args.workdir, cfg, n_hosts=args.n_hosts,
-                         bucketed=args.bucketed)
+                         bucketed=args.bucketed, index_sink=args.index,
+                         analyze=args.analyze)
 
     if args.seeds:
         seeds = read_seed_files(spark, args.seeds)

@@ -533,3 +533,49 @@ def test_compaction_cadence_counts_cycles_not_snapshots(spark, tmp_path):
     kinds = {s["cycle_id"]: ("merge" if s.get("merge") else "full")
              for s in d.frontier.history() if isinstance(s["cycle_id"], int)}
     assert kinds == {0: "merge", 1: "full"}, kinds
+
+
+def test_index_and_analyze_steps(spark, tmp_path):
+    # --index/--analyze (ref src/bin/crawl:424-481): per-cycle segment
+    # indexing through the IndexingFilter chain into the _bulk NDJSON
+    # sink (adds + -deleteGone delete actions), plus the analysis dumps
+    import os
+
+    from coherencebot_spark.sources.sinks import read_elastic_bulk
+
+    wd = str(tmp_path / "crawl")
+    d = CrawlDriver(spark, wd, CFG, index_sink="bulk", analyze=True,
+                    **FETCH_KW)
+    d.inject(seeds_df(spark), T0)
+    d.run(2, T0 + 1000, cycle_ms=7_200_000)
+
+    for k in (0, 1):
+        recs = read_elastic_bulk(os.path.join(wd, "index", f"cycle-{k}"))
+        assert recs, f"cycle {k} wrote no index actions"
+        adds = [doc for _, doc in recs if doc is not None]
+        # chain ran: index-basic fields on every add doc, tstamp is the
+        # segment's actual fetch instant (this cycle's clock)
+        start = T0 + 1000 + k * 7_200_000
+        for doc in adds:
+            assert doc["host"] and doc["domain"] and doc["doc_url"]
+            # to_json drops null fields → a null caption has no key
+            assert doc["text"] == (doc.get("caption") or "")
+            # the segment's actual fetch instant: cycle start + the
+            # politeness clock's per-host offset, within this cycle
+            assert start <= doc["tstamp"] < start + 7_200_000
+        # analysis payloads exist per cycle
+        assert os.path.isdir(os.path.join(wd, "analysis", f"cycle-{k}",
+                                          "readseg"))
+        assert os.path.isdir(os.path.join(wd, "analysis", f"cycle-{k}",
+                                          "crawlcomplete"))
+
+    # the synthetic world 404s some urls → cycle 1 must carry deletions
+    # for gone/duplicate docs (-deleteGone)
+    recs1 = read_elastic_bulk(os.path.join(wd, "index", "cycle-1"))
+    del_ids = [i for i, doc in recs1 if doc is None]
+    assert del_ids, "no delete actions despite gone/duplicate rows"
+
+    # idempotent: re-running the committed cycle leaves the output as-is
+    before = sorted(os.listdir(os.path.join(wd, "index", "cycle-1")))
+    d.run_cycle(1, T0 + 1000 + 7_200_000)
+    assert sorted(os.listdir(os.path.join(wd, "index", "cycle-1"))) == before
