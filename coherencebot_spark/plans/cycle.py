@@ -714,8 +714,9 @@ class CrawlDriver:
         output dir is the marker, so a crash-resume re-runs it whole.
         """
         from ..operators.indexing import anchor_filter, apply_chain, basic_filter
-        from ..sources.sinks import (build_index_documents, write_elastic_bulk,
-                                     write_json, write_solr_xml)
+        from ..sources.sinks import (build_segment_index_documents,
+                                     write_elastic_bulk, write_json,
+                                     write_solr_xml)
 
         outdir = os.path.join(self.workdir, "index", f"cycle-{cycle_id}")
         if os.path.exists(outdir):
@@ -731,10 +732,13 @@ class CrawlDriver:
         linkdb = self.linkdb.read(self.spark) if self.linkdb.exists() else None
         narrow = content.select("url", "image_id", "w", "h", "fmt",
                                 "caption", "phash")
-        docs = build_index_documents(frontier, narrow, linkdb)
-        # segment restriction + the segment's real fetch instant
+        # segment restriction FIRST (broadcast inner join when enabled) so
+        # the 10^10-row frontier and the linkdb never shuffle full tables
         seg = log.select("url", F.col("fetch_time").alias("_seg_ms"))
-        docs = (docs.join(seg, "url")
+        docs = build_segment_index_documents(
+            frontier, narrow, seg, linkdb,
+            broadcast_seg=self.cfg.broadcast_small_sides)
+        docs = (docs
                 .withColumn("fetch_time", F.col("_seg_ms")).drop("_seg_ms")
                 .withColumn("text", F.coalesce(F.col("caption"), F.lit("")))
                 .withColumn("title", F.lit(None).cast("string"))

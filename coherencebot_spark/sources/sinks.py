@@ -33,6 +33,34 @@ def build_index_documents(frontier: DataFrame, content: DataFrame,
     )
 
 
+def build_segment_index_documents(frontier: DataFrame, content: DataFrame,
+                                  seg: DataFrame,
+                                  linkdb: DataFrame | None = None,
+                                  broadcast_seg: bool = False) -> DataFrame:
+    """Segment-restricted J5 join (the ``--index`` step's doc frame) with
+    the join order that survives a 10^10-row frontier: the segment
+    restriction (``seg`` = this cycle's fetch-log urls, fetchlist-sized)
+    lands as an INNER join against the frontier FIRST — with
+    ``broadcast_seg`` a map-side BroadcastHashJoin, so the frontier never
+    shuffles — and linkdb is pruned to segment urls with a (broadcast)
+    semi-join BEFORE its anchor left-join, so the linkdb side never
+    shuffles its full 10^9-row table either.  All remaining joins then run
+    on segment-sized frames.
+
+    Left joining content/linkdb onto the raw frontier and inner-joining
+    ``seg`` afterwards computes the same rows, but Catalyst cannot reorder
+    an inner join above left-outer joins, so that plan left-joins the
+    entire frontier each cycle — the shape this helper exists to avoid
+    (asserted in tests/test_cycle.py::test_segment_index_docs_plan).
+    Extra ``seg`` columns (e.g. the segment's fetch instant) ride along.
+    """
+    b = F.broadcast if broadcast_seg else (lambda d: d)
+    fr = frontier.join(b(seg), "url")
+    if linkdb is not None:
+        linkdb = linkdb.join(b(seg.select("url")), "url", "leftsemi")
+    return build_index_documents(fr, content, linkdb)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """indexer-csv analogue (binary columns hex-encoded)."""
     cols = [
