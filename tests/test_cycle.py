@@ -579,3 +579,62 @@ def test_index_and_analyze_steps(spark, tmp_path):
     before = sorted(os.listdir(os.path.join(wd, "index", "cycle-1")))
     d.run_cycle(1, T0 + 1000 + 7_200_000)
     assert sorted(os.listdir(os.path.join(wd, "index", "cycle-1"))) == before
+
+
+def _first_join_ancestor(plan: str, scan_needle: str) -> str:
+    """Walk the executed-plan tree text upward from the scan line and
+    return the first ancestor that is a join or an exchange."""
+    import re
+
+    lines = plan.splitlines()
+    idx = next(i for i, l in enumerate(lines) if scan_needle in l
+               and "Scan" in l)
+    depth = lambda l: len(re.match(r"[\s:+\->]*", l).group(0))  # noqa: E731
+    d = depth(lines[idx])
+    for line in reversed(lines[:idx]):
+        dl = depth(line)
+        if dl < d:
+            d = dl
+            node = re.sub(r"^[\s:+\->]*", "", line)
+            if node.startswith(("Exchange", "BroadcastHashJoin",
+                                "SortMergeJoin", "ShuffledHashJoin")):
+                return node
+    return ""
+
+
+def test_segment_index_docs_plan(spark):
+    # the --index doc build must restrict the frontier to the segment via
+    # a map-side broadcast inner join BEFORE any left join, and prune the
+    # linkdb with a broadcast semi-join — neither big table may hit an
+    # Exchange (a full-table shuffle per cycle at 10^10 rows otherwise)
+    from pyspark.sql import Row
+
+    from coherencebot_spark.sources.sinks import build_segment_index_documents
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        frontier = spark.createDataFrame(
+            [Row(url=f"u{i}", status=33, score=1.0, metadata={"a": "b"})
+             for i in range(50)])
+        content = spark.createDataFrame(
+            [Row(url=f"u{i}", image_id=f"i{i}", w=1, h=1, fmt="png",
+                 caption="c", phash=1) for i in range(10)])
+        seg = spark.createDataFrame(
+            [Row(url=f"u{i}", _seg_ms=5) for i in range(10)])
+        linkdb = spark.createDataFrame(
+            [Row(url=f"u{i}", inlinks=[Row(anchor="a")]) for i in range(10)])
+        docs = build_segment_index_documents(frontier, content, seg, linkdb,
+                                             broadcast_seg=True)
+        plan = docs._jdf.queryExecution().executedPlan().toString()
+        fr = _first_join_ancestor(plan, "status")
+        assert fr.startswith("BroadcastHashJoin") and "Inner" in fr, \
+            f"frontier shuffles before the segment restriction:\n{plan}"
+        ld = _first_join_ancestor(plan, "inlinks")
+        assert ld.startswith("BroadcastHashJoin") and "LeftSemi" in ld, \
+            f"linkdb shuffles before the segment prune:\n{plan}"
+        # values unchanged vs the naive order
+        assert docs.count() == 10
+        assert docs.filter("image_id is null").count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

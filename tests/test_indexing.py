@@ -354,3 +354,105 @@ def test_apply_chain_order_and_rejection(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["url"] == "http://h.org/b.pdf"
     assert rows[0]["domain"] == "h.org"
+
+
+# ---------------------------------------------------------- index-replace
+
+
+def _rdoc(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, host string, description string, "
+              "keywords string, author string, title string, "
+              "`metatag.author` string, tags array<string>")
+
+
+def _rrow(url="http://www.example.org/p.html", host="www.example.org",
+          description="With this plugin, I control the description!",
+          keywords="Breathtaking, Riveting, Two Thumbs Up!",
+          author="Peter Ciuffetti", title="T", meta_author=None, tags=None):
+    return (url, host, description, keywords, author, title, meta_author,
+            tags)
+
+
+def test_replace_global(spark):
+    # TestIndexReplace.testGlobalReplacement: no hostmatch/urlmatch → all
+    # rules apply to every doc
+    conf = ("  description=/this(.*)plugin/this awesome plugin/\n"
+            "  keywords=/\\,/\\!/\n"
+            "  author=/\\s+/ D. /\n")
+    out = ix.replace_filter(conf)(_rdoc(spark, [_rrow()])).collect()[0]
+    assert out["description"] == \
+        "With this awesome plugin, I control the description!"
+    assert out["keywords"] == "Breathtaking! Riveting! Two Thumbs Up!"
+    assert out["author"] == "Peter D. Ciuffetti"
+
+
+def test_replace_invalid_patterns_are_safe(spark):
+    # TestIndexReplace.testInvalidPatterns: invalid regex → no-op rule;
+    # invalid flags → rule dropped; missing separator → rule dropped
+    conf = ("  description=/this\\s+**plugin/this awesome plugin/\n"
+            "  keywords=/\\,/\\!/what\n"
+            " author=#notcomplete")
+    out = ix.replace_filter(conf)(_rdoc(spark, [_rrow()])).collect()[0]
+    assert out["description"] == "With this plugin, I control the description!"
+    assert out["keywords"] == "Breathtaking, Riveting, Two Thumbs Up!"
+    assert out["author"] == "Peter Ciuffetti"
+
+
+def test_replace_url_scoping(spark):
+    # testUrlMatchesPattern / testUrlNotMatchesPattern: urlmatch scopes
+    # the rules that follow it (Matcher.find semantics)
+    conf = (" urlmatch=.*.html\n"
+            "  keywords=/\\,/\\!/\n")
+    doc = _rdoc(spark, [
+        _rrow(),
+        _rrow(url="http://www.example.org/feed.xml"),
+    ])
+    rows = {r["url"]: r for r in ix.replace_filter(conf)(doc).collect()}
+    assert rows["http://www.example.org/p.html"]["keywords"] == \
+        "Breathtaking! Riveting! Two Thumbs Up!"
+    assert rows["http://www.example.org/feed.xml"]["keywords"] == \
+        "Breathtaking, Riveting, Two Thumbs Up!"
+
+
+def test_replace_hostmatch_target_field_order_and_flags(spark):
+    # hostmatch scoping; src:dst writes into the target field
+    # (ReplaceIndexer.java:174-179); rules chain in order; flag 2 =
+    # Pattern.CASE_INSENSITIVE; host rules run before url rules
+    # (doReplace order, :243-249) even when configured after them;
+    # dotted field names (promoted metadata) are addressable
+    conf = (" urlmatch=.*\n"
+            "  title=/^B-/C-/\n"
+            " hostmatch=.*\\.example\\.org\n"
+            "  author:title=/PETER/A-/2\n"
+            "  title=/A-/B-/\n"
+            "  metatag.author=/x/y/\n")
+    doc = _rdoc(spark, [
+        _rrow(meta_author="xx"),
+        _rrow(url="http://other.net/a", host="other.net", meta_author="xx"),
+    ])
+    rows = {r["host"]: r for r in ix.replace_filter(conf)(doc).collect()}
+    hit = rows["www.example.org"]
+    # author→title ("A- Ciuffetti"), then /A-/B-/ → "B- Ciuffetti", then
+    # the url-scoped rule (running AFTER all host rules) → "C- Ciuffetti"
+    assert hit["title"] == "C- Ciuffetti"
+    assert hit["metatag.author"] == "yy"
+    # non-matching host: only the global url rule applies (title "T")
+    assert rows["other.net"]["title"] == "T"
+    assert rows["other.net"]["metatag.author"] == "xx"
+
+
+def test_replace_array_field_and_null_source(spark):
+    # multi-valued fields map per element; a null source leaves the
+    # target untouched (docFieldNames.contains check)
+    conf = "  tags=/a/b/\n  description:title=/.*/X/\n"
+    doc = _rdoc(spark, [
+        _rrow(tags=["aa", "ca"]),
+        _rrow(url="http://h2.org/x", host="h2.org", description=None),
+    ])
+    rows = {r["host"]: r for r in ix.replace_filter(conf)(doc).collect()}
+    assert rows["www.example.org"]["tags"] == ["bb", "cb"]
+    # Java replaceAll(".*","X") = "XX" (whole match + trailing empty
+    # match) — the engine reproduces reference semantics exactly
+    assert rows["www.example.org"]["title"] == "XX"
+    assert rows["h2.org"]["title"] == "T"   # null source → target kept
