@@ -136,15 +136,15 @@ def anchor_filter(deduplicate: bool = False,
     """
 
     def _apply(doc: DataFrame) -> DataFrame:
-        a = F.coalesce(F.col(anchors_col),
-                       F.lit(None).cast("array<string>"))
-        a = F.coalesce(a, F.array())
+        a = F.coalesce(F.col(anchors_col), F.array())
         if deduplicate:
-            # keep x when no earlier element lowercases equal (order kept)
+            # keep x when no earlier element lowercases equal (order
+            # kept); eqNullSafe so a null element can't turn the exists
+            # into NULL and silently drop every later anchor
             a = F.filter(
                 a, lambda x, i: ~F.exists(
                     F.slice(F.coalesce(F.col(anchors_col), F.array()), 1, i),
-                    lambda y: F.lower(y) == F.lower(x)))
+                    lambda y: F.lower(y).eqNullSafe(F.lower(x))))
         return doc.withColumn("anchor", a)
 
     return _apply
@@ -722,8 +722,18 @@ def _compiles(pattern: str) -> bool:
         _re.compile(pattern)
         return True
     except _re.error:
-        # Python rejects some valid Java syntax; only treat the clear
-        # cases (e.g. "**" — nothing to repeat) as invalid
+        pass
+    # Python rejects some valid Java syntax — \p{Punct}-style classes
+    # (Python only knows them via the regex module) and possessive
+    # quantifiers.  Rewrite those to Python-benign stand-ins and
+    # re-probe, so only structural errors ("**", unbalanced groups)
+    # disable a rule.
+    probe = _re.sub(r"\\[pP]\{[A-Za-z][A-Za-z0-9_]*\}", "X", pattern)
+    probe = _re.sub(r"([*+?}])\+", r"\1", probe)
+    try:
+        _re.compile(probe)
+        return True
+    except _re.error:
         return False
 
 

@@ -699,6 +699,39 @@ class CrawlDriver:
             metrics={"frontier_snapshot": self.frontier.current_id()},
         )
 
+    def _read_at_cycle(self, table, cycle_id: int):
+        """Newest snapshot of ``table`` committed at or before
+        ``cycle_id`` — ancillary backfills must not see future crawl
+        state (a url GONE by cycle 4 is not GONE in cycle 0's artifact).
+        None when the table has no snapshot that old."""
+        best = None
+        for s in table.history():
+            cid = s.get("cycle_id")
+            if isinstance(cid, int) and cid <= cycle_id:
+                best = s
+        return None if best is None else table.read(self.spark, best["id"])
+
+    @staticmethod
+    def _commit_dir(outdir: str):
+        """Write-to-tmp + atomic rename: the committed dir is the
+        idempotency marker, so a crash mid-write must not leave it
+        present (Spark creates the target dir before committing part
+        files — a bare existence check would treat torn output as done).
+        Usage: ``with`` — the tmp path is yielded, renamed on success,
+        left for the next attempt to clear on failure."""
+        import contextlib
+        import shutil
+
+        @contextlib.contextmanager
+        def cm():
+            tmp = outdir + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            yield tmp
+            os.rename(tmp, outdir)
+
+        return cm()
+
     def _index_segment(self, cycle_id: int, log=None, content=None) -> None:
         """--index step (ref ``src/bin/crawl:424-429``: ``index crawldb
         -linkdb linkdb segments/$SEGMENT -deleteGone``): build the J5
@@ -710,8 +743,13 @@ class CrawlDriver:
         ``tstamp``/``fetch_time`` = the segment's actual fetch instant
         (IndexerMapReduce uses the fetchDatum, not the crawldb's
         next-fetch time), ``db_meta`` = frontier metadata (org.slug etc.).
-        Payload bytes never enter the join.  Idempotent per cycle: the
-        output dir is the marker, so a crash-resume re-runs it whole.
+        Only segment rows WITH a content row become adds — retry/redirect/
+        notmodified rows have no parse, and IndexerMapReduce skips docs
+        without fetch success + parse text (an empty re-add would wipe a
+        good index entry).  Payload bytes never enter the join.
+        Idempotent per cycle: written to ``.tmp`` + atomic rename, and
+        the frontier/linkdb are read at THIS cycle's snapshots so a
+        catch-up backfill equals the in-cycle artifact.
         """
         from ..operators.indexing import anchor_filter, apply_chain, basic_filter
         from ..sources.sinks import (build_segment_index_documents,
@@ -728,8 +766,11 @@ class CrawlDriver:
                 return
             log = self.fetch_log.read(self.spark, rs["id"])
             content = self.content.read(self.spark, cs["id"])
-        frontier = self.frontier.read(self.spark).drop("bucket")
-        linkdb = self.linkdb.read(self.spark) if self.linkdb.exists() else None
+        frontier = self._read_at_cycle(self.frontier, cycle_id)
+        if frontier is None:
+            return
+        frontier = frontier.drop("bucket")
+        linkdb = self._read_at_cycle(self.linkdb, cycle_id)
         narrow = content.select("url", "image_id", "w", "h", "fmt",
                                 "caption", "phash")
         # segment restriction FIRST (broadcast inner join when enabled) so
@@ -750,21 +791,28 @@ class CrawlDriver:
         chain = (self.index_filters if self.index_filters is not None
                  else [basic_filter(add_domain=True), anchor_filter()])
         # filters only shape/gate ADD docs; deletions bypass the chain
-        # (IndexerMapReduce emits the delete before filtering)
-        adds = apply_chain(docs.filter(~F.col("_delete")), chain)
+        # (IndexerMapReduce emits the delete before filtering); adds
+        # need a parse → content row (image_id present)
+        adds = apply_chain(
+            docs.filter(~F.col("_delete") & F.col("image_id").isNotNull()),
+            chain)
         out = adds.unionByName(deletes, allowMissingColumns=True)
-        if self.index_sink == "bulk":
-            write_elastic_bulk(out, outdir, index="coherencebot")
-        elif self.index_sink == "solr":
-            write_solr_xml(out, outdir)
-        else:
-            write_json(out, outdir)
+        with self._commit_dir(outdir) as tmp:
+            if self.index_sink == "bulk":
+                write_elastic_bulk(out, tmp, index="coherencebot")
+            elif self.index_sink == "solr":
+                write_solr_xml(out, tmp)
+            else:
+                write_json(out, tmp)
 
     def _analyze_segment(self, cycle_id: int, log=None) -> None:
         """--analyze step (ref ``src/bin/crawl:430-481``): readseg-style
         fetch dump (no payload) + crawl-completion host stats, one dir per
         cycle under ``analysis/`` — the file payloads the reference POSTs
-        to its ES dashboard.  Idempotent per cycle (dir marker)."""
+        to its ES dashboard.  Idempotent per cycle: both sub-outputs land
+        in one ``.tmp`` dir renamed atomically (a crash between the two
+        writes must not mark the cycle done); stats read the frontier at
+        THIS cycle's snapshot."""
         from ..operators.readdb import crawl_completion_stats
         from ..sources.sinks import write_json
 
@@ -776,11 +824,15 @@ class CrawlDriver:
             if not rs:
                 return
             log = self.fetch_log.read(self.spark, rs["id"])
-        write_json(log.drop("signature", "metadata"),
-                   os.path.join(adir, "readseg"))
-        frontier = self.frontier.read(self.spark).drop("bucket")
-        write_json(crawl_completion_stats(frontier, mode="host"),
-                   os.path.join(adir, "crawlcomplete"))
+        frontier = self._read_at_cycle(self.frontier, cycle_id)
+        if frontier is None:
+            return
+        with self._commit_dir(adir) as tmp:
+            write_json(log.drop("signature", "metadata"),
+                       os.path.join(tmp, "readseg"))
+            write_json(crawl_completion_stats(frontier.drop("bucket"),
+                                              mode="host"),
+                       os.path.join(tmp, "crawlcomplete"))
 
     def run(self, n_cycles: int, t0: int, cycle_ms: int = 3_600_000,
             feed=None, feed_every: int = 1) -> list[CycleMetrics]:

@@ -581,6 +581,42 @@ def test_index_and_analyze_steps(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(wd, "index", "cycle-1"))) == before
 
 
+def test_index_backfill_matches_in_cycle_artifact(spark, tmp_path):
+    """Catch-up --index after the fact must equal the in-cycle artifact:
+    the doc build reads the frontier/linkdb at THAT cycle's snapshot (a
+    url GONE by cycle 1 is not a delete in cycle 0's output), and a stale
+    torn-write ``.tmp`` from a crash is cleared and re-run whole."""
+    import os
+
+    from coherencebot_spark.sources.sinks import read_elastic_bulk
+
+    wd_live = str(tmp_path / "live")
+    d1 = CrawlDriver(spark, wd_live, CFG, index_sink="bulk", **FETCH_KW)
+    d1.inject(seeds_df(spark), T0)
+    d1.run(2, T0 + 1000, cycle_ms=7_200_000)
+
+    wd_back = str(tmp_path / "back")
+    d2 = CrawlDriver(spark, wd_back, CFG, **FETCH_KW)  # indexing off
+    d2.inject(seeds_df(spark), T0)
+    d2.run(2, T0 + 1000, cycle_ms=7_200_000)
+
+    # enable indexing afterwards; plant a stale torn-write tmp dir
+    d3 = CrawlDriver(spark, wd_back, CFG, index_sink="bulk", **FETCH_KW)
+    tmp0 = os.path.join(wd_back, "index", "cycle-0.tmp")
+    os.makedirs(tmp0)
+    with open(os.path.join(tmp0, "junk"), "w") as f:
+        f.write("torn")
+    for k in (0, 1):
+        d3.run_cycle(k, T0 + 1000 + k * 7_200_000)
+    assert not os.path.exists(tmp0)
+    for k in (0, 1):
+        live = sorted(map(repr, read_elastic_bulk(
+            os.path.join(wd_live, "index", f"cycle-{k}"))))
+        back = sorted(map(repr, read_elastic_bulk(
+            os.path.join(wd_back, "index", f"cycle-{k}"))))
+        assert live and live == back, f"cycle {k} backfill diverges"
+
+
 def _first_join_ancestor(plan: str, scan_needle: str) -> str:
     """Walk the executed-plan tree text upward from the scan line and
     return the first ancestor that is a join or an exchange."""

@@ -76,6 +76,14 @@ def test_anchor_dedup_keeps_first_case_insensitive(spark):
     assert raw == ["Anchor One", "anchor one", "B"]
 
 
+def test_anchor_dedup_null_element_does_not_poison(spark):
+    # a null anchor element must not NULL-poison the dedup predicate and
+    # drop every anchor after it (three-valued logic in exists())
+    doc = _doc(spark, [_row(anchors=[None, "Home", "home"])])
+    dd = ix.anchor_filter(deduplicate=True)(doc).collect()[0]["anchor"]
+    assert dd == [None, "Home"]
+
+
 # --------------------------------------------------------- index-metadata
 
 
@@ -397,6 +405,18 @@ def test_replace_invalid_patterns_are_safe(spark):
     assert out["description"] == "With this plugin, I control the description!"
     assert out["keywords"] == "Breathtaking, Riveting, Two Thumbs Up!"
     assert out["author"] == "Peter Ciuffetti"
+
+
+def test_replace_java_only_regex_reaches_jvm(spark):
+    # \p{Punct} is Java-valid but Python-re-invalid; the validity probe
+    # must let it through — runtime evaluation is Java regex, and
+    # ReplaceIndexer would apply the rule
+    conf = ("  keywords=/\\p{Punct}/!/\n"
+            "  hostmatch=\\p{Alnum}+\\.example\\.org\n"
+            "  author=/\\s++/ D. /\n")
+    out = ix.replace_filter(conf)(_rdoc(spark, [_rrow()])).collect()[0]
+    assert out["keywords"] == "Breathtaking! Riveting! Two Thumbs Up!"
+    assert out["author"] == "Peter D. Ciuffetti"
 
 
 def test_replace_url_scoping(spark):
