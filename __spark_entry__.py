@@ -669,6 +669,99 @@ def _q_html_outlinks(spark, sf_dir):
     return pages.mapInPandas(run, "doc_id long, to_url string, anchor string")
 
 
+def _q_html_page_fields(spark, sf_dir):
+    # headings + parse-metatags plugins over pages synthesized from
+    # documents: nested-tag h1 stripping, first-only vs multivalued,
+    # empty-first-h2 break, name= multi-add + http-equiv last-wins —
+    # the oracle reproduces each field per construction
+    from coherencebot_spark.functions import html_fields as H
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    sid = F.col("doc_id").cast("string")
+    h1a = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("<h1>Title <span>"), sid, F.lit("</span></h1>")),
+    ).otherwise(F.concat(F.lit("<h1>  Plain   "), sid, F.lit(" </h1>")))
+    h2 = F.when(F.col("doc_id") % 5 == 0,
+                F.lit("<h2></h2><h2>late</h2>")).otherwise(
+        F.concat(F.lit("<h2>H2 "), sid, F.lit("</h2>")))
+    kw2 = F.when(F.col("doc_id") % 4 == 0,
+                 F.lit('<meta name="keywords" content="extra">')
+                 ).otherwise(F.lit(""))
+    ct2 = F.when(F.col("doc_id") % 3 == 0,
+                 F.lit('<meta http-equiv="content-type"'
+                       ' content="text/plain">')).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><meta name="Keywords" content="k'), sid,
+        F.lit('">'), kw2,
+        F.lit('<meta http-equiv="Content-Type" content="text/html">'), ct2,
+        F.lit("</head><body>"), h1a,
+        F.lit("<h1>Second "), sid, F.lit("</h1>"), h2,
+        F.lit("</body></html>"))
+    pages = d.select("doc_id", html.alias("html"))
+    m = H.extract_metatags(F.col("html"), sep="|")
+    return pages.select(
+        "doc_id",
+        F.try_element_at(H.extract_headings(F.col("html"), "h1"),
+                         F.lit(1)).alias("h1_first"),
+        F.array_join(
+            H.extract_headings(F.col("html"), "h1", multivalued=True),
+            "|").alias("h1_all"),
+        F.try_element_at(H.extract_headings(F.col("html"), "h2"),
+                         F.lit(1)).alias("h2_first"),
+        F.try_element_at(m, F.lit("metatag.keywords")).alias("kw"),
+        F.try_element_at(m, F.lit("metatag.content-type")).alias("ctype"),
+    )
+
+
+def _q_html_reltag_cc(spark, sf_dir):
+    # microformats-reltag + creativecommons plugins: sorted-distinct
+    # URL-decoded rel-tags (relative hrefs skipped), CC license arms by
+    # priority rdf > rel > a with the CCIndexingFilter feature expansion
+    from coherencebot_spark.functions import html_fields as H
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    sid = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 4
+    rdf = F.lit(
+        '<!-- <rdf:RDF xmlns="http://web.resource.org/cc/" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        '<Work rdf:about="x"><dc:type '
+        'rdf:resource="http://purl.org/dc/dcmitype/StillImage" /></Work>'
+        '<License rdf:about='
+        '"http://creativecommons.org/licenses/by-nc/1.0"/>'
+        "</rdf:RDF> -->")
+    cc_bits = (
+        F.when(mod == 0, rdf)
+         .when(mod == 1, F.lit(
+             '<a rel="license" href='
+             '"http://creativecommons.org/licenses/by-nc/2.0">c</a>'))
+         .when(mod == 2, F.lit(
+             '<a href='
+             '"http://creativecommons.org/licenses/by-nc-sa/1.0">c</a>'))
+         .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit('<a href="http://t.org/tag/Zeta%20'), sid,
+        F.lit('" rel="tag">z</a>'),
+        F.lit('<a href="http://t.org/tag/alpha" rel="TAG">a</a>'),
+        F.lit('<a href="http://t.org/tag/alpha" rel="tag">a</a>'),
+        F.lit('<a href="/rel/skip" rel="tag">r</a>'),
+        cc_bits)
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("http://p"), sid, F.lit(".org/x")).alias("url"),
+        html.alias("html"))
+    cc = H.extract_cc(F.col("html"), F.col("url"))
+    return pages.select(
+        "doc_id",
+        F.array_join(H.extract_rel_tags(F.col("html")), "|").alias("tags"),
+        cc["license_url"].alias("license_url"),
+        cc["license_loc"].alias("license_loc"),
+        F.array_join(H.cc_features(cc), "|").alias("cc"),
+    )
+
+
 def _q_automaton_filter(spark, sf_dir):
     # urlfilter-automaton: first-match-wins FULL-match rule chain; DuckDB
     # twin via regexp_full_match over the same default rules
@@ -1450,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "free_generator": _q_free_generator,
         "html_outlinks": _q_html_outlinks,
+        "html_page_fields": _q_html_page_fields,
+        "html_reltag_cc": _q_html_reltag_cc,
         "webgraph_degrees": _q_webgraph_degrees,
         "linkrank": _q_linkrank,
         "link_depth": _q_link_depth,
@@ -2160,6 +2255,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'http://abs.example.org/x' || doc_id, 'A' FROM pre
             UNION ALL  -- <img src> resolves like any link, anchor ''
             SELECT doc_id, basep || 'i' || doc_id || '.png', '' FROM pre
+        """,
+        "html_page_fields": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'Title ' || doc_id
+                        ELSE 'Plain ' || doc_id END AS h1_first,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'Title ' || doc_id
+                         ELSE 'Plain ' || doc_id END)
+                     || '|Second ' || doc_id AS h1_all,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE 'H2 ' || doc_id END AS h2_first,
+                   'k' || doc_id ||
+                     CASE WHEN doc_id % 4 = 0 THEN '|extra' ELSE '' END
+                     AS kw,
+                   CASE WHEN doc_id % 3 = 0 THEN 'text/plain'
+                        ELSE 'text/html' END AS ctype
+            FROM documents WHERE doc_id < 500
+        """,
+        "html_reltag_cc": """
+            WITH cc AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN
+                         'http://creativecommons.org/licenses/by-nc/1.0'
+                       WHEN 1 THEN
+                         'http://creativecommons.org/licenses/by-nc/2.0'
+                       WHEN 2 THEN
+                         'http://creativecommons.org/licenses/by-nc-sa/1.0'
+                       ELSE NULL END AS license_url,
+                     CASE doc_id % 4 WHEN 0 THEN 'rdf' WHEN 1 THEN 'rel'
+                       WHEN 2 THEN 'a' ELSE NULL END AS license_loc,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'by|nc|1.0|meta=rdf|image'
+                       WHEN 1 THEN 'by|nc|2.0|meta=rel'
+                       WHEN 2 THEN 'by|nc|sa|1.0|meta=a'
+                       ELSE NULL END AS tail
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT doc_id,
+                   'Zeta ' || doc_id || '|alpha' AS tags,
+                   license_url, license_loc,
+                   COALESCE('license=' || license_url || '|' || tail, '')
+                     AS cc
+            FROM cc
         """,
         "webgraph_degrees": """
             WITH raw AS (
