@@ -762,6 +762,46 @@ def _q_html_reltag_cc(spark, sf_dir):
     )
 
 
+def _q_subcollection_tld(spark, sf_dir):
+    # subcollection (contains-match white/black lists, key= field routing)
+    # + tld (public-suffix field + per-suffix score boost) over urls
+    # synthesized from documents; the oracle replays the matching rules
+    # per construction
+    from coherencebot_spark.operators.indexing import (subcollection_filter,
+                                                       tld_filter)
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    sid = F.col("doc_id").cast("string")
+    prefix = (F.when(F.col("doc_id") % 3 == 0, "docs")
+               .when(F.col("doc_id") % 3 == 1, "blog")
+               .otherwise("www"))
+    suffix = F.when(F.col("doc_id") % 2 == 0,
+                    ".example.co.uk").otherwise(".example.org")
+    path = F.when(F.col("doc_id") % 7 == 0,
+                  F.concat(F.lit("/private/"), sid)
+                  ).otherwise(F.concat(F.lit("/p/"), sid))
+    url = F.concat(F.lit("http://"), prefix, suffix, path)
+    doc = d.select("doc_id", url.alias("url"),
+                   F.lit(1.0).alias("score"))
+    colls = [
+        {"name": "docs", "whitelist": ["docs."],
+         "blacklist": ["/private/"]},
+        {"name": "blogs", "whitelist": ["blog."], "key": "channel"},
+        {"name": "uk", "whitelist": [".co.uk"]},
+    ]
+    out = subcollection_filter(colls)(doc)
+    out = tld_filter(boosts={"co.uk": 2.0})(out)
+    return out.select(
+        "doc_id", "url",
+        F.array_join(F.coalesce(F.col("subcollection"), F.array()), "|")
+         .alias("subcoll"),
+        F.array_join(F.coalesce(F.col("channel"), F.array()), "|")
+         .alias("channel"),
+        "tld",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_automaton_filter(spark, sf_dir):
     # urlfilter-automaton: first-match-wins FULL-match rule chain; DuckDB
     # twin via regexp_full_match over the same default rules
@@ -1545,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outlinks": _q_html_outlinks,
         "html_page_fields": _q_html_page_fields,
         "html_reltag_cc": _q_html_reltag_cc,
+        "subcollection_tld": _q_subcollection_tld,
         "webgraph_degrees": _q_webgraph_degrees,
         "linkrank": _q_linkrank,
         "link_depth": _q_link_depth,
@@ -2298,6 +2339,33 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE('license=' || license_url || '|' || tail, '')
                      AS cc
             FROM cc
+        """,
+        "subcollection_tld": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'docs' WHEN 1 THEN 'blog'
+                       ELSE 'www' END AS prefix,
+                     CASE WHEN doc_id % 2 = 0 THEN '.example.co.uk'
+                       ELSE '.example.org' END AS sfx,
+                     CASE WHEN doc_id % 7 = 0 THEN '/private/' || doc_id
+                       ELSE '/p/' || doc_id END AS path
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT doc_id,
+                   'http://' || prefix || sfx || path AS url,
+                   COALESCE(ARRAY_TO_STRING(
+                     LIST_FILTER(
+                       [CASE WHEN prefix = 'docs' AND doc_id % 7 <> 0
+                          THEN 'docs' END,
+                        CASE WHEN sfx = '.example.co.uk' THEN 'uk' END],
+                       x -> x IS NOT NULL), '|'), '') AS subcoll,
+                   CASE WHEN prefix = 'blog' THEN 'blogs' ELSE '' END
+                     AS channel,
+                   CASE WHEN sfx = '.example.co.uk' THEN 'co.uk'
+                     ELSE 'org' END AS tld,
+                   CAST(CASE WHEN sfx = '.example.co.uk' THEN 2.0
+                     ELSE 1.0 END AS DOUBLE) AS score
+            FROM u
         """,
         "webgraph_degrees": """
             WITH raw AS (

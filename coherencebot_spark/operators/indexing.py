@@ -851,3 +851,124 @@ def org_filter(orgs: DataFrame) -> Filter:
         return out.drop("_org_q", "_org_slugq", "hits")
 
     return _apply
+
+
+# ---------------------------------------------------------------- index-tld
+
+# multi-level public suffixes (mirrors functions.urls._MULTI_SUFFIXES — the
+# embedded subset of the reference's conf/domain-suffixes.xml)
+_TLD_MULTI = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com.sg", "com.tr",
+)
+
+
+def tld_filter(boosts: Mapping[str, float] | None = None,
+               score_col: str = "score") -> Filter:
+    """plugin tld — TLDIndexingFilter.java:46-59 adds the url's public
+    suffix as the ``tld`` field; TLDScoringFilter.java:52-66 multiplies
+    the indexing score by the per-suffix boost (``boosts`` stands in for
+    the boost attributes of ``domain-suffixes.xml``; absent entries keep
+    boost 1.0, and with no map at all the score is untouched — the
+    reference's default file carries no boosts either)."""
+
+    def _apply(doc: DataFrame) -> DataFrame:
+        host = F.lower(F.coalesce(
+            F.col("host") if _has(doc, "host") else _host_of(F.col("url")),
+            F.lit("")))
+        parts = F.split(host, r"\.")
+        last2 = F.concat_ws(".", F.element_at(parts, -2),
+                            F.element_at(parts, -1))
+        multi = F.array(*[F.lit(s) for s in _TLD_MULTI])
+        tld = F.when((F.size(parts) >= 2) & F.array_contains(multi, last2),
+                     last2).otherwise(F.element_at(parts, -1))
+        doc = doc.withColumn(
+            "tld", F.when(F.length(host) > 0, tld))
+        if boosts and _has(doc, score_col):
+            bmap = F.create_map(
+                *[F.lit(x) for kv in boosts.items() for x in kv])
+            doc = doc.withColumn(
+                score_col,
+                F.col(score_col) * F.coalesce(
+                    F.try_element_at(bmap, F.coalesce(F.col("tld"),
+                                                      F.lit(""))),
+                    F.lit(1.0)))
+        return doc
+
+    return _apply
+
+
+# ------------------------------------------------------------ subcollection
+
+
+def subcollection_filter(collections: Sequence[Mapping],
+                         field_name: str = "subcollection",
+                         metadata_source: str = "subcollection",
+                         case_insensitive: bool = False) -> Filter:
+    """plugin subcollection — SubcollectionIndexingFilter.java:52-120 +
+    Subcollection.filter (``collection/Subcollection.java:183-200``).
+
+    ``collections`` rows are ``{"name": ..., "whitelist": [...],
+    "blacklist": [...], "key": optional-field-override}`` (the
+    ``subcollections.xml`` entries).  Matching is the reference's plain
+    ``String.contains`` over the url — blacklist first (any hit excludes),
+    then whitelist (any hit includes); every matching collection appends
+    its name to ``field_name`` (or its ``key`` field).  A non-empty
+    ``parse_meta[metadata_source]`` value overrides everything
+    (:95-104, the per-document HTML metadata escape hatch).
+    """
+
+    def _apply(doc: DataFrame) -> DataFrame:
+        url = F.col("url")
+        if case_insensitive:
+            url = F.lower(url)
+        override = (F.trim(F.coalesce(
+            F.col("parse_meta").getItem(metadata_source), F.lit("")))
+            if _has(doc, "parse_meta") else F.lit(""))
+
+        def match(coll) -> Column:
+            wl = [w for w in coll.get("whitelist", ()) if w]
+            bl = [b for b in coll.get("blacklist", ()) if b]
+            hit = F.lit(False)
+            for w in wl:
+                hit = hit | F.contains(url, F.lit(
+                    w.lower() if case_insensitive else w))
+            for b in bl:
+                hit = hit & ~F.contains(url, F.lit(
+                    b.lower() if case_insensitive else b))
+            return hit
+
+        per_field: dict[str, list[Column]] = {}
+        for coll in collections:
+            tgt = coll.get("key") or field_name
+            per_field.setdefault(tgt, []).append(
+                F.when(match(coll), F.lit(coll["name"])))
+        for tgt, vals in per_field.items():
+            arr = F.filter(F.array(*vals), lambda x: x.isNotNull())
+            if tgt == field_name:
+                arr = F.when(override != "", F.array(override)).otherwise(arr)
+            doc = doc.withColumn(tgt, F.when(F.size(arr) > 0, arr))
+        return doc
+
+    return _apply
+
+
+# ------------------------------------------------------------------ urlmeta
+
+
+def urlmeta_filter(tags: Sequence[str]) -> Filter:
+    """plugin urlmeta — URLMetaIndexingFilter.java:66-84: every
+    ``urlmeta.tags`` key present in the crawl datum's metadata becomes a
+    doc field of the same name.  (The companion scoring-filter half —
+    propagating those keys from parent to outlink datums — is
+    ``operators.parse.parse(urlmeta_tags=...)``.)"""
+
+    def _apply(doc: DataFrame) -> DataFrame:
+        if not _has(doc, "db_meta"):
+            return doc
+        for t in tags:
+            doc = doc.withColumn(t, F.col("db_meta").getItem(t))
+        return doc
+
+    return _apply

@@ -35,7 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, FloatType, IntegerType, LongType, MapType, StringType,
+    StructField, StructType,
 )
 
 from ..config import CrawlConfig, DEFAULT
@@ -57,6 +58,7 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
           validate_fn=None,
           exemption_filter=None,
           skip_truncated: bool = True,
+          urlmeta_tags=None,
           cache: list | None = None) -> DataFrame:
     """Produce the PARSE_OUT rows for updatedb.
 
@@ -67,6 +69,13 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
     is the real-text path (the OutlinkExtractor regex port).
     Only fetch_success pages are parsed (``ParseSegment.java:92-116``
     skips non-success via the ``_fst_`` metadata check).
+
+    ``urlmeta_tags`` is the urlmeta plugin's ``urlmeta.tags`` list
+    (``plugin/urlmeta/.../URLMetaScoringFilter.java:60-77``): each listed
+    key present in the parent datum's metadata is copied onto every
+    outlink target's datum, so discovered urls inherit those tags in the
+    frontier (updatedb's link-metadata underlay picks them up).  The
+    filtered map rides the already-narrow parse batches — no extra join.
     """
     if outlink_fn is None:
         from ..synth.world import outlinks_for
@@ -79,8 +88,11 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
     else:
         # resume path (content reloaded from a CONTENT-schema snapshot):
         # broadcast the lite fetch-log side — bytes still don't shuffle
+        lite_cols = ["url", "host", "score"]
+        if urlmeta_tags and "metadata" in fetch_log.columns:
+            lite_cols.append("metadata")
         ok = fetch_log.filter(F.col("status") == int(Fetch.SUCCESS)).select(
-            "url", "host", "score"
+            *lite_cols
         )
         parsed = content.join(F.broadcast(ok), "url", "inner")
     # pages with no decodable payload are skipped (F6 truncation analogue)
@@ -220,37 +232,55 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
                 off += cnt
                 out_links.append(kept)
                 out_nvalid[i] = len(kept)
-            yield pd.DataFrame(
-                {"url": pdf["url"], "score": pdf["score"], "host": pdf["host"],
-                 "outlinks": out_links, "n_all": n_all, "n_valid": out_nvalid}
-            )
+            out = {"url": pdf["url"], "score": pdf["score"],
+                   "host": pdf["host"], "outlinks": out_links,
+                   "n_all": n_all, "n_valid": out_nvalid}
+            if "_urlmeta" in pdf.columns:
+                out["_urlmeta"] = pdf["_urlmeta"]
+            yield pd.DataFrame(out)
 
+    out_fields = [
+        StructField("url", StringType()),
+        StructField("score", FloatType()),
+        StructField("host", StringType()),
+        StructField("outlinks", ArrayType(_OUTLINK)),
+        StructField("n_all", LongType()),
+        StructField("n_valid", LongType()),
+    ]
     src_cols = ["url", "score", "host"]
     if src_col not in src_cols:
         src_cols.append(src_col)
+    if urlmeta_tags:
+        # pre-filter to the listed tags so only a tiny map crosses Arrow
+        tags_arr = F.array(*[F.lit(t) for t in urlmeta_tags])
+        meta_src = (F.col("metadata") if "metadata" in parsed.columns
+                    else F.lit(None).cast("map<string,string>"))
+        parsed = parsed.withColumn(
+            "_urlmeta",
+            F.map_filter(
+                F.coalesce(meta_src,
+                           F.create_map().cast("map<string,string>")),
+                lambda k, _: F.array_contains(tags_arr, k)))
+        src_cols.append("_urlmeta")
+        out_fields.append(
+            StructField("_urlmeta", MapType(StringType(), StringType())))
     with_links = parsed.select(*src_cols).mapInPandas(
         extract,
-        schema=StructType([
-            StructField("url", StringType()),
-            StructField("score", FloatType()),
-            StructField("host", StringType()),
-            StructField("outlinks", ArrayType(_OUTLINK)),
-            StructField("n_all", LongType()),
-            StructField("n_valid", LongType()),
-        ]),
+        schema=StructType(out_fields),
     )
 
+    meta_cols = ["_urlmeta"] if urlmeta_tags else []
     ex = (
         with_links
         .filter(F.col("n_valid") > 0)
         .select(
             F.col("url").alias("from_url"),
             F.col("host").alias("from_host"),
-            "score", "n_all", "n_valid",
+            "score", "n_all", "n_valid", *meta_cols,
             F.explode("outlinks").alias("ol"),
         )
         .select(
-            "from_url", "from_host", "score", "n_all", "n_valid",
+            "from_url", "from_host", "score", "n_all", "n_valid", *meta_cols,
             F.col("ol.to_url").alias("to_url"),
             F.left(F.col("ol.anchor"), F.lit(int(cfg.linkdb_max_anchor_length))).alias("anchor"),
         )
@@ -264,6 +294,10 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
         F.col("to_host") == F.col("from_host"), F.lit(float(cfg.score_internal))
     ).otherwise(F.lit(float(cfg.score_external)))
 
+    inherited = (
+        F.when(F.size(F.col("_urlmeta")) > 0, F.col("_urlmeta"))
+        if urlmeta_tags
+        else F.lit(None).cast("map<string,string>"))
     link_rows = ex.select(
         F.col("to_url").alias("url"),
         F.col("to_host").alias("host"),
@@ -272,7 +306,7 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
         F.lit(None).cast("binary").alias("signature"),
         "from_url",
         "anchor",
-        F.lit(None).cast("map<string,string>").alias("metadata"),
+        inherited.alias("metadata"),
     )
 
     return sig_rows.unionByName(meta_rows).unionByName(link_rows)

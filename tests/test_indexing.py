@@ -476,3 +476,62 @@ def test_replace_array_field_and_null_source(spark):
     # match) — the engine reproduces reference semantics exactly
     assert rows["www.example.org"]["title"] == "XX"
     assert rows["h2.org"]["title"] == "T"   # null source → target kept
+
+
+# -------------------------------------------------- tld / subcollection /
+# urlmeta
+
+
+def test_tld_field_and_boost(spark):
+    doc = spark.createDataFrame(
+        [("http://a.example.co.uk/p", "a.example.co.uk", 1.0),
+         ("http://b.example.org/p", "b.example.org", 2.0),
+         ("http://localhost/p", "localhost", 3.0)],
+        "url string, host string, score double")
+    out = {r["host"]: r for r in
+           ix.tld_filter(boosts={"co.uk": 2.5})(doc).collect()}
+    # multi-level public suffix recognized; boost multiplies the score
+    assert out["a.example.co.uk"]["tld"] == "co.uk"
+    assert out["a.example.co.uk"]["score"] == 2.5
+    assert out["b.example.org"]["tld"] == "org"
+    assert out["b.example.org"]["score"] == 2.0  # no boost entry → 1.0
+    assert out["localhost"]["tld"] == "localhost"
+
+
+def test_subcollection_contains_black_white_and_override(spark):
+    doc = spark.createDataFrame(
+        [("http://docs.example.org/guide/a", None),
+         ("http://docs.example.org/guide/private/b", None),
+         ("http://blog.example.org/post", None),
+         ("http://other.org/x", {"subcollection": " manual "}),
+         ("http://nowhere.org/x", None)],
+        "url string, parse_meta map<string,string>")
+    colls = [
+        {"name": "docs", "whitelist": ["docs.example.org"],
+         "blacklist": ["/private/"]},
+        {"name": "blogs", "whitelist": ["blog."], "key": "channel"},
+    ]
+    rows = {r["url"]: r for r in
+            ix.subcollection_filter(colls)(doc).collect()}
+    assert rows["http://docs.example.org/guide/a"]["subcollection"] == ["docs"]
+    # blacklist contains-match excludes despite the whitelist hit
+    assert rows["http://docs.example.org/guide/private/b"]["subcollection"] \
+        is None
+    # key= routes the name to a custom field
+    assert rows["http://blog.example.org/post"]["channel"] == ["blogs"]
+    assert rows["http://blog.example.org/post"]["subcollection"] is None
+    # non-empty parse_meta[subcollection] overrides matching (trimmed)
+    assert rows["http://other.org/x"]["subcollection"] == ["manual"]
+    assert rows["http://nowhere.org/x"]["subcollection"] is None
+
+
+def test_urlmeta_index_fields(spark):
+    doc = spark.createDataFrame(
+        [("http://a.org/", {"collection.seed": "acme", "other": "x"}),
+         ("http://b.org/", None)],
+        "url string, db_meta map<string,string>")
+    rows = {r["url"]: r for r in
+            ix.urlmeta_filter(["collection.seed"])(doc).collect()}
+    assert rows["http://a.org/"]["collection.seed"] == "acme"
+    assert rows["http://b.org/"]["collection.seed"] is None
+    assert "other" not in rows["http://a.org/"].asDict()

@@ -161,6 +161,30 @@ def test_parse_emits_signature_meta_links(spark):
     assert link.from_url == "https://h.example.org/p"
 
 
+def test_urlmeta_propagates_to_outlink_targets(spark):
+    # plugin urlmeta (URLMetaScoringFilter.distributeScoreToOutlink):
+    # listed datum metadata keys ride onto every outlink target; unlisted
+    # keys do not
+    row = fetch_row("https://h.example.org/p", score=2.0)
+    row["metadata"] = {"collection.seed": "acme", "unlisted": "x"}
+    fl = spark.createDataFrame([row], FETCH_LOG)
+    ct = spark.createDataFrame([content_row("https://h.example.org/p")],
+                               CONTENT)
+    links = (parse(fl, ct, DEFAULT, outlink_fn=static_outlinks,
+                   urlmeta_tags=["collection.seed"])
+             .filter(f"status = {int(Msg.LINKED)}").collect())
+    assert links and all(
+        dict(r.metadata) == {"collection.seed": "acme"} for r in links)
+    # parent without the tag → outlinks carry no metadata (null, the
+    # same shape as the urlmeta-off path)
+    row2 = fetch_row("https://h.example.org/p", score=2.0)
+    fl2 = spark.createDataFrame([row2], FETCH_LOG)
+    links2 = (parse(fl2, ct, DEFAULT, outlink_fn=static_outlinks,
+                    urlmeta_tags=["collection.seed"])
+              .filter(f"status = {int(Msg.LINKED)}").collect())
+    assert links2 and all(r.metadata is None for r in links2)
+
+
 def test_opic_cash_split(spark):
     def two_links(urls: pd.Series) -> pd.Series:
         return pd.Series(
