@@ -802,6 +802,63 @@ def _q_subcollection_tld(spark, sf_dir):
     )
 
 
+# scoring-similarity gold-standard text (fixed; composed from the
+# synthetic documents vocabulary so score spread is non-trivial)
+_SIM_GOLD = ("spark table scan query join filter merge sort window batch "
+             "stream hash agg fast data column row key value group order "
+             "spark query join table scan")
+
+
+def _sim_oracle() -> str:
+    # the DuckDB twin tokenizes identically (same split class, same stop
+    # set) and gets the gold TF + norm injected from the SAME driver-side
+    # gold_vector the Spark side embeds — parity by construction
+    import math as _math
+    from coherencebot_spark.operators.simscore import (LUCENE_STOPWORDS,
+                                                       gold_vector)
+    gold = gold_vector(_SIM_GOLD)
+    gnorm = _math.sqrt(sum(c * c for c in gold.values()))
+    vals = ", ".join(f"('{t}', {float(c)})" for t, c in sorted(gold.items()))
+    stops = ", ".join(f"'{s}'" for s in LUCENE_STOPWORDS)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                             '[^\\p{{L}}\\p{{N}}]+'),
+                     x -> x <> '' AND NOT list_contains([{stops}], x)) AS toks
+          FROM documents WHERE doc_id < 300
+        ),
+        t AS (
+          SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+          FROM d, unnest(toks) AS u(tok) GROUP BY doc_id, tok
+        ),
+        g(tok, c) AS (VALUES {vals}),
+        s AS (
+          SELECT t.doc_id,
+                 sum(t.tf * coalesce(g.c, 0)) AS dot,
+                 sqrt(sum(t.tf * t.tf)) AS nrm
+          FROM t LEFT JOIN g USING (tok) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               round(coalesce(
+                 CASE WHEN s.nrm > 0 THEN s.dot / (s.nrm * {gnorm!r}) END,
+                 0.0), 6) AS sim_score
+        FROM d LEFT JOIN s USING (doc_id)
+    """
+
+
+def _q_similarity_score(spark, sf_dir):
+    # scoring-similarity: cosine(page TF, gold TF) as one JVM projection
+    # (unigram mode, Lucene stop set, stem off so the DuckDB twin can
+    # replay the identical tokenisation; the Porter path is pytest-covered)
+    from coherencebot_spark.operators.simscore import similarity_score
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 300")
+    out = similarity_score(d, _SIM_GOLD)
+    return out.select("doc_id",
+                      F.round("sim_score", 6).alias("sim_score"))
+
+
 def _q_automaton_filter(spark, sf_dir):
     # urlfilter-automaton: first-match-wins FULL-match rule chain; DuckDB
     # twin via regexp_full_match over the same default rules
@@ -1586,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_page_fields": _q_html_page_fields,
         "html_reltag_cc": _q_html_reltag_cc,
         "subcollection_tld": _q_subcollection_tld,
+        "similarity_score": _q_similarity_score,
         "webgraph_degrees": _q_webgraph_degrees,
         "linkrank": _q_linkrank,
         "link_depth": _q_link_depth,
@@ -2367,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 1.0 END AS DOUBLE) AS score
             FROM u
         """,
+        "similarity_score": _sim_oracle(),
         "webgraph_degrees": """
             WITH raw AS (
               SELECT 'http://g' || doc_id || '.org/' AS f,
