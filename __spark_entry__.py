@@ -802,6 +802,31 @@ def _q_subcollection_tld(spark, sf_dir):
     )
 
 
+def _q_regex_parse_filter(spark, sf_dir):
+    # parsefilter-regex: field=true/false by unanchored find over raw
+    # html or extracted text; DuckDB twin via regexp_matches (same find
+    # semantics).  html synthesized deterministically from documents.
+    from coherencebot_spark.functions import html_fields as H
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    h = F.when(F.col("doc_id") % 3 == 0, "1").otherwise("2")
+    doc = d.select(
+        "doc_id",
+        F.concat(F.lit("<html><h"), h, F.lit(">"), F.col("text"),
+                 F.lit("</h"), h, F.lit("></html>")).alias("html"),
+        "text")
+    rules = [("first", "html", "<h1>"),
+             ("second", "text", r"spark\s+table"),
+             ("mis", "nosuch", "x")]
+    out = H.regex_parse_filter(rules)(doc)
+    return out.select(
+        "doc_id",
+        F.col("parse_meta")["first"].alias("first"),
+        F.col("parse_meta")["second"].alias("second"),
+        F.col("parse_meta")["mis"].alias("mis"),
+    )
+
+
 # scoring-similarity gold-standard text (fixed; composed from the
 # synthetic documents vocabulary so score spread is non-trivial)
 _SIM_GOLD = ("spark table scan query join filter merge sort window batch "
@@ -1644,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_reltag_cc": _q_html_reltag_cc,
         "subcollection_tld": _q_subcollection_tld,
         "similarity_score": _q_similarity_score,
+        "regex_parse_filter": _q_regex_parse_filter,
         "webgraph_degrees": _q_webgraph_degrees,
         "linkrank": _q_linkrank,
         "link_depth": _q_link_depth,
@@ -2426,6 +2452,20 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "similarity_score": _sim_oracle(),
+        "regex_parse_filter": r"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(
+                          '<html><h' || CASE WHEN doc_id % 3 = 0
+                              THEN '1' ELSE '2' END || '>' || text ||
+                          '</h' || CASE WHEN doc_id % 3 = 0
+                              THEN '1' ELSE '2' END || '></html>',
+                          '<h1>')
+                     THEN 'true' ELSE 'false' END AS first,
+                   CASE WHEN regexp_matches(text, 'spark\s+table')
+                     THEN 'true' ELSE 'false' END AS second,
+                   'false' AS mis
+            FROM documents WHERE doc_id < 400
+        """,
         "webgraph_degrees": """
             WITH raw AS (
               SELECT 'http://g' || doc_id || '.org/' AS f,

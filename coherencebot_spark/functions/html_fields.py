@@ -327,3 +327,61 @@ def cc_filter(html_col: str = "html", base_col: str = "url",
         return df.withColumn(out_col, cc_features(cc))
 
     return _apply
+
+
+# --------------------------------------------------------- parsefilter-regex
+
+
+def parse_regex_rules(conf: str) -> list[tuple[str, str, str]]:
+    """``parsefilter.regex.rules`` / rules-file parser
+    (RegexParseFilter.readConfiguration:155-178): skip blank and ``#``
+    lines, split on whitespace, exactly 3 parts = ``field source regex``
+    else the line is dropped; duplicate fields last-wins (HashMap put)."""
+    rules: dict[str, tuple[str, str, str]] = {}
+    for line in conf.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) == 3:
+            rules[parts[0]] = (parts[0], parts[1], parts[2])
+    return list(rules.values())
+
+
+def regex_parse_filter(rules, html_col: str = "html",
+                       text_col: str = "text",
+                       meta_col: str = "parse_meta"):
+    """plugin parsefilter-regex (RegexParseFilter.java:59-88): for each
+    rule ``(field, source, regex)`` set ``parse_meta[field]`` to
+    ``'true'``/``'false'`` by unanchored ``Matcher.find`` over the raw
+    html or the extracted text.  ``rlike`` is Java ``find`` semantics, so
+    the whole filter is one JVM projection.  A misconfigured source (or a
+    NULL source value) matches nothing → ``'false'`` (:76-84, matches()
+    returns false on null)."""
+    dedup: dict[str, tuple[str, str]] = {
+        f: (s, r) for f, s, r in rules}
+
+    def _apply(df: DataFrame) -> DataFrame:
+        entries = []
+        for field, (source, regex) in dedup.items():
+            s = source.lower()
+            if s == "html" and html_col in df.columns:
+                src = F.col(html_col)
+            elif s == "text" and text_col in df.columns:
+                src = F.col(text_col)
+            else:
+                src = F.lit(None).cast("string")
+            val = (F.when(src.rlike(regex), "true")
+                    .otherwise("false"))
+            entries += [F.lit(field), val]
+        new = F.create_map(*entries)
+        if meta_col in df.columns:
+            fields = F.array(*[F.lit(f) for f in dedup])
+            kept = F.map_filter(
+                F.coalesce(F.col(meta_col),
+                           F.create_map().cast("map<string,string>")),
+                lambda k, _: ~F.array_contains(fields, k))
+            return df.withColumn(meta_col, F.map_concat(kept, new))
+        return df.withColumn(meta_col, new)
+
+    return _apply

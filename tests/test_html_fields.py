@@ -175,3 +175,44 @@ def test_cc_features_field(spark):
     html3 = ('<a href="https://creativecommons.org/licenses/by/1.0/">s</a>')
     feats3 = H.cc_filter()(_one(spark, html3)).collect()[0]["cc"]
     assert feats3 == []
+
+
+# --------------------------------------------------------- parsefilter-regex
+
+
+def test_regex_parse_filter_mirrors_reference_tests(spark):
+    # TestRegexParseFilter.java:34-76 with the shipped sample rules
+    # (first html h1 / second text blablabla)
+    rules = H.parse_regex_rules(
+        "# comment\n\nfirst\thtml\th1\nsecond\ttext\tblablabla\n"
+        "bad rule\nmis src rx\n")
+    assert rules == [("first", "html", "h1"), ("second", "text", "blablabla"),
+                     ("mis", "src", "rx")]
+    df = spark.createDataFrame(
+        [("http://nutch.apache.org/",
+          "<body><html><h1>nutch</h1><p>this is the extracted text"
+          " blablabla</p></body></html>",
+          "nutch this is the extracted text blablabla"),
+         ("http://no.example.org/",
+          "<body><html><h2>nutch</h2><p>no bla</p></body></html>",
+          "nutch this is the extracted text bla")],
+        "url string, html string, text string")
+    out = {r.url: dict(r.parse_meta) for r in
+           H.regex_parse_filter(rules)(df).collect()}
+    assert out["http://nutch.apache.org/"] == {
+        "first": "true", "second": "true", "mis": "false"}
+    # negative case: the h2 page has no 'h1' substring anywhere in the
+    # html, and the text lacks 'blablabla'; the misconfigured source is
+    # always false
+    assert out["http://no.example.org/"] == {
+        "first": "false", "second": "false", "mis": "false"}
+
+
+def test_regex_parse_filter_merges_existing_meta(spark):
+    df = spark.createDataFrame(
+        [("u1", "<h1>x</h1>", "t", {"keep": "v", "first": "stale"})],
+        "url string, html string, text string, parse_meta map<string,string>")
+    out = H.regex_parse_filter([("first", "html", "h1")])(df).collect()[0]
+    meta = dict(out.parse_meta)
+    # existing unrelated keys survive; the rule's field is overwritten
+    assert meta == {"keep": "v", "first": "true"}
