@@ -802,6 +802,32 @@ def _q_subcollection_tld(spark, sf_dir):
     )
 
 
+def _q_exchange_routing(spark, sf_dir):
+    # exchange framework + exchange-jexl: docs route to the union of
+    # writers of matching exchanges, default catches the rest; flattened
+    # to (writer, doc_id) rows so the DuckDB twin can replay the CASEs
+    from coherencebot_spark.operators.indexing import route_exchanges
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 600")
+    doc = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "a.org")
+         .otherwise("b.org").alias("host"),
+        (F.col("doc_id") % 10).cast("double").alias("score"))
+    exchanges = [
+        {"id": "x1", "expr": "host = 'a.org'", "writers": ["solr_1"]},
+        {"id": "x2", "expr": "score > 6.0", "writers": ["solr_1", "es_1"]},
+        {"id": "default", "expr": None, "writers": ["csv_1"]},
+    ]
+    routed = route_exchanges(doc, exchanges)
+    parts = [df.select(F.lit(w).alias("writer"), "doc_id")
+             for w, df in sorted(routed.items())]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_regex_parse_filter(spark, sf_dir):
     # parsefilter-regex: field=true/false by unanchored find over raw
     # html or extracted text; DuckDB twin via regexp_matches (same find
@@ -1670,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subcollection_tld": _q_subcollection_tld,
         "similarity_score": _q_similarity_score,
         "regex_parse_filter": _q_regex_parse_filter,
+        "exchange_routing": _q_exchange_routing,
         "webgraph_degrees": _q_webgraph_degrees,
         "linkrank": _q_linkrank,
         "link_depth": _q_link_depth,
@@ -2452,6 +2479,27 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "similarity_score": _sim_oracle(),
+        "exchange_routing": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'a.org'
+                       ELSE 'b.org' END AS host,
+                     CAST(doc_id % 10 AS DOUBLE) AS score
+              FROM documents WHERE doc_id < 600
+            ),
+            m AS (
+              SELECT doc_id,
+                     host = 'a.org' AS x1,
+                     score > 6.0 AS x2
+              FROM d
+            )
+            SELECT 'solr_1' AS writer, doc_id FROM m WHERE x1 OR x2
+            UNION ALL
+            SELECT 'es_1' AS writer, doc_id FROM m WHERE x2
+            UNION ALL
+            SELECT 'csv_1' AS writer, doc_id FROM m
+            WHERE NOT coalesce(x1, false) AND NOT coalesce(x2, false)
+        """,
         "regex_parse_filter": r"""
             SELECT doc_id,
                    CASE WHEN regexp_matches(

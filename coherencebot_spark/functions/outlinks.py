@@ -181,14 +181,128 @@ class extract_outlinks_html:
     needs_base = True
 
     def __init__(self, use_form_action: bool = False,
-                 ignore_tags: tuple[str, ...] = ()):
+                 ignore_tags: tuple[str, ...] = (),
+                 include_js: bool = False):
         self.use_form_action = use_form_action
         self.ignore_tags = tuple(ignore_tags)
+        # plugin parse-js as an HtmlParseFilter: JS-literal links are
+        # PREPENDED to the DOM links (JSParseFilter.java:92-93 appends
+        # the original outlinks after the JS finds)
+        self.include_js = include_js
 
     def __call__(self, htmls: pd.Series, urls: pd.Series) -> pd.Series:
         uf, it = self.use_form_action, self.ignore_tags
+        rows = []
+        for h, u in zip(htmls.fillna(""), urls.fillna("")):
+            links = outlinks_from_html(h, u, uf, it)
+            if self.include_js:
+                links = js_outlinks_from_html(h, u) + links
+            rows.append(links)
+        return pd.Series(rows, index=htmls.index, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# JavaScript outlink extraction — plugin parse-js
+# (ref parse-js/.../JSParseFilter.java:107-262)
+# ---------------------------------------------------------------------------
+
+from urllib.parse import urlsplit  # noqa: E402
+
+# STRING_PATTERN (JSParseFilter.java:195-197): quoted literals without
+# whitespace or quotes inside; the backreference closes with the same
+# backslash+quote prefix
+_JS_STRING = re.compile(r"(\\*(?:\"|'))([^\s\"']+?)(?:\1)", re.I | re.M)
+# URI_PATTERN (:199-201) under Matcher.matches() FULL-match semantics;
+# the literal can't contain whitespace, so the \s* arms are vestigial
+_JS_URI = re.compile(r"(^|\s*?)/?\S+?[/.]\S+($|\s*)", re.I | re.M)
+# java.net.URL's built-in protocol handlers — an explicit scheme outside
+# this set throws MalformedURLException in the reference (:241-248)
+_JAVA_SCHEMES = {"http", "https", "ftp", "file", "mailto", "jar", ""}
+
+
+def js_links(script: str, base_url: str,
+             anchor: str = "") -> list[tuple[str, str]]:
+    """getJSLinks (JSParseFilter.java:210-262): scan quoted JS string
+    literals, keep full URI_PATTERN matches, prefix ``www.`` candidates
+    with ``http://``, resolve the rest against the base URL (urljoin;
+    explicit non-java schemes dropped like MalformedURLException), then
+    unescape ``&amp;``."""
+    out = []
+    for m in _JS_STRING.finditer(script or ""):
+        url = m.group(2)
+        if not _JS_URI.fullmatch(url):
+            continue
+        if url.startswith("www."):
+            url = "http://" + url
+        else:
+            try:
+                resolved = urljoin(base_url, url)
+                if urlsplit(url).scheme.lower() not in _JAVA_SCHEMES:
+                    continue
+                url = resolved
+            except ValueError:
+                continue
+        out.append((url.replace("&amp;", "&"), anchor))
+    return out
+
+
+class _JSCollector(HTMLParser):
+    """walk() equivalent (JSParseFilter.java:107-164): JS text from
+    <script> bodies, every ``on*`` event-handler attribute, and ``href``
+    values containing ``javascript:``."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._script_parts: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script":
+            self._script_parts = []
+            return
+        for k, v in attrs:
+            if v is None:
+                continue
+            if k.startswith("on"):
+                self.chunks.append(v)
+            elif k == "href" and "javascript:" in v.lower():
+                self.chunks.append(v)
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._script_parts is not None:
+            self.chunks.append("\n".join(self._script_parts))
+            self._script_parts = None
+
+    def handle_data(self, data):
+        if self._script_parts is not None and data:
+            self._script_parts.append(data)
+
+
+def js_outlinks_from_html(html: str, page_url: str) -> list[tuple[str, str]]:
+    """JS outlinks of an HTML page.  Candidates resolve against the PAGE
+    url — the reference's walk() gets ``content.getBaseUrl()``, not the
+    page's ``<base href>`` (JSParseFilter.java:86-88)."""
+    p = _JSCollector()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        return []
+    out = []
+    for chunk in p.chunks:
+        out.extend(js_links(chunk, page_url))
+    return out
+
+
+class extract_outlinks_js:
+    """Vectorized ``outlink_fn`` for pure JavaScript content — the
+    plugin's Parser half (``getParse``, JSParseFilter.java:174-193)."""
+
+    needs_base = True
+
+    def __call__(self, scripts: pd.Series, urls: pd.Series) -> pd.Series:
         return pd.Series(
-            [outlinks_from_html(h, u, uf, it)
-             for h, u in zip(htmls.fillna(""), urls.fillna(""))],
-            index=htmls.index, dtype=object,
+            [js_links(s, u)
+             for s, u in zip(scripts.fillna(""), urls.fillna(""))],
+            index=scripts.index, dtype=object,
         )

@@ -972,3 +972,50 @@ def urlmeta_filter(tags: Sequence[str]) -> Filter:
         return doc
 
     return _apply
+
+
+# ---------------------------------------------------------------- exchanges
+
+
+def route_exchanges(doc: DataFrame, exchanges: Sequence[Mapping],
+                    all_writers: Sequence[str] = ()) -> dict[str, DataFrame]:
+    """Exchange framework + exchange-jexl
+    (``exchange/Exchanges.java:145-160``, ``exchange/jexl/
+    JexlExchange.java:54-67``, ``conf/exchanges.xml.template``).
+
+    ``exchanges`` rows are ``{"id": ..., "expr": <spark-sql predicate>,
+    "writers": [writer ids]}``; a row with ``expr=None`` is the
+    ``class="default"`` exchange.  A doc goes to the union of the writers
+    of every matching exchange; docs matching nothing go to the default
+    exchange's writers (if configured); with no exchanges at all every
+    doc goes to every writer in ``all_writers`` (Exchanges.java:79-82).
+
+    Returns ``{writer_id: DataFrame}``.  Each frame is a filter over the
+    same ``doc`` plan — predicates are Catalyst expressions (the JEXL
+    stand-in, as in :func:`jexl_filter`), so each sink branch pushes its
+    own predicate into the shared scan; nothing is collected or joined.
+    """
+    real = [e for e in exchanges if e.get("expr") is not None]
+    default = next((e for e in exchanges if e.get("expr") is None), None)
+    if not real and default is None:
+        return {w: doc for w in all_writers}
+
+    writer_ids: list[str] = list(dict.fromkeys(
+        [w for e in exchanges for w in e.get("writers", ())]
+        + list(all_writers)))
+    preds = [F.expr(e["expr"]) for e in real]
+    none_matched = F.lit(True)
+    for p in preds:
+        # JexlExchange.match treats NULL/error as no-match (:60-66)
+        none_matched = none_matched & ~F.coalesce(p, F.lit(False))
+
+    out: dict[str, DataFrame] = {}
+    for w in writer_ids:
+        cond = F.lit(False)
+        for e, p in zip(real, preds):
+            if w in e.get("writers", ()):
+                cond = cond | F.coalesce(p, F.lit(False))
+        if default is not None and w in default.get("writers", ()):
+            cond = cond | none_matched
+        out[w] = doc.filter(cond)
+    return out

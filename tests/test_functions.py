@@ -570,3 +570,81 @@ def test_suffix_filter_from_path_mode():
     assert list(whole.accept(urls)) == [True, False, False, True]
     path = SuffixURLFilter([".zip"], from_path=True)
     assert list(path.accept(urls)) == [False, True, False, True]
+
+
+# ---------------------------------------------------------------------------
+# JS outlink extraction (parse-js JSParseFilter port)
+# ---------------------------------------------------------------------------
+
+
+def test_js_links_literal_semantics():
+    from coherencebot_spark.functions.outlinks import js_links
+
+    base = "http://h.example.org/dir/page.html"
+    script = """
+    function pick(form) {
+      p = form.elements['searchEngine'].value;
+      if (p == "one") { form.action = "http://one.example.com/p:find"; }
+      else if (p == "two") { form.action = "http://two-example.com/find"; }
+      d = "; expires=" + when;
+      document.cookie = "searchEngine=" + p;
+    }
+    """
+    # only the two full-URI literals survive: bare words, '=' strings and
+    # whitespace-bearing literals all fail STRING/URI pattern gates
+    assert js_links(script, base) == [
+        ("http://one.example.com/p:find", ""),
+        ("http://two-example.com/find", ""),
+    ]
+    # www. prefix beats base resolution; relative path.like literals
+    # resolve against the base; &amp; unescaped
+    got = js_links(
+        'a = "www.ex.org/x"; b = \'img/pic.png\';'
+        ' c = "q?a=1&amp;b=2"; d = "menu_1.2";', base)
+    assert got == [
+        ("http://www.ex.org/x", ""),
+        ("http://h.example.org/dir/img/pic.png", ""),
+        ("http://h.example.org/dir/menu_1.2", ""),
+    ]
+    # "q?a=1&amp;b=2" carries no '/' or '.' at all, so the full-match
+    # URI gate rejects it — same as the reference's URI_PATTERN.matches()
+
+
+def test_js_outlinks_from_html_sources():
+    from coherencebot_spark.functions.outlinks import js_outlinks_from_html
+
+    page = "http://h.example.org/"
+    html = (
+        '<html><body onload="init(\'conf/setup.js\')">'
+        '<script type="text/javascript">'
+        'target = "http://s.example.com/p:go";\n'
+        'other = \'rel/file.css\';'
+        '</script>'
+        '<a href="javascript:open(\'docs/x.pdf\')">x</a>'
+        '<a href="http://plain.example.org/">not js</a>'
+        '</body></html>')
+    got = js_outlinks_from_html(html, page)
+    # onload attr, script body (2 literals), javascript: href — the
+    # plain <a href> is NOT a JS source
+    assert got == [
+        ("http://h.example.org/conf/setup.js", ""),
+        ("http://s.example.com/p:go", ""),
+        ("http://h.example.org/rel/file.css", ""),
+        ("http://h.example.org/docs/x.pdf", ""),
+    ]
+
+
+def test_html_extractor_include_js_prepends():
+    import pandas as pd
+    from coherencebot_spark.functions.outlinks import extract_outlinks_html
+
+    html = ('<html><body><script>u = "http://js.example.org/found";'
+            '</script><a href="/dom">D</a></body></html>')
+    fn = extract_outlinks_html(include_js=True)
+    out = fn(pd.Series([html]), pd.Series(["http://h.example.org/"]))[0]
+    # JS finds precede the DOM links (JSParseFilter.filter appends the
+    # original outlinks after its own)
+    assert out == [
+        ("http://js.example.org/found", ""),
+        ("http://h.example.org/dom", "D"),
+    ]

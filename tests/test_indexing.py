@@ -535,3 +535,48 @@ def test_urlmeta_index_fields(spark):
     assert rows["http://a.org/"]["collection.seed"] == "acme"
     assert rows["http://b.org/"]["collection.seed"] is None
     assert "other" not in rows["http://a.org/"].asDict()
+
+
+# ---------------------------------------------------------------- exchanges
+
+
+def test_exchange_routing_union_default_and_fallback(spark):
+    doc = spark.createDataFrame(
+        [("http://a.org/", "a.org", 10.0),
+         ("http://b.org/", "b.org", 3.0),
+         ("http://c.org/", "c.org", 0.5)],
+        "url string, host string, score double")
+    exchanges = [
+        {"id": "x1", "expr": "host = 'a.org'", "writers": ["solr_1"]},
+        {"id": "x2", "expr": "score > 2.0", "writers": ["solr_1", "es_1"]},
+        {"id": "default", "expr": None, "writers": ["csv_1"]},
+    ]
+    routed = ix.route_exchanges(doc, exchanges)
+    urls = {w: sorted(r.url for r in df.collect())
+            for w, df in routed.items()}
+    # a matches x1+x2, b matches x2 → union per writer; c matches none →
+    # only the default exchange's writer
+    assert urls["solr_1"] == ["http://a.org/", "http://b.org/"]
+    assert urls["es_1"] == ["http://a.org/", "http://b.org/"]
+    assert urls["csv_1"] == ["http://c.org/"]
+
+
+def test_exchange_no_config_routes_everything(spark):
+    doc = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    routed = ix.route_exchanges(doc, [], all_writers=["w1", "w2"])
+    assert sorted(routed) == ["w1", "w2"]
+    assert routed["w1"].count() == 2 and routed["w2"].count() == 2
+
+
+def test_exchange_null_predicate_is_no_match(spark):
+    # a NULL-evaluating predicate behaves like JexlExchange's swallowed
+    # exception: no match, so the doc falls through to the default
+    doc = spark.createDataFrame([("u1", None)],
+                                "url string, title string")
+    exchanges = [
+        {"id": "x1", "expr": "title = 'x'", "writers": ["w1"]},
+        {"id": "default", "expr": None, "writers": ["d"]},
+    ]
+    routed = ix.route_exchanges(doc, exchanges)
+    assert routed["w1"].count() == 0
+    assert [r.url for r in routed["d"].collect()] == ["u1"]
