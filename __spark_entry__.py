@@ -802,6 +802,23 @@ def _q_subcollection_tld(spark, sf_dir):
     )
 
 
+def _q_text_summary(spark, sf_dir):
+    # text-summarizer: sentence-ify the synthetic text deterministically
+    # (new sentence at every ' spark '), then the extractive top-5
+    # common-word summary; the DuckDB twin replays the quadratic scoring
+    # relationally (word-count self-join per sentence pair)
+    from coherencebot_spark.operators.summary import summary_filter
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 120")
+    doc = d.select(
+        "doc_id",
+        F.replace(F.coalesce(F.col("text"), F.lit("")),
+                  F.lit(" spark "), F.lit(". spark ")).alias("text"))
+    out = summary_filter()(doc)
+    return out.select("doc_id",
+                      F.coalesce("summary", F.lit("")).alias("summary"))
+
+
 def _q_exchange_routing(spark, sf_dir):
     # exchange framework + exchange-jexl: docs route to the union of
     # writers of matching exchanges, default catches the rest; flattened
@@ -908,6 +925,76 @@ def _q_similarity_score(spark, sf_dir):
     out = similarity_score(d, _SIM_GOLD)
     return out.select("doc_id",
                       F.round("sim_score", 6).alias("sim_score"))
+
+
+def _q_path_filter(spark, sf_dir):
+    # urlfilter-path: exact path-segment exclusion (PathURLFilter.java —
+    # trie longestMatch + same-length = set membership; query/fragment not
+    # part of the path); DuckDB twin via list_has_any over the split path
+    from pyspark.sql.types import BooleanType
+    from coherencebot_spark.functions.urls import PathURLFilter
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 600")
+    sid = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 6
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://h"), sid,
+                                F.lit(".example.org/section/reject")))
+        .when(k == 1, F.concat(F.lit("https://h"), sid,
+                               F.lit(".example.org/private/"), sid))
+        .when(k == 2, F.concat(F.lit("https://h"), sid,
+                               F.lit(".example.org/page?p=reject")))
+        .when(k == 3, F.concat(F.lit("https://h"), sid,
+                               F.lit(".example.org/rejection/"), sid))
+        .when(k == 4, F.concat(F.lit("https://h"), sid,
+                               F.lit(".example.org//reject/")))
+        .otherwise(F.concat(F.lit("https://h"), sid,
+                            F.lit(".example.org/ok/"), sid))
+    )
+    flt = PathURLFilter(["# comment", "", "reject", "private"])
+
+    @F.pandas_udf(BooleanType())
+    def acc(u):
+        return flt.accept(u).astype(bool)
+
+    return d.select(url.alias("url")).withColumn("accepted", acc(F.col("url")))
+
+
+def _q_ext_boost(spark, sf_dir):
+    # scoring-ext generatorSortValue boost through the REAL generate
+    # operator: ".pdf" urls gain +10 sort, changing the topn cut; DuckDB
+    # twin replays the boosted row_number selection
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.generate import generate
+
+    docs = _t(spark, sf_dir, "documents")
+    t0 = 1_700_000_000_000
+    ext = (F.when(F.col("doc_id") % 4 == 0, ".pdf")
+           .when(F.col("doc_id") % 4 == 1, ".html")
+           .when(F.col("doc_id") % 4 == 2, ".pdfx")
+           .otherwise(""))
+    frontier = docs.select(
+        F.concat(F.lit("https://host"),
+                 F.lpad((F.col("doc_id") % 40).cast("string"), 4, "0"),
+                 F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+                 ext).alias("url"),
+        F.concat(F.lit("host"),
+                 F.lpad((F.col("doc_id") % 40).cast("string"), 4, "0"),
+                 F.lit(".example.org")).alias("host"),
+        F.lit(1).alias("status"),
+        F.lit(t0 - 1000).cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(2592000).cast("long").alias("fetch_interval"),
+        (F.col("n_chars").cast("float") / 100.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    cfg = DEFAULT.with_(topn=150, num_partitions=1,
+                        ext_boost_extensions=("pdf",), ext_boost=10.0,
+                        filter_on_generate=False)
+    return generate(frontier, t0, cfg).select(
+        "url", F.round("score", 4).alias("score"))
 
 
 def _q_automaton_filter(spark, sf_dir):
@@ -1697,10 +1784,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_score": _q_similarity_score,
         "regex_parse_filter": _q_regex_parse_filter,
         "exchange_routing": _q_exchange_routing,
+        "text_summary": _q_text_summary,
         "webgraph_degrees": _q_webgraph_degrees,
         "linkrank": _q_linkrank,
         "link_depth": _q_link_depth,
         "automaton_filter": _q_automaton_filter,
+        "path_filter": _q_path_filter,
+        "ext_boost": _q_ext_boost,
         "validator_filter": _q_validator_filter,
         "crawl_completion": _q_crawl_completion,
         "domain_stats_suffix": _q_domain_stats_suffix,
@@ -2479,6 +2569,67 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "similarity_score": _sim_oracle(),
+        "text_summary": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     replace(coalesce(text, ''), ' spark ',
+                             '. spark ') AS t
+              FROM documents WHERE doc_id < 120
+            ),
+            arrs AS (
+              SELECT doc_id, regexp_split_to_array(t, '\.\s+') AS arr
+              FROM d
+            ),
+            sen AS (
+              SELECT doc_id, g.i,
+                     trim(substr(arr[g.i], 1, 400)) || '.' AS sv,
+                     regexp_split_to_array(
+                       trim(substr(arr[g.i], 1, 400)) || '.',
+                       '\s+') AS words
+              FROM arrs,
+                   unnest(range(1, least(len(arr), 499) + 1)) AS g(i)
+              WHERE length(substr(arr[g.i], 1, 400)) >= 20
+            ),
+            w AS (
+              SELECT doc_id, i, lower(unnest(words)) AS w
+              FROM sen
+            ),
+            wc AS (
+              SELECT doc_id, i, w, CAST(count(*) AS DOUBLE) AS c
+              FROM w GROUP BY doc_id, i, w
+            ),
+            nw AS (
+              SELECT doc_id, i, count(*) AS n FROM w GROUP BY doc_id, i
+            ),
+            pair AS (
+              SELECT a.doc_id, a.i AS i, b.i AS j, sum(a.c * b.c) AS cm
+              FROM wc a JOIN wc b USING (doc_id, w)
+              GROUP BY a.doc_id, a.i, b.i
+            ),
+            score AS (
+              SELECT p.doc_id, p.i,
+                     sum(p.cm / ((na.n + nb.n) / 2.0)) AS sc
+              FROM pair p
+              JOIN nw na ON na.doc_id = p.doc_id AND na.i = p.i
+              JOIN nw nb ON nb.doc_id = p.doc_id AND nb.i = p.j
+              GROUP BY p.doc_id, p.i
+            ),
+            top AS (
+              SELECT s.doc_id, s.i, sen.sv,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY s.sc DESC, s.i) AS rk
+              FROM score s JOIN sen USING (doc_id, i)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       string_agg(sv, ' [...] ' ORDER BY i),
+                       '\s+', ' ', 'g')) AS summary
+              FROM top WHERE rk <= 5 GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(agg.summary, '') AS summary
+            FROM d LEFT JOIN agg USING (doc_id)
+        """,
         "exchange_routing": """
             WITH d AS (
               SELECT doc_id,
@@ -2599,6 +2750,48 @@ def oracle_sql() -> dict[str, str]:
             -- survivors get depth+1 stamped
             SELECT url, from_url, (pdepth + 1)::VARCHAR AS child_depth
             FROM x WHERE pdepth < 3
+        """,
+        "path_filter": """
+            WITH u AS (
+              SELECT CASE doc_id % 6
+                WHEN 0 THEN 'https://h' || doc_id || '.example.org/section/reject'
+                WHEN 1 THEN 'https://h' || doc_id || '.example.org/private/' || doc_id
+                WHEN 2 THEN 'https://h' || doc_id || '.example.org/page?p=reject'
+                WHEN 3 THEN 'https://h' || doc_id || '.example.org/rejection/' || doc_id
+                WHEN 4 THEN 'https://h' || doc_id || '.example.org//reject/'
+                ELSE 'https://h' || doc_id || '.example.org/ok/' || doc_id
+              END AS url
+              FROM documents WHERE doc_id < 600
+            )
+            SELECT url,
+                   NOT list_has_any(
+                     string_split(
+                       regexp_replace(
+                         regexp_replace(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*', ''),
+                         '[?#].*$', ''),
+                       '/'),
+                     ['reject', 'private']) AS accepted
+            FROM u
+        """,
+        "ext_boost": """
+            WITH f AS (
+              SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 4, '0')
+                       || '.example.org/doc/' || doc_id ||
+                     CASE doc_id % 4 WHEN 0 THEN '.pdf' WHEN 1 THEN '.html'
+                                     WHEN 2 THEN '.pdfx' ELSE '' END AS url,
+                     CAST(CAST(n_chars AS FLOAT) / 100.0 AS FLOAT) AS score
+              FROM documents
+            ),
+            s AS (
+              SELECT url, score,
+                     score + CASE WHEN instr(lower(url), '.pdf') > 1
+                                  THEN 10.0 ELSE 0.0 END AS sort_score
+              FROM f
+            )
+            SELECT url, round(score, 4) AS score
+            FROM s
+            QUALIFY row_number() OVER (ORDER BY sort_score DESC, url) <= 150
         """,
         "automaton_filter": """
             WITH u AS (
