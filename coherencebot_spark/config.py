@@ -33,6 +33,8 @@ class CrawlConfig:
     max_num_segments: int = 1             # -maxNumSegments
     gen_delay_ms: int = 7 * DAY_MS        # crawl.gen.delay (7 days)
     min_score: float = 0.0                # generate.min.score
+    ext_boost_extensions: tuple = ()      # scoring.ext.extensions (scoring-ext)
+    ext_boost: float = 10.0               # scoring.ext.boost
     min_interval_s: int = -1              # generate.min.interval
     restrict_status: int | None = None    # generate.restrict.status
     expr: str | None = None               # Jexl expr -> SQL string (C9)

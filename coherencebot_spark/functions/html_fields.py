@@ -385,3 +385,26 @@ def regex_parse_filter(rules, html_col: str = "html",
         return df.withColumn(meta_col, new)
 
     return _apply
+
+
+# ------------------------------------------------------------------ debug
+
+def debug_filter(html_col: str = "html", meta_col: str = "parse_meta"):
+    """parsefilter-debug: record the document source the parser saw under
+    the parse-metadata key ``DOM`` (``DebugParseFilter.java:49-57`` saves
+    the serialized DOM fragment).  This engine parses the raw markup with
+    Catalyst expressions rather than building a DOM, so the faithful
+    equivalent of "what the parser interpreted" is the markup itself."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        dom = F.create_map(
+            F.lit("DOM"), F.coalesce(F.col(html_col), F.lit("")))
+        if meta_col in df.columns:
+            kept = F.map_filter(
+                F.coalesce(F.col(meta_col),
+                           F.create_map().cast("map<string,string>")),
+                lambda k, _: k != F.lit("DOM"))
+            return df.withColumn(meta_col, F.map_concat(kept, dom))
+        return df.withColumn(meta_col, dom)
+
+    return _apply

@@ -569,6 +569,39 @@ class DescendantURLFilter:
         return urls.astype("string").str.startswith(self.prefixes, na=False)
 
 
+class PathURLFilter:
+    """urlfilter-path: EXCLUDE any URL with a path segment exactly equal to
+    a configured path string.
+
+    ``PathURLFilter.java:66-97``: backslashes normalised to ``/`` first,
+    the URI path split on ``/``, and each non-empty segment looked up in a
+    prefix trie — but the match only counts when ``longestMatch`` has the
+    SAME length as the segment, i.e. exact set membership (``/rej`` and
+    ``/rejection`` pass a ``reject`` rule, ``/section/reject`` does not).
+    Query string and fragment are not part of the path.  Rule lines that
+    are empty or start with ``#``/space are skipped (:99-121); URLs the
+    URI parser rejects are kept (:92-96 falls through to ``return url``).
+    """
+
+    _SCHEME_AUTH = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+    def __init__(self, paths: list[str]):
+        self.paths = frozenset(
+            p for p in paths if p and p[0] not in "# \n")
+
+    def accept(self, urls: pd.Series) -> pd.Series:
+        if not self.paths:
+            return pd.Series(True, index=urls.index)
+        s = urls.astype("string").str.replace("\\", "/", regex=False)
+        path = (s.str.replace(self._SCHEME_AUTH, "", regex=True)
+                 .str.replace(r"[?#].*$", "", regex=True))
+        pset = self.paths
+        hit = path.str.split("/").map(
+            lambda xs: isinstance(xs, list)
+            and any(x in pset for x in xs if x))
+        return ~hit.astype(bool)
+
+
 class AutomatonURLFilter(RegexURLFilter):
     """urlfilter-automaton: same +/- rule files as urlfilter-regex but
     WHOLE-URL match semantics — the reference runs each rule as a DFA over

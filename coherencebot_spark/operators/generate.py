@@ -108,7 +108,18 @@ def _gates(frontier: DataFrame, cur_time: int, cfg: CrawlConfig,
         df = df.filter(F.col("status") == int(cfg.restrict_status))
 
     # OPIC generator sort value: sort = score * initSort (initSort = 1)
-    df = df.withColumn("sort_score", F.col("score"))
+    sort_val = F.col("score")
+    if cfg.ext_boost_extensions:
+        # scoring-ext ExtensionAnalysisScoringFilter.generatorSortValue
+        # (:70-84): +boost when the lowercased url contains ".<ext>" at
+        # index > 0 (instr is 1-based, so > 1)
+        hit = F.lit(False)
+        for ext in cfg.ext_boost_extensions:
+            hit = hit | (F.instr(F.lower(F.col("url")),
+                                 "." + str(ext).lower()) > 1)
+        sort_val = F.when(hit, sort_val + F.lit(float(cfg.ext_boost))
+                          ).otherwise(sort_val)
+    df = df.withColumn("sort_score", sort_val)
     if cfg.min_score > 0.0:
         df = df.filter(F.col("sort_score") >= float(cfg.min_score))
     if cfg.min_interval_s != -1:

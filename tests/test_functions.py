@@ -648,3 +648,61 @@ def test_html_extractor_include_js_prepends():
         ("http://js.example.org/found", ""),
         ("http://h.example.org/dom", "D"),
     ]
+
+
+def test_path_url_filter_reference_table():
+    # mirrors TestPathURLFilter.java's urls / urlsModeReject table
+    from coherencebot_spark.functions.urls import PathURLFilter
+
+    f = PathURLFilter(["# this is a comment", "", "reject", ""])
+    urls = pd.Series([
+        "https://www.example.com/section/reject",
+        "https://www.example.com/reject",
+        "https://www.example.com/section/reject?result=this-is-rejected",
+        "https://www.example.com/reject/?result=this-is-rejected",
+        "https://www.example.com/reject/someotherlastpath",
+        "https://www.example.com//ok//reject/",   # empty segments skipped
+        "https://www.example.com?result=this-is-accepted",
+        "https://www.example.com/rej",            # shorter, no match
+        "https://www.example.com/rejection",      # longer, no match
+        "https://www.example.com//rej//",
+    ])
+    assert list(f.accept(urls)) == [
+        False, False, False, False, False, False, True, True, True, True]
+    # backslash normalisation + empty rule set accepts everything
+    assert list(PathURLFilter(["reject"]).accept(
+        pd.Series([r"https://h\reject\x"]))) == [False]
+    assert list(PathURLFilter([]).accept(urls)) == [True] * len(urls)
+
+
+def test_scoring_ext_generator_boost(spark):
+    # scoring-ext ExtensionAnalysisScoringFilter.generatorSortValue:
+    # ".ext" substring (index > 0) adds the configured boost to the sort
+    from coherencebot_spark.config import CrawlConfig
+    from coherencebot_spark.operators.generate import generate
+
+    rows = [
+        ("https://a.example.com/report.pdf", "a.example.com", 1.0),
+        ("https://b.example.com/page.html", "b.example.com", 5.0),
+        ("https://c.example.com/data.pdfx", "c.example.com", 2.0),  # still contains ".pdf"
+        ("https://d.example.com/plain", "d.example.com", 3.0),
+    ]
+    from coherencebot_spark.schemas import FRONTIER
+    frontier = spark.createDataFrame(
+        [{"url": u, "host": h, "score": s, "status": 1,
+          "fetch_time": 0, "fetch_interval": 86400, "retries": 0,
+          "modified_time": 0, "signature": None, "metadata": None}
+         for u, h, s in rows], schema=FRONTIER)
+    # boosted sorts: a=1+10=11, c=2+10=12, b=5, d=3 → topn=2 picks c, a
+    cfg = CrawlConfig(ext_boost_extensions=("pdf",), ext_boost=10.0,
+                      topn=2, num_partitions=1)
+    out = generate(frontier, cur_time=10_000, cfg=cfg)
+    assert {r["url"] for r in out.select("url").collect()} == {
+        "https://c.example.com/data.pdfx",
+        "https://a.example.com/report.pdf"}
+    # without the plugin the plain scores win: b=5, d=3
+    out0 = generate(frontier, cur_time=10_000,
+                    cfg=CrawlConfig(topn=2, num_partitions=1))
+    assert {r["url"] for r in out0.select("url").collect()} == {
+        "https://b.example.com/page.html",
+        "https://d.example.com/plain"}

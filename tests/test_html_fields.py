@@ -216,3 +216,17 @@ def test_regex_parse_filter_merges_existing_meta(spark):
     meta = dict(out.parse_meta)
     # existing unrelated keys survive; the rule's field is overwritten
     assert meta == {"keep": "v", "first": "true"}
+
+
+def test_debug_filter_records_dom(spark):
+    from coherencebot_spark.functions.html_fields import debug_filter
+
+    df = spark.createDataFrame(
+        [("u1", "<html><b>x</b></html>", {"k": "v", "DOM": "stale"}),
+         ("u2", None, None)],
+        "url string, html string, parse_meta map<string,string>")
+    out = {r["url"]: r["parse_meta"]
+           for r in debug_filter()(df).collect()}
+    assert out["u1"]["DOM"] == "<html><b>x</b></html>"
+    assert out["u1"]["k"] == "v"          # other keys kept
+    assert out["u2"]["DOM"] == ""         # null html → empty dump
