@@ -927,6 +927,28 @@ def _q_similarity_score(spark, sf_dir):
                       F.round("sim_score", 6).alias("sim_score"))
 
 
+_NB_CORPUS = [
+    ("1", "spark stream window agg join query"),
+    ("1", "fast spark data column stream agg"),
+    ("0", "slow scan row hash merge batch"),
+    ("0", "slow table slow sort line batch"),
+]
+
+
+def _q_nb_classify(spark, sf_dir):
+    # parsefilter-naivebayes: the DuckDB twin replays TRAINING (per-class
+    # counts + word-freq aggregation) and the reference's add-log
+    # classification arithmetic relationally
+    from coherencebot_spark.operators.nbayes import nb_relevant_col, train_nb
+
+    model = train_nb(spark.createDataFrame(
+        _NB_CORPUS, "label string, text string"))
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        nb_relevant_col(model, F.col("text")).alias("nb_relevant"))
+
+
 def _q_path_filter(spark, sf_dir):
     # urlfilter-path: exact path-segment exclusion (PathURLFilter.java —
     # trie longestMatch + same-length = set membership; query/fragment not
@@ -1790,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_depth": _q_link_depth,
         "automaton_filter": _q_automaton_filter,
         "path_filter": _q_path_filter,
+        "nb_classify": _q_nb_classify,
         "ext_boost": _q_ext_boost,
         "validator_filter": _q_validator_filter,
         "crawl_completion": _q_crawl_completion,
@@ -2750,6 +2773,62 @@ def oracle_sql() -> dict[str, str]:
             -- survivors get depth+1 stamped
             SELECT url, from_url, (pdepth + 1)::VARCHAR AS child_depth
             FROM x WHERE pdepth < 3
+        """,
+        "nb_classify": """
+            WITH corpus(label, text) AS (VALUES
+              ('1', 'spark stream window agg join query'),
+              ('1', 'fast spark data column stream agg'),
+              ('0', 'slow scan row hash merge batch'),
+              ('0', 'slow table slow sort line batch')),
+            ctoks AS (
+              SELECT label, unnest(string_split(text, ' ')) AS w FROM corpus
+            ),
+            consts AS (
+              SELECT
+                (SELECT count(DISTINCT w) FROM ctoks) AS v,
+                (SELECT count(*) FROM corpus WHERE label = '0') AS n_ir,
+                (SELECT count(*) FROM corpus WHERE label <> '0') AS n_r,
+                (SELECT count(*) FROM ctoks WHERE label = '0') AS words_ir,
+                (SELECT count(*) FROM ctoks WHERE label <> '0') AS words_r
+            ),
+            fir AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+                    FROM ctoks WHERE label = '0' GROUP BY w),
+            fr AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+                   FROM ctoks WHERE label <> '0' GROUP BY w),
+            dt AS (
+              SELECT doc_id,
+                     lower(regexp_replace(coalesce(text, ''),
+                                          '[^a-zA-Z ]', '', 'g')) AS cleaned
+              FROM documents
+            ),
+            arrs AS (
+              SELECT doc_id,
+                     CASE WHEN cleaned = '' THEN ['']
+                          WHEN rtrim(cleaned, ' ') = '' THEN []::VARCHAR[]
+                          ELSE string_split(rtrim(cleaned, ' '), ' ')
+                     END AS arr
+              FROM dt
+            ),
+            tok AS (SELECT doc_id, unnest(arr) AS w FROM arrs),
+            persc AS (
+              SELECT tok.doc_id,
+                sum(CASE WHEN fir.c IS NOT NULL
+                         THEN ln(fir.c) + 1 - ln(c.words_ir + c.v)
+                         ELSE 1 - ln(c.words_ir + c.v) END) AS s_ir,
+                sum(CASE WHEN fr.c IS NOT NULL
+                         THEN ln(fr.c) + 1 - ln(c.words_r + c.v)
+                         ELSE 1 - ln(c.words_r + c.v) END) AS s_r
+              FROM tok CROSS JOIN consts c
+              LEFT JOIN fir ON fir.w = tok.w
+              LEFT JOIN fr ON fr.w = tok.w
+              GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   NOT (round((coalesce(p.s_ir, 0) + ln(c.n_ir))
+                              - (coalesce(p.s_r, 0) + ln(c.n_r)), 9) > 0)
+                     AS nb_relevant
+            FROM documents d CROSS JOIN consts c
+            LEFT JOIN persc p ON p.doc_id = d.doc_id
         """,
         "path_filter": """
             WITH u AS (

@@ -162,14 +162,17 @@ def _class_score(toks: Column, freq: dict, numwords: int, vocab: int,
 def nb_relevant_col(model: NBModel, text_col: Column) -> Column:
     """True when the text classifies relevant ("1"); the reference's
     strict ``prob_ir > prob_r`` means ties stay relevant
-    (Classify.java:112-117)."""
+    (Classify.java:112-117).  The margin is rounded to 9 decimals before
+    the comparison so exact mathematical ties (equal class evidence, a
+    real case on symmetric corpora) don't flip on float summation order;
+    genuine margins are O(0.1) log-units, far above the quantum."""
     toks = java_tokens(F.coalesce(text_col, F.lit("")))
     n_total = model.n_ir + model.n_r
     s_ir = _class_score(toks, model.freq_ir, model.words_ir,
                         model.vocab_size, model.n_ir, n_total)
     s_r = _class_score(toks, model.freq_r, model.words_r,
                        model.vocab_size, model.n_r, n_total)
-    return ~(s_ir > s_r)
+    return ~(F.round(s_ir - s_r, 9) > 0)
 
 
 def naive_bayes_parse_filter(model: NBModel, wordlist: list[str],
