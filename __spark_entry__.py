@@ -949,6 +949,54 @@ def _q_nb_classify(spark, sf_dir):
         nb_relevant_col(model, F.col("text")).alias("nb_relevant"))
 
 
+def _q_outlink_filter(spark, sf_dir):
+    # parsefilter-outlinks (OutlinkParseFilter.java): descendant gating
+    # with the collection.seed override + org.domains PDF exception, then
+    # anchor-exclusion (exact set membership after trim/lower/punct
+    # strip).  Pure Catalyst higher-order filters; the DuckDB twin
+    # replays both passes relationally over unnested outlinks.
+    from coherencebot_spark.operators.parsefilters import (
+        outlink_parse_filter)
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    sid = F.col("doc_id").cast("string")
+    root = F.concat(F.lit("https://h"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example.org"))
+
+    def o(u, a):
+        return F.struct(u.alias("to_url"), F.lit(a).alias("anchor"))
+
+    pages = d.select(
+        F.concat(root, F.lit("/docs/pub/")).alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.map_from_arrays(
+            F.array(F.lit("collection.seed")),
+            F.array(F.concat(root, F.lit("/")))))
+        .when(F.col("doc_id") % 4 == 0, F.map_from_arrays(
+            F.array(F.lit("org.domains")),
+            F.array(F.lit("partner.com;bucket.s3.amazonaws.com"))))
+        .alias("metadata"),
+        F.array(
+            o(F.concat(root, F.lit("/docs/pub/page"), sid), "More Info"),
+            o(F.concat(root, F.lit("/docs/other"), sid), "sibling"),
+            o(F.concat(F.lit("https://cdn.partner.com/f"), sid,
+                       F.lit(".pdf")), "PDF Report"),
+            o(F.concat(F.lit("https://evil.net/f"), sid, F.lit(".pdf")),
+              "PDF Evil"),
+            o(F.concat(root, F.lit("/docs/pub/dup"), sid),
+              "?!Click HERE."),
+            o(F.concat(root, F.lit("/docs/pub/dup"), sid), "ok"),
+            o(F.concat(F.lit("notaurl"), sid), "x"),
+        ).alias("outlinks"))
+    flt = outlink_parse_filter(require_descendants=True,
+                               approve_anchors=True,
+                               anchor_rules=["# c", "", "click here"])
+    return (flt(pages)
+            .select("url", F.explode("outlinks").alias("o"))
+            .select("url", F.col("o.to_url").alias("to_url"),
+                    F.col("o.anchor").alias("anchor")))
+
+
 def _q_path_filter(spark, sf_dir):
     # urlfilter-path: exact path-segment exclusion (PathURLFilter.java —
     # trie longestMatch + same-length = set membership; query/fragment not
@@ -1812,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_depth": _q_link_depth,
         "automaton_filter": _q_automaton_filter,
         "path_filter": _q_path_filter,
+        "outlink_filter": _q_outlink_filter,
         "nb_classify": _q_nb_classify,
         "ext_boost": _q_ext_boost,
         "validator_filter": _q_validator_filter,
@@ -2773,6 +2822,78 @@ def oracle_sql() -> dict[str, str]:
             -- survivors get depth+1 stamped
             SELECT url, from_url, (pdepth + 1)::VARCHAR AS child_depth
             FROM x WHERE pdepth < 3
+        """,
+        "outlink_filter": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+            base AS (
+              SELECT doc_id, doc_id::VARCHAR AS sid,
+                     'https://h' || (doc_id % 50)::VARCHAR ||
+                     '.example.org' AS root
+              FROM d),
+            pages AS (
+              SELECT doc_id, root || '/docs/pub/' AS url,
+                CASE WHEN doc_id % 5 = 0 THEN root || '/' END AS seed_meta,
+                CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 = 0
+                     THEN 'partner.com;bucket.s3.amazonaws.com'
+                END AS org_domains,
+                root, sid
+              FROM base),
+            ol AS (
+              SELECT p.*,
+                unnest([p.root||'/docs/pub/page'||p.sid,
+                        p.root||'/docs/other'||p.sid,
+                        'https://cdn.partner.com/f'||p.sid||'.pdf',
+                        'https://evil.net/f'||p.sid||'.pdf',
+                        p.root||'/docs/pub/dup'||p.sid,
+                        p.root||'/docs/pub/dup'||p.sid,
+                        'notaurl'||p.sid]) AS to_url,
+                unnest(['More Info', 'sibling', 'PDF Report', 'PDF Evil',
+                        '?!Click HERE.', 'ok', 'x']) AS anchor
+              FROM pages p),
+            chk AS (
+              SELECT *,
+                nullif(lower(regexp_extract(coalesce(seed_meta, url),
+                  '^[a-zA-Z][a-zA-Z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                  1)), '')
+                || lower(regexp_extract(
+                     split_part(split_part(coalesce(seed_meta, url),
+                                           '#', 1), '?', 1),
+                     '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*(/[^?#]*)?', 1))
+                  AS from_chk,
+                nullif(lower(regexp_extract(to_url,
+                  '^[a-zA-Z][a-zA-Z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                  1)), '') AS to_host,
+                lower(regexp_extract(
+                     split_part(split_part(to_url, '#', 1), '?', 1),
+                     '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*(/[^?#]*)?', 1))
+                  AS to_path,
+                coalesce(string_split(org_domains, ';'), []) AS doms
+              FROM ol),
+            kept AS (
+              SELECT url, to_url, anchor,
+                regexp_replace(lower(regexp_replace(anchor,
+                  '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '')),
+                  '^\\p{P}*(.*?)\\p{P}*$', '\\1') AS cleaned
+              FROM chk
+              WHERE CASE WHEN from_chk IS NULL THEN FALSE
+                ELSE coalesce(
+                  starts_with(to_host || to_path, from_chk)
+                  OR (strpos(to_url, '.pdf') > 1 AND
+                      (list_contains(doms,
+                         CASE WHEN len(string_split(to_host, '.')) <= 2
+                              THEN to_host
+                              ELSE array_to_string(
+                                string_split(to_host, '.')[-2:], '.')
+                         END)
+                       OR list_contains(doms, to_host))),
+                  FALSE) END),
+            excl AS (
+              SELECT DISTINCT url, to_url FROM kept
+              WHERE cleaned <> '' AND cleaned = 'click here')
+            SELECT k.url, k.to_url, k.anchor
+            FROM kept k LEFT JOIN excl e
+              ON k.url = e.url AND k.to_url = e.to_url
+            WHERE e.to_url IS NULL
         """,
         "nb_classify": """
             WITH corpus(label, text) AS (VALUES

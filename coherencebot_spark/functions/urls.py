@@ -767,3 +767,33 @@ def with_filter_accept(df: DataFrame, chain: URLFilterChain | None = None,
 def with_host(df: DataFrame, url_col: str = "url", out_col: str = "host") -> DataFrame:
     """host column via built-in parse_url (JVM-side, codegen) with lowercase."""
     return df.withColumn(out_col, F.lower(F.expr(f"parse_url({url_col}, 'HOST')")))
+
+
+def host_col(url) -> "F.Column":
+    """Lowercased host of a url COLUMN as a pure JVM expression (the
+    Catalyst twin of :func:`host_of`; ref util/URLUtil.java:431).  Null
+    for urls java.net.URL would reject (no scheme://host)."""
+    return F.nullif(F.lower(F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)),
+        F.lit(""))
+
+
+def path_col(url) -> "F.Column":
+    """Path component of a url COLUMN (java.net.URL.getPath: no query,
+    no fragment, empty string when absent), JVM-side."""
+    no_frag = F.split(F.split(url, "#", 2)[0], r"\?", 2)[0]
+    return F.regexp_extract(
+        no_frag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(/[^?#]*)?", 1)
+
+
+def domain_col(host) -> "F.Column":
+    """Registered domain of a host COLUMN (Catalyst twin of
+    :func:`domain_of`; ref util/URLUtil.java:97 with the bundled
+    public-suffix subset)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(parts, n - 2, 3))
+    return (F.when(n <= 2, host)
+            .when(last2.isin(*sorted(_MULTI_SUFFIXES)), last3)
+            .otherwise(last2))
