@@ -949,6 +949,63 @@ def _q_nb_classify(spark, sf_dir):
         nb_relevant_col(model, F.col("text")).alias("nb_relevant"))
 
 
+def _q_feed_parse(spark, sf_dir):
+    # feed plugin (FeedParser.java): deterministic RSS (even doc_ids) and
+    # Atom (odd) feeds synthesized from doc_id, parsed by the Catalyst
+    # regex extractor into entry + feed-level parse rows; the DuckDB twin
+    # derives the expected rows from the same arithmetic, making this an
+    # end-to-end extraction check (fields, markup-strip, multi-values,
+    # RFC-822 + ISO-8601 dates with offsets).
+    from coherencebot_spark.functions.feeds import feed_parse
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    sid = F.col("doc_id").cast("string")
+    h = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example.org"))
+    day = F.format_string("%02d", (F.col("doc_id") % 28 + 1).cast("int"))
+    rss = F.concat(
+        F.lit("<rss version=\"2.0\"><channel><title>Chan"), sid,
+        F.lit("</title><link>http://"), h,
+        F.lit("/</link><description>Desc "), sid,
+        F.lit("</description><item><title>Item "), sid,
+        F.lit("</title><link>http://"), h, F.lit("/a"), sid,
+        F.lit("</link><description>Body <b>one</b> "), sid,
+        F.lit("</description><author>Writer "), sid,
+        F.lit("</author><category>c"), sid,
+        F.lit("</category><pubDate>Tue, "), day,
+        F.lit(" Aug 2024 10:30:00 +0000</pubDate></item>"
+              "<item><title>No link</title><description>x</description>"
+              "</item></channel></rss>"))
+    atom = F.concat(
+        F.lit("<feed><title>Atom"), sid,
+        F.lit("</title><subtitle>Sub "), sid,
+        F.lit("</subtitle><link href=\"https://"), h,
+        F.lit("/\"/><entry><title>Post "), sid,
+        F.lit("</title><link href=\"https://"), h, F.lit("/p/"), sid,
+        F.lit("\"/><author><name>Alice "), sid,
+        F.lit("</name></author><author><name>Bob "), sid,
+        F.lit("</name></author><category term=\"t"), sid,
+        F.lit("\"/><category term=\"u"), sid,
+        F.lit("\"/><published>2024-08-"), day,
+        F.lit("T10:30:00Z</published><updated>2024-08-"), day,
+        F.lit("T12:00:00+02:00</updated><summary>Sum <i>x</i> "), sid,
+        F.lit("</summary></entry></feed>"))
+    even = F.col("doc_id") % 2 == 0
+    feeds = d.select(
+        F.concat(F.when(even, F.lit("http://")).otherwise(F.lit("https://")),
+                 h, F.lit("/feed.xml")).alias("url"),
+        F.when(even, rss).otherwise(atom).alias("xml"))
+    out = feed_parse(feeds)
+    meta = F.col("parse_meta")
+    return out.select(
+        "url", "title", "text", "is_entry",
+        F.element_at(meta, "feed").alias("feed"),
+        F.element_at(meta, "author").alias("author"),
+        F.element_at(meta, "tags").alias("tags"),
+        F.element_at(meta, "published").alias("published"),
+        F.element_at(meta, "updated").alias("updated"))
+
+
 def _q_outlink_filter(spark, sf_dir):
     # parsefilter-outlinks (OutlinkParseFilter.java): descendant gating
     # with the collection.seed override + org.domains PDF exception, then
@@ -1862,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_filter": _q_path_filter,
         "outlink_filter": _q_outlink_filter,
         "nb_classify": _q_nb_classify,
+        "feed_parse": _q_feed_parse,
         "ext_boost": _q_ext_boost,
         "validator_filter": _q_validator_filter,
         "crawl_completion": _q_crawl_completion,
@@ -2894,6 +2952,58 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k LEFT JOIN excl e
               ON k.url = e.url AND k.to_url = e.to_url
             WHERE e.to_url IS NULL
+        """,
+        "feed_parse": """
+            -- Twin of the deterministic RSS/Atom corpus built in
+            -- _q_feed_parse: even doc_ids are RSS 2.0 (one linked item +
+            -- one linkless item that must be dropped), odd are Atom (one
+            -- entry, two authors, two categories, published + tz-offset
+            -- updated).  Each feed also yields a feed-level row.
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS sid,
+                     doc_id % 2 = 0 AS even,
+                     'h' || (doc_id % 20)::VARCHAR || '.example.org' AS h,
+                     CASE WHEN doc_id % 2 = 0 THEN 'http://'
+                          ELSE 'https://' END AS scheme,
+                     make_timestamp(2024, 8, (doc_id % 28 + 1)::INT,
+                                    10, 30, 0) AS t1030,
+                     make_timestamp(2024, 8, (doc_id % 28 + 1)::INT,
+                                    10, 0, 0) AS t1000
+              FROM documents WHERE doc_id < 200
+            ),
+            entries AS (
+              SELECT
+                CASE WHEN even THEN scheme || h || '/a' || sid
+                     ELSE scheme || h || '/p/' || sid END AS url,
+                CASE WHEN even THEN 'Item ' || sid
+                     ELSE 'Post ' || sid END AS title,
+                CASE WHEN even THEN 'Body one ' || sid
+                     ELSE 'Sum x ' || sid END AS text,
+                TRUE AS is_entry,
+                scheme || h || '/' AS feed,
+                CASE WHEN even THEN 'Writer ' || sid
+                     ELSE 'Alice ' || sid || CHR(9) || 'Bob ' || sid
+                END AS author,
+                CASE WHEN even THEN 'c' || sid
+                     ELSE 't' || sid || CHR(9) || 'u' || sid END AS tags,
+                epoch_ms(t1030)::VARCHAR AS published,
+                CASE WHEN even THEN NULL
+                     ELSE epoch_ms(t1000)::VARCHAR END AS updated
+              FROM base
+            ),
+            feed_rows AS (
+              SELECT scheme || h || '/feed.xml' AS url,
+                     CASE WHEN even THEN 'Chan' || sid
+                          ELSE 'Atom' || sid END AS title,
+                     CASE WHEN even THEN 'Desc ' || sid
+                          ELSE 'Sub ' || sid END AS text,
+                     FALSE AS is_entry,
+                     NULL::VARCHAR AS feed, NULL::VARCHAR AS author,
+                     NULL::VARCHAR AS tags, NULL::VARCHAR AS published,
+                     NULL::VARCHAR AS updated
+              FROM base
+            )
+            SELECT * FROM entries UNION ALL SELECT * FROM feed_rows
         """,
         "nb_classify": """
             WITH corpus(label, text) AS (VALUES
