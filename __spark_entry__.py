@@ -1538,6 +1538,56 @@ def _q_lang_id(spark, sf_dir):
                     pred.alias("lang_pred"))
 
 
+def _lang_pages(spark, sf_dir):
+    # language-identifier plugin input: pages synthesized from documents
+    # exercising every extraction path — lang attr beating dc.language,
+    # dc.language multi-value, http-equiv, unparseable attr + raw header
+    # fallback, statistical identify fallback, no-signal NULL, and a
+    # single-quoted 3-letter-code attr; the oracle recomputes the
+    # expected code per construction
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 700")
+    m = F.col("doc_id") % 7
+    html = (
+        F.when(m == 0, F.lit('<html lang="sv-FI"><head>'
+                             '<meta name="dc.language" content="en">'
+                             "</head><body>x</body></html>"))
+        .when(m == 1, F.lit('<html><head><meta name="dc.language" '
+                            'content="English, swedish"></head></html>'))
+        .when(m == 2, F.lit('<html><head><meta http-equiv="Content-Language"'
+                            ' content="(SCHEME=Z39.53) SWE"></head></html>'))
+        .when(m == 3, F.lit('<p lang="torp stuga">unparseable</p>'))
+        .when(m == 6, F.lit("<div lang='FIN'>yksi</div>"))
+        .otherwise(F.lit("<html><body>no markers</body></html>")))
+    text = (
+        F.when(m == 4, F.lit("the cat and the dog of it is that was for"))
+        .otherwise(F.lit("zzz qqq www")))
+    hdr = F.when(m == 3, F.lit("pt-BR")).cast("string")
+    return d.select(F.col("doc_id"), html.alias("html"),
+                    text.alias("text"), hdr.alias("hdr"))
+
+
+def _q_lang_detect(spark, sf_dir):
+    from coherencebot_spark.functions.language import html_language_filter
+
+    pages = _lang_pages(spark, sf_dir)
+    out = html_language_filter(header_col="hdr")(pages)
+    return out.select(
+        "doc_id",
+        F.try_element_at(F.col("parse_meta"), F.lit("lang")).alias("lang"))
+
+
+def _q_lang_index(spark, sf_dir):
+    from coherencebot_spark.functions.language import (
+        html_language_filter, language_index_filter)
+
+    pages = _lang_pages(spark, sf_dir)
+    docs = html_language_filter(header_col="hdr")(pages)
+    # gate on the raw pre-truncation value ('pt-BR', not 'pt'); unknowns
+    # and non-members drop; the indexed field is the 2-letter cut
+    out = language_index_filter(index_langs=("sv", "pt-BR"))(docs)
+    return out.select("doc_id", "lang")
+
+
 def _q_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1935,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_clock_domain": _q_politeness_clock_domain,
         "dedup_phash_meta": _q_dedup_phash_meta,
         "lang_id": _q_lang_id,
+        "lang_detect": _q_lang_detect,
+        "lang_index": _q_lang_index,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
         "index_basic": _q_index_basic,
@@ -3330,6 +3382,27 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'de'
                    END AS lang_pred
             FROM documents
+        """,
+        # language-identifier plugin: the expected ISO-639 code per page
+        # construction (see _lang_pages)
+        "lang_detect": """
+            SELECT doc_id,
+                   CASE doc_id % 7
+                     WHEN 0 THEN 'sv'     -- lang attr sv-FI beats dc.language
+                     WHEN 1 THEN 'en'     -- dc.language 'English, swedish'
+                     WHEN 2 THEN 'sv'     -- http-equiv '(SCHEME=Z39.53) SWE'
+                     WHEN 3 THEN 'pt-BR'  -- unparseable attr -> raw header
+                     WHEN 4 THEN 'en'     -- identify fallback (stopwords)
+                     WHEN 5 THEN NULL     -- no signal anywhere
+                     ELSE 'fi'            -- single-quoted 3-letter 'FIN'
+                   END AS lang
+            FROM documents WHERE doc_id < 700
+        """,
+        "lang_index": """
+            SELECT doc_id,
+                   CASE doc_id % 7 WHEN 3 THEN 'pt' ELSE 'sv' END AS lang
+            FROM documents
+            WHERE doc_id < 700 AND doc_id % 7 IN (0, 2, 3)
         """,
         "quality_score": r"""
             SELECT doc_id,
