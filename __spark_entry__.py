@@ -1913,6 +1913,46 @@ def _q_index_org(spark, sf_dir):
                       "organization_region", "organization_domains")
 
 
+def _q_any23_structured_data(spark, sf_dir):
+    # any23 plugin pair (Any23ParseFilter + Any23IndexingFilter): pages
+    # synthesized from documents carry a title + meta tags; the parse
+    # filter lands the sorted N-Triples set (html-head-title +
+    # html-head-meta extractors), the indexing filter splits each triple
+    # into node/key/short_key/value; `pos` asserts the TreeSet order.
+    # text/plain rows are gated out (ignoreUnsupported).  The DuckDB twin
+    # reconstructs every triple per construction.
+    from coherencebot_spark.functions.structured_data import (
+        any23_indexing_filter, any23_parse_filter)
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 800")
+    sid = F.col("doc_id").cast("string")
+    author = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<meta name="author" content="au '), sid,
+                 F.lit('">'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), sid, F.lit(" </title>"),
+        F.lit('<meta name="keywords" content="k'), sid, F.lit('">'),
+        author, F.lit("</head><body></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.com/p/"), sid).alias("url"),
+        html.alias("html"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("text/plain"))
+         .otherwise(F.lit("text/html")).alias("content_type"))
+    out = any23_parse_filter(
+        extractors=("html-head-title", "html-head-meta"),
+        ctype_col="content_type")(pages)
+    out = any23_indexing_filter()(out)
+    return out.select(
+        "url", F.posexplode("structured_data").alias("pos", "sd"),
+    ).select(
+        "url", F.col("pos").cast("int").alias("pos"),
+        F.col("sd.node").alias("node"), F.col("sd.key").alias("key"),
+        F.col("sd.short_key").alias("short_key"),
+        F.col("sd.value").alias("value"))
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1997,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_criteria_referrer": _q_index_criteria_referrer,
         "index_replace": _q_index_replace,
         "index_org": _q_index_org,
+        "any23_structured_data": _q_any23_structured_data,
     }.items()}
 
 
@@ -3593,6 +3634,36 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'h' || (doc_id % 5) || '.org' END
                 AS organization_domains
             FROM documents
+        """,
+        "any23_structured_data": """
+            WITH base AS (
+              SELECT doc_id,
+                     'http://h' || (doc_id % 50) || '.example.com/p/'
+                       || doc_id AS url
+              FROM documents
+              WHERE doc_id < 800 AND doc_id % 7 <> 0
+            ), t AS (
+              SELECT url, 0 AS ord, '<' || url || '>' AS node,
+                     '<http://purl.org/dc/terms/title>' AS "key",
+                     'title' AS short_key,
+                     '"Doc ' || doc_id || '"' AS "value"
+              FROM base
+              UNION ALL
+              SELECT url, 1, '<' || url || '>',
+                     '<http://vocab.sindice.net/any23#author>', 'author',
+                     '"au ' || doc_id || '"'
+              FROM base WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT url, 2, '<' || url || '>',
+                     '<http://vocab.sindice.net/any23#keywords>',
+                     'keywords', '"k' || doc_id || '"'
+              FROM base
+            )
+            SELECT url,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY ord)
+                        - 1 AS INT) AS pos,
+                   node, "key", short_key, "value"
+            FROM t
         """,
     }
 
