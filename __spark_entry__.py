@@ -1953,6 +1953,66 @@ def _q_any23_structured_data(spark, sf_dir):
         F.col("sd.value").alias("value"))
 
 
+def _q_zip_parse(spark, sf_dir):
+    # parse-zip plugin: one deterministic STORED zip per document (txt
+    # entry = the doc text; every 5th doc adds an html entry carrying a
+    # root-relative link), every 7th doc truncated against its declared
+    # length, every 11th-ish doc a non-zip blob — the DuckDB twin
+    # predicts status/text/outlinks per construction because zip STORED
+    # round-trips the payload bytes exactly.
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from coherencebot_spark.operators.parsezip import parse_zip
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400") \
+        .select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            urls, blobs, lens, ids = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                    zi = zipfile.ZipInfo(f"doc_{did}.txt",
+                                         (1980, 1, 1, 0, 0, 0))
+                    zf.writestr(zi, (text or "").encode())
+                    if did % 5 == 0:
+                        zi = zipfile.ZipInfo(f"p_{did}.html",
+                                             (1980, 1, 1, 0, 0, 0))
+                        zf.writestr(
+                            zi, f'<a href="/n/{did + 1}">next {did}</a>'
+                            .encode())
+                blob = buf.getvalue()
+                if did % 11 == 3:
+                    blob = b"garbage-not-a-zip-" + str(did).encode()
+                    declared = len(blob)
+                elif did % 7 == 0:
+                    declared = len(blob)
+                    blob = blob[:-3]
+                else:
+                    declared = len(blob)
+                urls.append(f"http://z{did % 20}.example.com/a_{did}.zip")
+                blobs.append(blob)
+                lens.append(declared)
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "url": urls,
+                                "bytes": blobs, "content_length": lens})
+
+    zips = d.mapInPandas(
+        build, schema="doc_id long, url string, bytes binary, "
+                      "content_length long")
+    out = parse_zip(zips, declared_len_col="content_length")
+    return out.select(
+        "url", "status", "text",
+        F.size("outlinks").cast("int").alias("n_links"),
+        F.try_element_at("outlinks", F.lit(1)).getField("to_url")
+        .alias("first_link"))
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2038,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_replace": _q_index_replace,
         "index_org": _q_index_org,
         "any23_structured_data": _q_any23_structured_data,
+        "zip_parse": _q_zip_parse,
     }.items()}
 
 
@@ -3664,6 +3725,31 @@ def oracle_sql() -> dict[str, str]:
                         - 1 AS INT) AS pos,
                    node, "key", short_key, "value"
             FROM t
+        """,
+        "zip_parse": """
+            SELECT
+              'http://z' || (doc_id % 20) || '.example.com/a_' || doc_id
+                || '.zip' AS url,
+              CASE WHEN doc_id % 11 = 3 OR doc_id % 7 = 0 THEN 'failed'
+                   ELSE 'success' END AS status,
+              CASE WHEN doc_id % 11 = 3 OR doc_id % 7 = 0 THEN ''
+                   ELSE 'doc_' || doc_id || '.txt '
+                        || trim(text, ' ' || chr(9) || chr(10) || chr(13))
+                        || ' '
+                        || CASE WHEN doc_id % 5 = 0
+                                THEN 'p_' || doc_id || '.html next '
+                                     || doc_id || ' '
+                                ELSE '' END
+              END AS text,
+              CAST(CASE WHEN doc_id % 11 <> 3 AND doc_id % 7 <> 0
+                             AND doc_id % 5 = 0
+                        THEN 1 ELSE 0 END AS INT) AS n_links,
+              CASE WHEN doc_id % 11 <> 3 AND doc_id % 7 <> 0
+                        AND doc_id % 5 = 0
+                   THEN 'http://z' || (doc_id % 20) || '.example.com/n/'
+                        || (doc_id + 1)
+              END AS first_link
+            FROM documents WHERE doc_id < 400
         """,
     }
 
