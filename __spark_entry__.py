@@ -2013,6 +2013,28 @@ def _q_zip_parse(spark, sf_dir):
         .alias("first_link"))
 
 
+def _q_ext_parse(spark, sf_dir):
+    # parse-ext plugin: external commands over document bytes — `cat`
+    # (identity: output text == input text) and `md5sum` (DuckDB's md5()
+    # is the relational twin of the subprocess digest), plus the
+    # no-command-registered failure class.  `sh -c <prog>` soaks the
+    # appended mime-type argv token into $0 (ExtParser.java:110 appends
+    # the content type to the command line).
+    from coherencebot_spark.operators.parseext import parse_ext
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 300")
+    ctype = (F.when(F.col("doc_id") % 9 == 0, F.lit("t/none"))
+              .when(F.col("doc_id") % 2 == 0, F.lit("t/cat"))
+              .otherwise(F.lit("t/md5")))
+    src = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("bytes"),
+        ctype.alias("content_type"))
+    out = parse_ext(src, {"t/cat": ("sh -c cat", 10),
+                          "t/md5": ("sh -c md5sum", 10)})
+    return out.select("url", "status", "message", "text")
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2099,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_org": _q_index_org,
         "any23_structured_data": _q_any23_structured_data,
         "zip_parse": _q_zip_parse,
+        "ext_parse": _q_ext_parse,
     }.items()}
 
 
@@ -3750,6 +3773,19 @@ def oracle_sql() -> dict[str, str]:
                         || (doc_id + 1)
               END AS first_link
             FROM documents WHERE doc_id < 400
+        """,
+        "ext_parse": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 9 = 0 THEN 'failed'
+                        ELSE 'success' END AS status,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN 'No external command defined for '
+                             || 'contentType: t/none'
+                        ELSE '' END AS message,
+                   CASE WHEN doc_id % 9 = 0 THEN ''
+                        WHEN doc_id % 2 = 0 THEN text
+                        ELSE md5(text) || '  -' || chr(10) END AS text
+            FROM documents WHERE doc_id < 300
         """,
     }
 
