@@ -2035,6 +2035,55 @@ def _q_ext_parse(spark, sf_dir):
     return out.select("url", "status", "message", "text")
 
 
+def _q_file_protocol(spark, sf_dir):
+    # protocol-file plugin: a deterministic tree is materialized under
+    # /tmp (driver and local executors share the filesystem; on a real
+    # cluster this is the shared-mount contract the reference inherits
+    # from the Hadoop FS API), every 6th document's file is withheld →
+    # NOTFOUND, the rest round-trip their bytes through the backend +
+    # content reader.  The DuckDB twin predicts status/text/length per
+    # construction.
+    import os
+
+    import pandas as pd
+
+    from coherencebot_spark.sources.protofile import (
+        file_backend, read_file_contents)
+    from coherencebot_spark.status import Proto
+
+    base = "/tmp/cb_file_proto_oracle"
+    os.makedirs(base, exist_ok=True)
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 200") \
+        .select("doc_id", "text")
+    for row in d.collect():  # 200 tiny files, once per run
+        if row["doc_id"] % 6 != 0:
+            with open(f"{base}/d{row['doc_id']}.txt", "w") as f:
+                f.write(row["text"] or "")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit(f"file://{base}/d"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("url"))
+
+    be = file_backend()
+
+    def outcomes(it):
+        for pdf in it:
+            o = be(pdf["url"])
+            pdf = pdf.copy()
+            pdf["proto_status"] = o["proto_status"].to_numpy()
+            yield pdf
+
+    fetched = urls.mapInPandas(
+        outcomes, schema="doc_id long, url string, proto_status int")
+    ok = fetched.filter(F.col("proto_status") == int(Proto.SUCCESS))
+    content = read_file_contents(ok)
+    return fetched.join(content, "url", "left").select(
+        "doc_id", "proto_status",
+        F.decode("bytes", "utf-8").alias("text"),
+        F.col("content_length").cast("long").alias("content_length"))
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2122,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "any23_structured_data": _q_any23_structured_data,
         "zip_parse": _q_zip_parse,
         "ext_parse": _q_ext_parse,
+        "file_protocol": _q_file_protocol,
     }.items()}
 
 
@@ -3786,6 +3836,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 2 = 0 THEN text
                         ELSE md5(text) || '  -' || chr(10) END AS text
             FROM documents WHERE doc_id < 300
+        """,
+        "file_protocol": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 6 = 0 THEN 14 ELSE 1 END
+                        AS INT) AS proto_status,
+                   CASE WHEN doc_id % 6 = 0 THEN NULL ELSE text END
+                     AS text,
+                   CASE WHEN doc_id % 6 = 0 THEN NULL
+                        ELSE octet_length(encode(text)) END
+                     AS content_length
+            FROM documents WHERE doc_id < 200
         """,
     }
 
