@@ -2084,6 +2084,56 @@ def _q_file_protocol(spark, sf_dir):
         F.col("content_length").cast("long").alias("content_length"))
 
 
+def _q_crawl_stats_format(spark, sf_dir):
+    # FormatCrawlStats: seed lines synthesized over 40 hosts (every 4th
+    # line claims an ally domain), completion counts covering 35 seed
+    # hosts + 6 ghost hosts + the 10 ally hosts — exercising merge order,
+    # first-claim-wins with final-state meta, unknown records, and
+    # absent-count NULLs.  The DuckDB twin reconstructs each record with
+    # ordered string_aggs.
+    from coherencebot_spark.operators.tools import format_crawl_stats
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 40).cast("string")
+    domains = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("\torg.domains=ally"),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".org;h"), k, F.lit(".org"))).otherwise(F.lit(""))
+    lines = d.filter("doc_id < 300").select(
+        F.col("doc_id").alias("seq"),
+        F.concat(
+            F.lit("http://h"), k, F.lit(".org/p"), sid,
+            F.lit("\tcollection.titles=T"), sid,
+            F.lit("\tcollection.ids=i"), sid,
+            F.lit("\tcollection.seed=http://h"), k, F.lit(".org/p"), sid,
+            F.lit("\torg.slug=sl"), sid,
+            domains).alias("line"))
+    comp = d.filter("doc_id < 35").select(
+        F.concat(F.lit("h"), sid, F.lit(".org")).alias("host"),
+        (F.col("doc_id") * 3).alias("fetched"),
+        (F.col("doc_id") + 1).alias("unfetched"),
+    ).unionByName(d.filter("doc_id >= 40 and doc_id < 46").select(
+        F.concat(F.lit("h"), sid, F.lit(".org")).alias("host"),
+        (F.col("doc_id") * 3).alias("fetched"),
+        (F.col("doc_id") + 1).alias("unfetched"),
+    )).unionByName(d.filter("doc_id < 10").select(
+        F.concat(F.lit("ally"), sid, F.lit(".org")).alias("host"),
+        F.col("doc_id").alias("fetched"),
+        F.lit(0).cast("long").alias("unfetched")))
+    out = format_crawl_stats(lines, comp, region="eu", seq_col="seq")
+    return out.select(
+        "host", "type", "region",
+        F.array_join("collection_titles", "|").alias("titles"),
+        F.array_join("collection_ids", "|").alias("ids"),
+        F.array_join("collection_seeds", "|").alias("seeds"),
+        F.col("org_slug").alias("slug"),
+        F.array_join("org_domains", "|").alias("domains"),
+        F.col("fetched").cast("long").alias("fetched"),
+        F.col("unfetched").cast("long").alias("unfetched"))
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2172,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_parse": _q_zip_parse,
         "ext_parse": _q_ext_parse,
         "file_protocol": _q_file_protocol,
+        "crawl_stats_format": _q_crawl_stats_format,
     }.items()}
 
 
@@ -3847,6 +3898,56 @@ def oracle_sql() -> dict[str, str]:
                         ELSE octet_length(encode(text)) END
                      AS content_length
             FROM documents WHERE doc_id < 200
+        """,
+        "crawl_stats_format": """
+            WITH sl AS (
+              SELECT doc_id, doc_id % 40 AS k
+              FROM documents WHERE doc_id < 300
+            ), h AS (
+              SELECT k, 'h' || k || '.org' AS host,
+                     'sl' || min(doc_id) AS slug,
+                     string_agg('T' || doc_id, '|' ORDER BY doc_id)
+                       AS titles,
+                     string_agg('i' || doc_id, '|' ORDER BY doc_id) AS ids,
+                     string_agg('http://h' || k || '.org/p' || doc_id,
+                                '|' ORDER BY doc_id) AS seeds,
+                     string_agg(CASE WHEN doc_id % 4 = 0
+                                THEN 'ally' || (doc_id % 10) || '.org|h'
+                                     || k || '.org'
+                                ELSE 'h' || k || '.org' END,
+                                '|' ORDER BY doc_id) AS domains
+              FROM sl GROUP BY k
+            ), comp AS (
+              SELECT 'h' || doc_id || '.org' AS host,
+                     doc_id * 3 AS fetched, doc_id + 1 AS unfetched
+              FROM documents WHERE doc_id < 35
+              UNION ALL
+              SELECT 'h' || doc_id || '.org', doc_id * 3, doc_id + 1
+              FROM documents WHERE doc_id >= 40 AND doc_id < 46
+              UNION ALL
+              SELECT 'ally' || doc_id || '.org', doc_id, 0
+              FROM documents WHERE doc_id < 10
+            ), claims AS (
+              SELECT doc_id % 10 AS m, min(doc_id) AS cdoc
+              FROM sl WHERE doc_id % 4 = 0 GROUP BY doc_id % 10
+            )
+            SELECT h.host, 'host' AS type, 'eu' AS region,
+                   h.titles, h.ids, h.seeds, h.slug, h.domains,
+                   c.fetched, c.unfetched
+            FROM h LEFT JOIN comp c ON c.host = h.host
+            UNION ALL
+            SELECT c.host, 'host', NULL,
+                   COALESCE(hh.titles, 'unknown'),
+                   COALESCE(hh.ids, 'unknown'),
+                   COALESCE(hh.seeds, 'unknown'),
+                   COALESCE(hh.slug, 'unknown'),
+                   COALESCE(hh.domains, 'unknown'),
+                   c.fetched, c.unfetched
+            FROM comp c
+            LEFT JOIN h hs ON hs.host = c.host
+            LEFT JOIN claims cl ON c.host = 'ally' || cl.m || '.org'
+            LEFT JOIN h hh ON hh.k = cl.cdoc % 40
+            WHERE hs.host IS NULL
         """,
     }
 

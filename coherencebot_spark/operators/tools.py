@@ -94,3 +94,128 @@ def parse_dmoz_rdf(spark: SparkSession, path: str,
         ).alias("line")
     )
     return lines.select(F.col("line").cast(SEEDS["line"].dataType).alias("line"))
+
+
+# ---------------------------------------------------------------------------
+# FormatCrawlStats — the fork's dashboard-record formatter
+# (ref util/FormatCrawlStats.java:35-287)
+# ---------------------------------------------------------------------------
+
+def _meta_val(cell, limit: int = -1):
+    """``columns[i].split("=")[1]`` — Java split truncates the value at a
+    second ``=`` unless the limit-2 form is used (:223-229 vs :221)."""
+    return F.element_at(F.split(cell, "=", limit), 2)
+
+
+def format_crawl_stats(seed_lines: DataFrame, completion: DataFrame,
+                       region: str = "local",
+                       seq_col: str | None = None) -> DataFrame:
+    """``util/FormatCrawlStats.java:35-210`` — merge the seed list's
+    collection metadata with CrawlCompletionStats counts into one
+    dashboard record per host (the tool's ``hosts.json`` rows).
+
+    Inputs: ``seed_lines`` in the SEEDS shape (``line`` =
+    ``url\\tcollection.titles=..\\tcollection.ids=..\\tcollection.seed=..
+    \\torg.slug=..[\\torg.domains=a;b]``, position-based like tsvToJson
+    :210-249 — lines with <5 columns or no parseable host are dropped);
+    ``completion`` = ``(host, fetched, unfetched)`` from
+    :func:`readdb.crawl_completion_stats` (the reference re-parses the
+    same job's text output, :251-277).
+
+    Reference semantics preserved:
+
+    * same-host seed lines merge by APPENDING title/id/seed/domain
+      arrays in line order, first line's slug/url win (:52-102);
+    * ``org.domains`` absent → ``[host]`` (:231);
+    * the ``=``-truncation quirk: title/id/slug values cut at a second
+      ``=``, ``collection.seed`` keeps it (limit-2 split, :221);
+    * allowed-host claims: a non-seed host named in some seed's
+      ``org.domains`` inherits that seed host's (final) collection meta;
+      the FIRST line naming it wins (:104-121 — the stored JSONArrays
+      alias the seed host's, so later merges show through: final-state
+      semantics);
+    * completion hosts not in the seed list become records with claimed
+      or ``unknown`` meta and no region (:140-161); either count
+      defaults to 0 for any host the completion output names (:164-176);
+      seed hosts the completion never names keep NULL counts (the
+      reference leaves the JSON keys absent);
+    * ``type`` = ``host`` everywhere, ``region`` (the reference's
+      COHERENCEBOT_REGION env) only on seed-host records (:242-246).
+
+    Scale shape: two groupBys on host + one broadcast-sized claims join —
+    the seed list is small by construction; completion is one row per
+    host.  Everything is JVM expressions (no Python row path).
+    """
+    seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+    c = F.split("line", "\t")
+    parsed = seed_lines.select(seq.alias("seq"), c.alias("c")) \
+        .filter(F.size("c") >= 5)
+    url = F.element_at("c", 1)
+    host = F.try_parse_url(url, F.lit("HOST"))
+    parsed = parsed.select(
+        "seq",
+        host.alias("host"),
+        _meta_val(F.element_at("c", 2)).alias("title"),
+        _meta_val(F.element_at("c", 3)).alias("cid"),
+        _meta_val(F.element_at("c", 4), 2).alias("cseed"),
+        _meta_val(F.element_at("c", 5)).alias("org_slug"),
+        F.when(F.size("c") > 5,
+               F.split(_meta_val(F.element_at("c", 6)), ";"))
+         .otherwise(F.array(host)).alias("domains"),
+    ).filter(F.col("host").isNotNull())
+
+    def _ordered(col):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", F.col(col)
+                                                 .alias("v")))),
+            lambda s: s["v"])
+
+    hosts = parsed.groupBy("host").agg(
+        F.min("seq").alias("seq0"),
+        F.min_by("org_slug", "seq").alias("org_slug"),
+        _ordered("title").alias("collection_titles"),
+        _ordered("cid").alias("collection_ids"),
+        _ordered("cseed").alias("collection_seeds"),
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "domains"))),
+            lambda s: s["domains"])).alias("org_domains"),
+    )
+
+    # allowed-host claims: first LINE naming d (d != its own host) wins
+    claims = parsed.select(
+        "seq", "host", F.explode("domains").alias("allowed")) \
+        .filter(F.col("allowed") != F.col("host")) \
+        .groupBy("allowed").agg(F.min_by("host", "seq").alias("via_host"))
+    claims = claims.join(
+        hosts.select(F.col("host").alias("via_host"), "org_slug",
+                     "collection_titles", "collection_ids",
+                     "collection_seeds", "org_domains"),
+        "via_host").drop("via_host")
+
+    comp = completion.select(
+        "host",
+        F.coalesce(F.col("fetched").cast("long"), F.lit(0))
+        .alias("fetched"),
+        F.coalesce(F.col("unfetched").cast("long"), F.lit(0))
+        .alias("unfetched"))
+
+    seed_rows = hosts.join(F.broadcast(comp), "host", "left").select(
+        "host", F.col("host").alias("id"), F.lit("host").alias("type"),
+        F.lit(region).alias("region"), "collection_titles",
+        "collection_ids", "collection_seeds", "org_slug", "org_domains",
+        "fetched", "unfetched")
+
+    unknown = F.array(F.lit("unknown"))
+    extra = comp.join(hosts.select("host"), "host", "left_anti") \
+        .join(F.broadcast(claims.withColumnRenamed("allowed", "host")),
+              "host", "left").select(
+        "host", F.col("host").alias("id"), F.lit("host").alias("type"),
+        F.lit(None).cast("string").alias("region"),
+        F.coalesce("collection_titles", unknown).alias("collection_titles"),
+        F.coalesce("collection_ids", unknown).alias("collection_ids"),
+        F.coalesce("collection_seeds", unknown).alias("collection_seeds"),
+        F.coalesce("org_slug", F.lit("unknown")).alias("org_slug"),
+        F.coalesce("org_domains", unknown).alias("org_domains"),
+        "fetched", "unfetched")
+
+    return seed_rows.unionByName(extra)
