@@ -2134,6 +2134,42 @@ def _q_crawl_stats_format(spark, sf_dir):
         F.col("unfetched").cast("long").alias("unfetched"))
 
 
+def _q_fetcher_events(spark, sf_dir):
+    # publisher extension point: the START/END/REPORT event stream over a
+    # fetch log + parse rows shaped from events; the DuckDB twin unions
+    # the same three projections.  Map values surface as extracted
+    # columns (status name / title) so the compare is hash-stable.
+    from coherencebot_spark.operators.publisher import fetcher_events
+    from coherencebot_spark.status import Fetch
+
+    e = _t(spark, sf_dir, "events").filter("event_id < 2000")
+    status = (F.when(F.col("event_id") % 5 == 0, int(Fetch.GONE))
+               .when(F.col("event_id") % 3 == 0, int(Fetch.RETRY))
+               .otherwise(int(Fetch.SUCCESS)))
+    fl = e.select(
+        F.concat(F.lit("http://h"), (F.col("event_id") % 30).cast("string"),
+                 F.lit(".org/p"), F.col("event_id").cast("string"))
+        .alias("url"),
+        status.cast("int").alias("status"),
+        (F.lit(1_700_000_000_000) + F.col("event_id") * 100)
+        .cast("long").alias("fetch_time"))
+    pr = e.filter((F.col("event_id") % 5 != 0)
+                  & (F.col("event_id") % 3 != 0)).select(
+        F.concat(F.lit("http://h"), (F.col("event_id") % 30).cast("string"),
+                 F.lit(".org/p"), F.col("event_id").cast("string"))
+        .alias("url"),
+        (F.lit(1_700_000_000_000) + F.col("event_id") * 100)
+        .cast("long").alias("fetch_time"),
+        F.concat(F.lit("Title "), F.col("event_id").cast("string"))
+        .alias("title"),
+        F.lit("text/html").alias("content_type"))
+    ev = fetcher_events(fl, pr)
+    return ev.select(
+        "event_type", "url", "timestamp",
+        F.try_element_at("event_data", F.lit("status")).alias("status_name"),
+        F.try_element_at("event_data", F.lit("title")).alias("title"))
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2223,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_parse": _q_ext_parse,
         "file_protocol": _q_file_protocol,
         "crawl_stats_format": _q_crawl_stats_format,
+        "fetcher_events": _q_fetcher_events,
     }.items()}
 
 
@@ -3948,6 +3985,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN claims cl ON c.host = 'ally' || cl.m || '.org'
             LEFT JOIN h hh ON hh.k = cl.cdoc % 40
             WHERE hs.host IS NULL
+        """,
+        "fetcher_events": """
+            WITH fl AS (
+              SELECT 'http://h' || (event_id % 30) || '.org/p' || event_id
+                       AS url,
+                     CASE WHEN event_id % 5 = 0 THEN 'fetch_gone'
+                          WHEN event_id % 3 = 0 THEN 'fetch_retry'
+                          ELSE 'fetch_success' END AS status_name,
+                     1700000000000 + event_id * 100 AS ts,
+                     event_id
+              FROM events WHERE event_id < 2000
+            )
+            SELECT 'START' AS event_type, url, ts AS timestamp,
+                   NULL AS status_name, NULL AS title FROM fl
+            UNION ALL
+            SELECT 'END', url, ts, status_name, NULL FROM fl
+            UNION ALL
+            SELECT 'REPORT', url, ts, NULL, 'Title ' || event_id
+            FROM fl WHERE event_id % 5 <> 0 AND event_id % 3 <> 0
         """,
     }
 
