@@ -219,3 +219,53 @@ def format_crawl_stats(seed_lines: DataFrame, completion: DataFrame,
         "fetched", "unfetched")
 
     return seed_rows.unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# Checker tools — URLFilterChecker / URLNormalizerChecker
+# (ref net/URLFilterChecker.java:72-83, net/URLNormalizerChecker.java:77-89;
+#  util/AbstractChecker.java provides the stdin/telnet front end)
+# ---------------------------------------------------------------------------
+
+def check_url_filters(urls: DataFrame, chain=None,
+                      url_col: str = "line") -> DataFrame:
+    """URLFilterChecker.process: each input line answers ``+<url>`` when
+    the filter chain keeps it, ``-<url>`` when any filter drops it.  The
+    stdin/telnet loop of AbstractChecker is the front end, not the
+    semantics — a DataFrame in/out is the engine's equivalent; pipe the
+    result through ``collect``/``show`` for the interactive use case."""
+    from ..functions.urls import URLFilterChain, with_filter_accept
+
+    out = with_filter_accept(urls, chain or URLFilterChain(),
+                             in_col=url_col, out_col="_ok")
+    return out.select(
+        F.col(url_col),
+        F.concat(F.when(F.col("_ok"), F.lit("+")).otherwise(F.lit("-")),
+                 F.col(url_col)).alias("result"))
+
+
+def check_url_normalizers(urls: DataFrame, normalizers=None,
+                          url_col: str = "line") -> DataFrame:
+    """URLNormalizerChecker.process: each line answers its normalized
+    form; a null/malformed outcome answers the empty string (:80-87).
+    ``normalizers``: ordered list of objects with ``normalize(Series)``
+    (the chain contract of ``functions.urls``); default = the basic
+    normalizer."""
+    from pyspark.sql.types import StringType
+
+    from ..functions.urls import normalize_urls
+
+    chain = normalizers
+
+    @F.pandas_udf(StringType())
+    def _norm(u: pd.Series) -> pd.Series:
+        s = u.astype(object)
+        if chain is None:
+            s = normalize_urls(s)
+        else:
+            for n in chain:
+                s = n.normalize(s)
+        return s.fillna("")
+
+    return urls.select(
+        F.col(url_col), _norm(F.col(url_col)).alias("result"))
