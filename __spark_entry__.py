@@ -2170,6 +2170,27 @@ def _q_fetcher_events(spark, sf_dir):
         F.try_element_at("event_data", F.lit("title")).alias("title"))
 
 
+def _q_dedup_components(spark, sf_dir):
+    # large-star/small-star connected components over a constructed
+    # near-dup pair graph: 6-node chains (one per group of doc_ids) plus
+    # sparse cross-group merge edges — the transitive closure is
+    # predictable per construction, so the DuckDB twin is a CASE
+    # expression, no recursion.
+    from coherencebot_spark.datapipe.components import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 600")
+    i = F.col("doc_id")
+    chain = d.filter((i % 6 != 5) & (i < 599)).select(
+        i.alias("a"), (i + 1).alias("b"))
+    merge = d.filter((i % 60 == 0) & (i < 570)).select(
+        i.alias("a"), (i + 30).alias("b"))
+    pairs = chain.unionByName(merge)
+    out = dedup_clusters(d.select("doc_id"), pairs)
+    return out.select(
+        "doc_id", F.col("component").cast("long").alias("component"),
+        "is_canonical")
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2260,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_protocol": _q_file_protocol,
         "crawl_stats_format": _q_crawl_stats_format,
         "fetcher_events": _q_fetcher_events,
+        "dedup_components": _q_dedup_components,
     }.items()}
 
 
@@ -4004,6 +4026,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'REPORT', url, ts, NULL, 'Title ' || event_id
             FROM fl WHERE event_id % 5 <> 0 AND event_id % 3 <> 0
+        """,
+        "dedup_components": """
+            SELECT doc_id,
+                   CAST(CASE WHEN (doc_id // 6) % 10 = 5
+                             THEN 6 * ((doc_id // 6) - 5)
+                             ELSE 6 * (doc_id // 6) END AS BIGINT)
+                     AS component,
+                   (CASE WHEN (doc_id // 6) % 10 = 5
+                         THEN 6 * ((doc_id // 6) - 5)
+                         ELSE 6 * (doc_id // 6) END) = doc_id
+                     AS is_canonical
+            FROM documents WHERE doc_id < 600
         """,
     }
 
