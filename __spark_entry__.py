@@ -2191,6 +2191,28 @@ def _q_dedup_components(spark, sf_dir):
         "is_canonical")
 
 
+def _q_data_mix(spark, sf_dir):
+    # deterministic sampling / mixing: stratified keep (a=100%, b=25%,
+    # c dropped), fractional upsample (w=1.5), stable train/eval split —
+    # every decision is an md5-prefix predicate DuckDB reproduces
+    # bit-identically, so the SAMPLE ITSELF is under the hard oracle.
+    from coherencebot_spark.datapipe.sampling import (
+        deterministic_upsample, stratified_sample, train_eval_split)
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 2000")
+    i = F.col("doc_id")
+    d = d.withColumn(
+        "stratum", F.when(i % 3 == 0, "a").when(i % 3 == 1, "b")
+        .otherwise("c")).select("doc_id", "stratum")
+    kept = stratified_sample(d, {"a": 1.0, "b": 0.25}, "stratum", salt="s")
+    up = deterministic_upsample(kept, 1.5)
+    out = train_eval_split(
+        up.groupBy("doc_id", "stratum").agg(
+            F.count(F.lit(1)).cast("int").alias("n_copies")),
+        0.1)
+    return out.select("doc_id", "stratum", "split", "n_copies")
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2282,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_stats_format": _q_crawl_stats_format,
         "fetcher_events": _q_fetcher_events,
         "dedup_components": _q_dedup_components,
+        "data_mix": _q_data_mix,
     }.items()}
 
 
@@ -4038,6 +4061,27 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 6 * (doc_id // 6) END) = doc_id
                      AS is_canonical
             FROM documents WHERE doc_id < 600
+        """,
+        "data_mix": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                          ELSE 'c' END AS stratum
+              FROM documents WHERE doc_id < 2000
+            ), kept AS (
+              SELECT * FROM s
+              WHERE stratum = 'a'
+                 OR (stratum = 'b'
+                     AND substr(md5('s' || doc_id), 1, 8) < '40000000')
+            )
+            SELECT doc_id, stratum,
+                   CASE WHEN substr(md5('split' || doc_id), 1, 8)
+                             < '19999999'
+                        THEN 'eval' ELSE 'train' END AS split,
+                   CAST(CASE WHEN substr(md5('up' || doc_id), 1, 8)
+                                  < '80000000'
+                             THEN 2 ELSE 1 END AS INT) AS n_copies
+            FROM kept
         """,
     }
 
