@@ -2213,6 +2213,62 @@ def _q_data_mix(spark, sf_dir):
     return out.select("doc_id", "stratum", "split", "n_copies")
 
 
+def _q_pii_scrub(spark, sf_dir):
+    # PII scrub: synthetic PII appended per construction class; the
+    # DuckDB twin runs the SAME RE2-safe pattern strings through
+    # regexp_replace(..., 'g') / regexp_extract_all, so redaction and
+    # counters are exactly verified.
+    from coherencebot_spark.datapipe.scrub import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    sid = F.col("doc_id").cast("string")
+    tail = (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" mail a"), sid, F.lit("@ex.com")))
+             .when(F.col("doc_id") % 4 == 1,
+                   F.concat(F.lit(" ip 10.0.0."),
+                            (F.col("doc_id") % 250).cast("string")))
+             .when(F.col("doc_id") % 4 == 2, F.lit(" call 555-123-4567"))
+             .otherwise(F.lit("")))
+    src = d.select("doc_id", F.concat("text", tail).alias("text"))
+    out = scrub_pii(src)
+    return out.select(
+        "doc_id", "text",
+        F.col("pii_counts")["email"].cast("int").alias("email_n"),
+        F.col("pii_counts")["ipv4"].cast("int").alias("ip_n"),
+        F.col("pii_counts")["phone"].cast("int").alias("phone_n"),
+        F.col("pii_counts")["id_number"].cast("int").alias("id_n"))
+
+
+def _q_gopher_repetition(spark, sf_dir):
+    # Gopher repetition rules over constructed line structure: every 3rd
+    # doc repeats a line (duplicate-line metrics per construction); the
+    # bigram threshold is parked at 1.0 so the keep flag is the line
+    # rules' conjunction, which the DuckDB twin reproduces with length
+    # arithmetic.
+    from coherencebot_spark.datapipe.repetition import (
+        duplicate_line_char_fraction, duplicate_line_fraction,
+        gopher_repetition_filter)
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    sid = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    third = F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("L"), k)) \
+        .otherwise(F.concat(F.lit("X"), sid))
+    text = F.concat(F.lit("L"), k, F.lit("\nM"), sid, F.lit("\n"), third)
+    src = d.select("doc_id", text.alias("text"))
+    out = gopher_repetition_filter(
+        src, max_dup_line_frac=0.3, max_dup_line_char_frac=0.45,
+        max_top_bigram_char_frac=1.0, keep_col="keep")
+    return out.select(
+        "doc_id",
+        F.round(duplicate_line_fraction(F.col("text")), 6)
+        .alias("dup_line_frac"),
+        F.round(duplicate_line_char_fraction(F.col("text")), 6)
+        .alias("dup_char_frac"),
+        "keep")
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2305,6 +2361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetcher_events": _q_fetcher_events,
         "dedup_components": _q_dedup_components,
         "data_mix": _q_data_mix,
+        "pii_scrub": _q_pii_scrub,
+        "gopher_repetition": _q_gopher_repetition,
     }.items()}
 
 
@@ -4082,6 +4140,46 @@ def oracle_sql() -> dict[str, str]:
                                   < '80000000'
                              THEN 2 ELSE 1 END AS INT) AS n_copies
             FROM kept
+        """,
+        "pii_scrub": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 4 = 0
+                         THEN ' mail a' || doc_id || '@ex.com'
+                       WHEN doc_id % 4 = 1
+                         THEN ' ip 10.0.0.' || (doc_id % 250)
+                       WHEN doc_id % 4 = 2 THEN ' call 555-123-4567'
+                       ELSE '' END AS text
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(src.text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+[0-9][0-9 ()./-]{6,14}[0-9]|\([0-9]{3}\) ?[0-9]{3}[- ][0-9]{4}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+                       '\b[0-9]{9,16}\b', '<ID>', 'g') AS text,
+                   CAST(len(regexp_extract_all(src.text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS email_n,
+                   CAST(len(regexp_extract_all(src.text,
+                     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS ip_n,
+                   CAST(len(regexp_extract_all(src.text,
+                     '\+[0-9][0-9 ()./-]{6,14}[0-9]|\([0-9]{3}\) ?[0-9]{3}[- ][0-9]{4}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS phone_n,
+                   CAST(len(regexp_extract_all(src.text,
+                     '\b[0-9]{9,16}\b')) AS INT) AS id_n
+            FROM src
+        """,
+        "gopher_repetition": """
+            SELECT doc_id,
+                   ROUND(CASE WHEN doc_id % 3 = 0 THEN 1.0/3.0
+                              ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN doc_id % 3 = 0
+                              THEN 4.0 / (5 + length(CAST(doc_id
+                                          AS VARCHAR)))
+                              ELSE 0.0 END, 6) AS dup_char_frac,
+                   doc_id % 3 <> 0 AS keep
+            FROM documents WHERE doc_id < 400
         """,
     }
 
