@@ -2269,6 +2269,28 @@ def _q_gopher_repetition(spark, sf_dir):
         "keep")
 
 
+def _q_decontaminate(spark, sf_dir):
+    # eval-set decontamination: eval docs are the first 6 words of every
+    # 10th train doc, so tri-gram overlap is guaranteed (plus whatever
+    # coincidental word-soup collisions exist — the DuckDB twin computes
+    # the SAME full n-gram join relationally, not per construction).
+    from coherencebot_spark.datapipe.contamination import decontaminate
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 300")
+    tr = d.select("doc_id", "text")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    ev = d.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 6), " ").alias("text"))
+    out = decontaminate(tr, ev, n=3)
+    return out.select(
+        "doc_id", "n_ngrams", "n_hits",
+        F.array_join(F.transform("eval_ids",
+                                 lambda x: x.cast("string")), "|")
+        .alias("eval_ids"),
+        "contaminated")
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2363,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mix": _q_data_mix,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher_repetition,
+        "decontaminate": _q_decontaminate,
     }.items()}
 
 
@@ -4180,6 +4203,51 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS dup_char_frac,
                    doc_id % 3 <> 0 AS keep
             FROM documents WHERE doc_id < 400
+        """,
+        "decontaminate": r"""
+            WITH tr AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                       lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id < 300
+            ), tn AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                         AS g
+                FROM tr)
+            ), ev AS (
+              SELECT doc_id + 10000 AS eval_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\s+'), x -> x <> '')[1:6] AS ws
+              FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0
+            ), en AS (
+              SELECT DISTINCT eval_id, g FROM (
+                SELECT eval_id,
+                       unnest(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                         AS g
+                FROM ev)
+            ), hitpairs AS (
+              SELECT DISTINCT tn.doc_id, tn.g, en.eval_id
+              FROM tn JOIN en ON tn.g = en.g
+            ), hits AS (
+              SELECT doc_id,
+                     count(DISTINCT g) AS n_hits,
+                     list_sort(list(DISTINCT eval_id)) AS eval_ids
+              FROM hitpairs GROUP BY doc_id
+            ), counts AS (
+              SELECT doc_id, count(*) AS n_ngrams FROM tn GROUP BY doc_id
+            )
+            SELECT tr.doc_id,
+                   COALESCE(c.n_ngrams, 0) AS n_ngrams,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(array_to_string(list_transform(h.eval_ids,
+                     x -> CAST(x AS VARCHAR)), '|'), '') AS eval_ids,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM tr
+            LEFT JOIN counts c ON c.doc_id = tr.doc_id
+            LEFT JOIN hits h ON h.doc_id = tr.doc_id
         """,
     }
 
