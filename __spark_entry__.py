@@ -2291,6 +2291,18 @@ def _q_decontaminate(spark, sf_dir):
         "contaminated")
 
 
+def _q_chunk_manifest(spark, sf_dir):
+    # concat-and-chunk packing manifest at chunk=97 tokens (prime, so
+    # documents straddle boundaries constantly); the DuckDB twin is a
+    # single-stream window cumsum + lateral generate_series — the
+    # distributed two-level offset must agree with it exactly.
+    from coherencebot_spark.datapipe.packing import chunk_manifest
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 300") \
+        .select("doc_id", "text")
+    return chunk_manifest(d, 97, parallelism=8)
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2386,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher_repetition,
         "decontaminate": _q_decontaminate,
+        "chunk_manifest": _q_chunk_manifest,
     }.items()}
 
 
@@ -4248,6 +4261,33 @@ def oracle_sql() -> dict[str, str]:
             FROM tr
             LEFT JOIN counts c ON c.doc_id = tr.doc_id
             LEFT JOIN hits h ON h.doc_id = tr.doc_id
+        """,
+        "chunk_manifest": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n
+              FROM documents WHERE doc_id < 300
+            ), dd AS (
+              SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS strt
+              FROM d WHERE n > 0
+            )
+            SELECT CAST(g.generate_series AS BIGINT) AS chunk_id,
+                   dd.doc_id,
+                   CAST(greatest(strt, g.generate_series * 97) - strt
+                        AS BIGINT) AS doc_offset,
+                   CAST(greatest(strt, g.generate_series * 97)
+                        - g.generate_series * 97 AS BIGINT)
+                     AS chunk_offset,
+                   CAST(least(strt + n, (g.generate_series + 1) * 97)
+                        - greatest(strt, g.generate_series * 97)
+                        AS BIGINT) AS len
+            FROM dd, unnest(range(CAST(strt // 97 AS BIGINT),
+                            CAST((strt + n - 1) // 97 + 1 AS BIGINT)))
+                          AS g(generate_series)
         """,
     }
 
