@@ -1,0 +1,159 @@
+"""End-to-end training-corpus pipeline — the composition the individual
+datapipe operators exist for.
+
+Stage order follows the published corpus recipes (C4 / MassiveText /
+RefinedWeb / Dolma all converge on the same skeleton), cheapest-first so
+each stage shrinks the data the next one touches:
+
+1. **scrub**        — PII redaction (pure Project; run first so every
+                      later stage sees clean text);
+2. **quality**      — language gate + Gopher repetition rules (pure
+                      Project filters — drop early, they're free);
+3. **exact dedup**  — md5 groupBy keeps one copy per byte-identical text;
+4. **near dedup**   — MinHash-LSH pairs → connected components →
+                      cluster-canonical survivor (the only multi-shuffle
+                      stage; runs on the already-shrunk corpus);
+5. **decontaminate**— n-gram overlap vs the eval set (broadcast join);
+6. **mix**          — deterministic stratified sampling + per-stratum
+                      upsampling (Project + bounded explode);
+7. **pack**         — concat-and-chunk manifest (two-level offset sum).
+
+Every stage is optional and individually hard-oracled (see
+``__spark_entry__``); this module adds the glue, a per-stage row-count
+audit (one tiny aggregate per enabled stage — the numbers a pipeline
+operator actually watches), and the canonical ordering so users don't
+re-derive it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CorpusConfig", "build_training_corpus"]
+
+
+@dataclass
+class CorpusConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # stage toggles
+    scrub: bool = True
+    quality: bool = True
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    decontaminate: bool = True
+    mix: bool = True
+    pack: bool = True
+    # quality gates
+    languages: tuple = ()           # () = no language gate
+    max_dup_line_frac: float = 0.30
+    max_dup_line_char_frac: float = 0.20
+    max_top_bigram_char_frac: float = 0.20
+    # near-dup knobs (minhash_lsh_pairs passthrough)
+    minhash_k: int = 5
+    minhash_hashes: int = 32
+    minhash_bands: int = 8
+    # decontamination
+    decontam_n: int = 13
+    # mixing: stratum column + fraction recipe (None = single fraction)
+    strata_col: str | None = None
+    fractions: Mapping[str, float] = field(default_factory=dict)
+    sample_fraction: float = 1.0
+    upsample_weight: float = 1.0
+    salt: str = ""
+    # packing
+    chunk_tokens: int = 2048
+
+
+def build_training_corpus(docs: DataFrame,
+                          eval_docs: DataFrame | None = None,
+                          cfg: CorpusConfig = CorpusConfig(),
+                          ) -> tuple[DataFrame, dict[str, int]]:
+    """Run the enabled stages in canonical order.
+
+    Returns ``(result, audit)`` — ``result`` is the chunk manifest when
+    ``cfg.pack`` else the surviving document frame; ``audit`` maps stage
+    name → row count after the stage (each count is one aggregate; at
+    production scale pass the frame through ``persist()`` first or set
+    the toggles you don't need to False)."""
+    from .contamination import decontaminate as _decon
+    from .components import dedup_clusters
+    from .dedup_text import minhash_lsh_pairs
+    from .packing import chunk_manifest
+    from .repetition import gopher_repetition_filter
+    from .sampling import deterministic_sample, deterministic_upsample, \
+        stratified_sample
+    from .scrub import scrub_pii
+    from .text_quality import with_lang_id
+
+    audit: dict[str, int] = {"input": docs.count()}
+    out = docs
+
+    if cfg.scrub:
+        out = scrub_pii(out, text_col=cfg.text_col, counts_col=None)
+
+    if cfg.quality:
+        if cfg.languages:
+            out = with_lang_id(out, text_col=cfg.text_col) \
+                .filter(F.col("lang_pred").isin(*cfg.languages)) \
+                .drop("lang_pred")
+        out = gopher_repetition_filter(
+            out, text_col=cfg.text_col,
+            max_dup_line_frac=cfg.max_dup_line_frac,
+            max_dup_line_char_frac=cfg.max_dup_line_char_frac,
+            max_top_bigram_char_frac=cfg.max_top_bigram_char_frac)
+        audit["quality"] = out.count()
+
+    if cfg.exact_dedup:
+        # keep the minimum id per byte-identical text (one shuffle on
+        # the md5 key; text itself never shuffles — only (id, md5) do)
+        keys = out.select(F.col(cfg.id_col).alias("_kid"),
+                          F.md5(F.col(cfg.text_col)).alias("_sig"))
+        keep = keys.groupBy("_sig").agg(F.min("_kid").alias("_keep"))
+        survivors = keys.join(keep, "_sig") \
+            .filter(F.col("_kid") == F.col("_keep")).select("_kid")
+        out = out.join(survivors.withColumnRenamed("_kid", cfg.id_col),
+                       cfg.id_col, "left_semi")
+        audit["exact_dedup"] = out.count()
+
+    if cfg.near_dedup:
+        pairs = minhash_lsh_pairs(
+            out, id_col=cfg.id_col, text_col=cfg.text_col,
+            k=cfg.minhash_k, n_hashes=cfg.minhash_hashes,
+            bands=cfg.minhash_bands, verify_threshold=None,
+            pair_mode="star")
+        out = dedup_clusters(out, pairs, id_col=cfg.id_col,
+                             a_col="id_a", b_col="id_b") \
+            .filter(F.col("is_canonical")) \
+            .drop("component", "is_canonical")
+        audit["near_dedup"] = out.count()
+
+    if cfg.decontaminate and eval_docs is not None:
+        out = _decon(out, eval_docs, n=cfg.decontam_n,
+                     id_col=cfg.id_col, text_col=cfg.text_col,
+                     keep_col=None) \
+            .drop("n_ngrams", "n_hits", "eval_ids", "hit_frac")
+        audit["decontaminate"] = out.count()
+
+    if cfg.mix:
+        if cfg.strata_col and cfg.fractions:
+            out = stratified_sample(out, cfg.fractions, cfg.strata_col,
+                                    key_col=cfg.id_col, salt=cfg.salt)
+        elif cfg.sample_fraction < 1.0:
+            out = deterministic_sample(out, cfg.sample_fraction,
+                                       key_col=cfg.id_col, salt=cfg.salt)
+        if cfg.upsample_weight != 1.0:
+            out = deterministic_upsample(out, cfg.upsample_weight,
+                                         key_col=cfg.id_col)
+        audit["mix"] = out.count()
+
+    if cfg.pack:
+        out = chunk_manifest(out, cfg.chunk_tokens, id_col=cfg.id_col,
+                             text_col=cfg.text_col)
+        audit["chunks"] = out.select("chunk_id").distinct().count()
+
+    return out, audit
