@@ -2303,6 +2303,84 @@ def _q_chunk_manifest(spark, sf_dir):
     return chunk_manifest(d, 97, parallelism=8)
 
 
+def _synth_image_table(spark, sf_dir, n=500):
+    # the BASELINE input-hint table shape (image_id, w, h, fmt, caption,
+    # phash) synthesized deterministically from documents; groups of 4
+    # doc_ids share one portable 60-bit base phash: r=0 canonical,
+    # r=1 exact duplicate, r=2 one bit flipped (hamming 1), r=3 three
+    # bits flipped (hamming 3) — planted exact + near duplicates whose
+    # detection both engines must agree on.  (`bytes` stays out of the
+    # relational twin; size-dependent oracles use the w*h*3 proxy.)
+    from coherencebot_spark.functions.hashing import md5_long60
+
+    d = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}")
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    r = F.col("doc_id") % 4
+
+    def bit(off):
+        # SQL shiftleft takes a column shift amount (the PySpark wrapper
+        # insists on a literal int)
+        return F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST((doc_id + {off}) % 59 AS INT))")
+
+    perturb = (F.when(r == 2, bit(0))
+               .when(r == 3, bit(0).bitwiseXOR(bit(13)).bitwiseXOR(bit(31)))
+               .otherwise(F.lit(0).cast("long")))
+    return d.select(
+        F.concat(F.lit("img"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+        .alias("image_id"),
+        (16 * (1 + F.col("doc_id") % 40)).cast("int").alias("w"),
+        (16 * (1 + (F.col("doc_id") * 7) % 40)).cast("int").alias("h"),
+        F.when(r == 0, "png").when(r == 1, "jpeg")
+        .when(r == 2, "ppm").otherwise("bmp").alias("fmt"),
+        F.expr("substring(text, 1, CAST(10 + doc_id % 90 AS INT))")
+        .alias("caption"),
+        md5_long60(g.cast("string")).bitwiseXOR(perturb).alias("phash"),
+    )
+
+
+def _q_image_corpus_filter(spark, sf_dir):
+    # LAION-style wellformed gates (w/h floors, aspect cap, format
+    # allowlist, caption length+token bounds) then exact-phash argmax
+    # dedup (largest area survives, ties to min id)
+    from coherencebot_spark.datapipe.image_corpus import (
+        ImageCorpusConfig, image_exact_dedup, wellformed_images)
+
+    img = _synth_image_table(spark, sf_dir)
+    cfg = ImageCorpusConfig(formats=("png", "jpeg", "ppm"))
+    out = image_exact_dedup(wellformed_images(img, cfg))
+    return out.select("image_id", "w", "h", "fmt", "phash")
+
+
+def _q_phash_near_dups(spark, sf_dir):
+    # perceptual-hash near-dup pairs at hamming <= 3: Spark runs the
+    # multi-chunk pigeonhole blocking (exact recall at the radius, never
+    # all-pairs); the DuckDB twin brute-forces the O(n^2) join — the
+    # blocked plan must reproduce the exhaustive answer exactly
+    from coherencebot_spark.datapipe.image_corpus import (
+        phash_near_dup_pairs)
+
+    img = _synth_image_table(spark, sf_dir)
+    out = phash_near_dup_pairs(img, max_hamming=3, n_chunks=6, n_bits=60)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("int").alias("hamming"))
+
+
+def _q_image_shard_manifest(spark, sf_dir):
+    # byte-budgeted output shards over the image corpus (4 MiB budget,
+    # w*h*3 raw-pixel size proxy): Spark's distributed two-level cumsum
+    # vs DuckDB's single-stream window sum
+    from coherencebot_spark.datapipe.image_corpus import (
+        image_shard_manifest)
+
+    img = _synth_image_table(spark, sf_dir)
+    return image_shard_manifest(
+        img, shard_bytes=1 << 22,
+        size_col=F.col("w").cast("long") * F.col("h") * 3,
+        parallelism=8)
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2399,6 +2477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "decontaminate": _q_decontaminate,
         "chunk_manifest": _q_chunk_manifest,
+        "image_corpus_filter": _q_image_corpus_filter,
+        "phash_near_dups": _q_phash_near_dups,
+        "image_shard_manifest": _q_image_shard_manifest,
     }.items()}
 
 
@@ -4288,6 +4369,82 @@ def oracle_sql() -> dict[str, str]:
             FROM dd, unnest(range(CAST(strt // 97 AS BIGINT),
                             CAST((strt + n - 1) // 97 + 1 AS BIGINT)))
                           AS g(generate_series)
+        """,
+        "image_corpus_filter": r"""
+            WITH img AS (
+              SELECT 'img' || lpad(doc_id::VARCHAR, 8, '0') AS image_id,
+                     CAST(16 * (1 + doc_id % 40) AS INT) AS w,
+                     CAST(16 * (1 + (doc_id * 7) % 40) AS INT) AS h,
+                     CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                          WHEN 2 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                     substring(text, 1, CAST(10 + doc_id % 90 AS INT))
+                       AS caption,
+                     xor(CAST(('0x' || substring(md5((doc_id // 4)::VARCHAR),
+                                                 1, 15)) AS BIGINT),
+                         CASE doc_id % 4
+                           WHEN 2 THEN (1::BIGINT
+                                        << CAST(doc_id % 59 AS INT))
+                           WHEN 3 THEN xor(xor(
+                               1::BIGINT << CAST(doc_id % 59 AS INT),
+                               1::BIGINT << CAST((doc_id + 13) % 59 AS INT)),
+                               1::BIGINT << CAST((doc_id + 31) % 59 AS INT))
+                           ELSE 0 END) AS phash
+              FROM documents WHERE doc_id < 500
+            ), ok AS (
+              SELECT * FROM img
+              WHERE w >= 64 AND h >= 64
+                AND greatest(w, h)::DOUBLE / least(w, h) <= 4.0
+                AND caption IS NOT NULL
+                AND length(caption) >= 5 AND length(caption) <= 512
+                AND len(list_filter(regexp_split_to_array(caption, '\s+'),
+                                    x -> x <> '')) >= 2
+                AND fmt IN ('png', 'jpeg', 'ppm')
+            )
+            SELECT image_id, w, h, fmt, phash FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY phash
+                ORDER BY CAST(w AS BIGINT) * h DESC, image_id ASC) AS rn
+              FROM ok) WHERE rn = 1
+        """,
+        "phash_near_dups": r"""
+            WITH img AS (
+              SELECT 'img' || lpad(doc_id::VARCHAR, 8, '0') AS image_id,
+                     xor(CAST(('0x' || substring(md5((doc_id // 4)::VARCHAR),
+                                                 1, 15)) AS BIGINT),
+                         CASE doc_id % 4
+                           WHEN 2 THEN (1::BIGINT
+                                        << CAST(doc_id % 59 AS INT))
+                           WHEN 3 THEN xor(xor(
+                               1::BIGINT << CAST(doc_id % 59 AS INT),
+                               1::BIGINT << CAST((doc_id + 13) % 59 AS INT)),
+                               1::BIGINT << CAST((doc_id + 31) % 59 AS INT))
+                           ELSE 0 END) AS phash
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM img a JOIN img b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "image_shard_manifest": r"""
+            WITH img AS (
+              SELECT 'img' || lpad(doc_id::VARCHAR, 8, '0') AS image_id,
+                     CAST(16 * (1 + doc_id % 40) AS BIGINT)
+                       * CAST(16 * (1 + (doc_id * 7) % 40) AS BIGINT) * 3
+                       AS nbytes
+              FROM documents WHERE doc_id < 500
+            ), dd AS (
+              SELECT image_id, nbytes,
+                     COALESCE(SUM(nbytes) OVER (ORDER BY image_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS strt
+              FROM img WHERE nbytes > 0
+            )
+            SELECT image_id,
+                   CAST(strt // 4194304 AS BIGINT) AS shard_id,
+                   CAST(strt % 4194304 AS BIGINT) AS shard_offset,
+                   nbytes
+            FROM dd
         """,
     }
 

@@ -1,0 +1,269 @@
+"""Image+caption corpus pipeline over the crawl's content-table shape
+``(image_id, bytes, w, h, fmt, caption, phash)`` — the image twin of
+:mod:`.pipeline`'s text recipe (the LAION/DataComp skeleton: metadata
+gates → caption gates → exact dedup → perceptual near-dedup → optional
+decode validation → shard manifest).
+
+Stage order is cheapest-first, and — more important at 100 TB — the
+``bytes`` column NEVER crosses a shuffle: every wide stage (dedup argmax,
+near-dup blocking, shard offsets) runs on a narrow ``(image_id, phash,
+w, h, …)`` projection, and survivors rejoin the payload scan through a
+broadcast-able id frame, mirroring the crawl cycle's payload posture
+(``plans/cycle.py``).
+
+1. **wellformed**  — pure Project filters on metadata columns: width /
+   height floors, aspect-ratio cap, format allowlist, caption length +
+   token bounds.  Catalyst pushes these into the parquet scan, so at
+   rest the binary column of a rejected row-group is never decoded.
+2. **caption language** — n-gram lang-id on the caption
+   (:func:`..datapipe.text_quality.with_lang_id`, JVM regexes).
+3. **exact phash dedup** — argmax per 64-bit perceptual hash: the
+   largest-area copy survives (ties → min id).  One shuffle, on
+   ``(image_id, phash, w, h)`` only.
+4. **near dedup** — hamming ≤ h pairs via the multi-chunk pigeonhole
+   blocking already built for SimHash (:func:`phash_near_dup_pairs`
+   wraps :func:`..datapipe.dedup_text.simhash_near_dups` with the
+   phash column as the precomputed signature — exact recall at the
+   hamming radius, no O(n²) join), then connected components →
+   cluster-canonical survivor (largest area wins).
+5. **decode validation** (optional, Arrow path) — decode each surviving
+   payload with the synthetic codecs and drop rows whose stored (w, h)
+   disagree with the decoded pixels (a corrupt-payload gate; the wild-
+   codec variant needs PIL/libvips and raises the documented
+   ``NotImplementedError`` in :func:`..datapipe.multimodal.decode_rgb`).
+6. **shard manifest** — assign survivors to byte-budgeted output shards
+   by a global running sum of payload sizes (two-level cumsum, same
+   pattern as :func:`..datapipe.packing.chunk_manifest`: one P-row
+   collect, nothing wide touches bytes).  Images never split: a row
+   belongs to the shard its start offset lands in, so shards overflow
+   by at most one image.
+
+Reference parity: the reference crawler dedups fetched images by phash
+inside the frontier-update join (BASELINE north_star; DeduplicationJob
+cadence in src/bin/crawl:421-422); this module is the corpus-side
+(post-crawl, training-data) composition of the same primitives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup_text import simhash_near_dups
+from .components import dedup_clusters
+
+__all__ = [
+    "ImageCorpusConfig",
+    "wellformed_images",
+    "phash_near_dup_pairs",
+    "image_exact_dedup",
+    "image_shard_manifest",
+    "build_image_corpus",
+]
+
+
+@dataclass
+class ImageCorpusConfig:
+    id_col: str = "image_id"
+    phash_col: str = "phash"
+    bytes_col: str = "bytes"
+    # stage toggles
+    wellformed: bool = True
+    caption_lang: bool = False
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    validate_decode: bool = False
+    shard: bool = True
+    # wellformed gates (LAION-style)
+    min_w: int = 64
+    min_h: int = 64
+    max_aspect: float = 4.0
+    formats: tuple = ()            # () = any format
+    caption_min_chars: int = 5
+    caption_max_chars: int = 512
+    caption_min_tokens: int = 2
+    # caption language gate
+    languages: tuple = ("en",)
+    # near-dup radius (multi-chunk blocking: exact at this hamming)
+    max_hamming: int = 3
+    n_chunks: int = 6
+    phash_bits: int = 64
+    max_bucket: int | None = None
+    pair_mode: str = "all"
+    # sharding
+    shard_bytes: int = 1 << 30     # 1 GiB target per output shard
+
+
+def wellformed_images(images: DataFrame,
+                      cfg: ImageCorpusConfig = ImageCorpusConfig(),
+                      keep_col: str | None = None) -> DataFrame:
+    """Metadata-only validity gates — a single Project/Filter, no bytes
+    decoded, no shuffle (plan-asserted in tests).
+
+    With ``keep_col`` the verdict is appended instead of filtering
+    (audit mode)."""
+    cap_toks = F.size(F.filter(F.split(F.col("caption"), r"\s+"),
+                               lambda t: t != ""))
+    aspect = F.greatest(F.col("w"), F.col("h")) / \
+        F.least(F.col("w"), F.col("h"))
+    ok = (
+        F.col("w").isNotNull() & F.col("h").isNotNull()
+        & (F.col("w") >= cfg.min_w) & (F.col("h") >= cfg.min_h)
+        & (aspect <= cfg.max_aspect)
+        & F.col("caption").isNotNull()
+        & (F.length("caption") >= cfg.caption_min_chars)
+        & (F.length("caption") <= cfg.caption_max_chars)
+        & (cap_toks >= cfg.caption_min_tokens)
+    )
+    if cfg.formats:
+        ok = ok & F.col("fmt").isin(*cfg.formats)
+    if keep_col is not None:
+        return images.withColumn(keep_col, ok)
+    return images.filter(ok)
+
+
+def phash_near_dup_pairs(images: DataFrame, id_col: str = "image_id",
+                         phash_col: str = "phash",
+                         max_hamming: int = 3, n_chunks: int = 6,
+                         n_bits: int = 64,
+                         max_bucket: int | None = None,
+                         pair_mode: str = "all") -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` of each other's
+    perceptual hash — EXACT at the radius by the pigeonhole blocking
+    (the phash is split into ``n_chunks`` chunks; any pair with ≤ h
+    differing bits agrees on some (n_chunks−h)-chunk combination key).
+
+    Scale shape is inherited from the SimHash machinery it reuses
+    (:func:`..datapipe.dedup_text.simhash_near_dups`): candidates are
+    generated per combination-key bucket (never all-pairs), ``max_bucket``
+    caps pathological buckets (a monochrome-thumbnail phash is the image
+    world's empty-document simhash), ``pair_mode='star'`` bounds a
+    bucket's output linearly when only connected components are needed."""
+    sigs = images.select(id_col, F.col(phash_col).cast("long")
+                         .alias("simhash"))
+    return simhash_near_dups(
+        images, id_col=id_col, max_hamming=max_hamming,
+        n_chunks=n_chunks, n_bits=n_bits, max_bucket=max_bucket,
+        pair_mode=pair_mode, sigs=sigs)
+
+
+def image_exact_dedup(images: DataFrame,
+                      id_col: str = "image_id",
+                      phash_col: str = "phash") -> DataFrame:
+    """Keep one copy per exact phash: max area, ties → min id.
+
+    The argmax runs on a narrow (id, phash, w, h) projection — a
+    ``max_by`` over a struct ordering, one shuffle on the phash key —
+    and survivors rejoin the payload scan via a left-semi join on id,
+    so ``bytes`` never enters the exchange."""
+    narrow = images.select(
+        F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"),
+        (F.col("w").cast("long") * F.col("h")).alias("_area"))
+    # composite argmax as two partial-aggregating groupBys (max area per
+    # phash, then min id among that phash's max-area rows) — both
+    # map-side combinable, unlike a row_number window
+    best = narrow.groupBy("_ph").agg(F.max("_area").alias("_best"))
+    keep = narrow.join(best, "_ph") \
+        .filter(F.col("_area") == F.col("_best")) \
+        .groupBy("_ph").agg(F.min("_id").alias("_keep"))
+    return images.join(
+        keep.select(F.col("_keep").alias(id_col)), id_col, "left_semi")
+
+
+def image_shard_manifest(images: DataFrame,
+                         shard_bytes: int = 1 << 30,
+                         id_col: str = "image_id",
+                         size_col: Column | str | None = None,
+                         order_col: str | None = None,
+                         parallelism: int | None = None) -> DataFrame:
+    """``(image_id, shard_id, shard_offset, nbytes)`` — byte-budgeted
+    output shards in deterministic ``order_col`` order (default: id).
+
+    An image is assigned to the shard where its global start offset
+    lands (``floor(start / shard_bytes)``): rows never split, shards
+    overflow by less than one image.  The running sum reuses the
+    packing module's two-level cumsum — range-partition a narrow
+    ``(id, nbytes)`` projection, per-partition window sums, one P-row
+    totals collect — so the payload column never moves."""
+    from .packing import _global_offsets
+
+    if size_col is None:
+        n = F.length(F.col("bytes")).cast("long")
+    elif isinstance(size_col, str):
+        n = F.col(size_col).cast("long")
+    else:
+        n = size_col.cast("long")
+    d = images.select(F.col(id_col).alias("image_id"),
+                      F.col(order_col or id_col).alias("_ord"),
+                      n.alias("nbytes")).filter(F.col("nbytes") > 0)
+    d = _global_offsets(d, "_ord", "nbytes", parallelism)
+    sb = int(shard_bytes)
+    return d.select(
+        "image_id",
+        F.floor(F.col("_start") / sb).cast("long").alias("shard_id"),
+        (F.col("_start") % sb).cast("long").alias("shard_offset"),
+        "nbytes")
+
+
+def build_image_corpus(images: DataFrame,
+                       cfg: ImageCorpusConfig = ImageCorpusConfig(),
+                       ) -> tuple[DataFrame, dict[str, int]]:
+    """Run the enabled stages in canonical order.
+
+    Returns ``(result, audit)``: the shard manifest joined back to the
+    surviving rows when ``cfg.shard``, else the surviving image frame;
+    ``audit`` maps stage → row count after the stage (one aggregate per
+    enabled stage, same contract as
+    :func:`..datapipe.pipeline.build_training_corpus`)."""
+    from .text_quality import with_lang_id
+
+    audit: dict[str, int] = {"input": images.count()}
+    out = images
+
+    if cfg.wellformed:
+        out = wellformed_images(out, cfg)
+        audit["wellformed"] = out.count()
+
+    if cfg.caption_lang and cfg.languages:
+        out = with_lang_id(out, text_col="caption") \
+            .filter(F.col("lang_pred").isin(*cfg.languages)) \
+            .drop("lang_pred")
+        audit["caption_lang"] = out.count()
+
+    if cfg.exact_dedup:
+        out = image_exact_dedup(out, cfg.id_col, cfg.phash_col)
+        audit["exact_dedup"] = out.count()
+
+    if cfg.near_dedup:
+        pairs = phash_near_dup_pairs(
+            out, id_col=cfg.id_col, phash_col=cfg.phash_col,
+            max_hamming=cfg.max_hamming, n_chunks=cfg.n_chunks,
+            n_bits=cfg.phash_bits, max_bucket=cfg.max_bucket,
+            pair_mode=cfg.pair_mode)
+        out = dedup_clusters(
+            out, pairs, id_col=cfg.id_col, a_col="id_a", b_col="id_b",
+            keep=F.struct((F.col("w").cast("long") * F.col("h"))
+                          .alias("a"))) \
+            .filter(F.col("is_canonical")) \
+            .drop("component", "is_canonical")
+        audit["near_dedup"] = out.count()
+
+    if cfg.validate_decode:
+        from .multimodal import with_image_features
+        feats = with_image_features(out, bytes_col=cfg.bytes_col)
+        out = feats.filter((F.col("dec_w") == F.col("w"))
+                           & (F.col("dec_h") == F.col("h"))) \
+            .drop("dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
+                  "phash64")
+        audit["validate_decode"] = out.count()
+
+    if cfg.shard:
+        manifest = image_shard_manifest(
+            out, cfg.shard_bytes, id_col=cfg.id_col,
+            size_col=F.length(F.col(cfg.bytes_col)))
+        out = out.join(manifest, cfg.id_col)
+        audit["shards"] = out.select("shard_id").distinct().count()
+
+    return out, audit

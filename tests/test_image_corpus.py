@@ -1,0 +1,170 @@
+"""Image+caption corpus pipeline (datapipe/image_corpus.py): stage
+semantics on real synthetic-codec payloads, exact-recall property of the
+phash blocking, and the bytes-never-shuffle plan posture."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from coherencebot_spark.datapipe.image_corpus import (
+    ImageCorpusConfig,
+    build_image_corpus,
+    image_exact_dedup,
+    image_shard_manifest,
+    phash_near_dup_pairs,
+    wellformed_images,
+)
+from coherencebot_spark.synth import images as simg
+from coherencebot_spark.synth.phash import phash64
+
+SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+          "caption string, phash long")
+
+
+def _img_row(i: int, w: int = 64, h: int = 64, fmt: str = "png",
+             caption: str = "a small test image", phash: int | None = None,
+             px=None):
+    if px is None:
+        px = simg.gen_pixels(i, w, h)
+    data = simg.encode(px, fmt)
+    return (f"img{i:04d}", bytearray(data), w, h, fmt, caption,
+            phash if phash is not None else phash64(px))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # four healthy distinct images
+        _img_row(0), _img_row(1), _img_row(2, w=128, h=96),
+        _img_row(3, fmt="bmp"),
+        # exact-phash duplicate pair: img0004 (small) vs img0005 (large
+        # area) — the larger must survive the argmax
+        _img_row(4, w=64, h=64, phash=777),
+        _img_row(5, w=128, h=128, phash=777),
+        # near-dup of img0000's phash (1 bit) — smaller area, must drop
+        _img_row(6, w=48, h=48, phash=phash64(simg.gen_pixels(0, 64, 64)) ^ 1),
+        # gate rejects: tiny, extreme aspect, short caption, one-token
+        _img_row(7, w=16, h=16),
+        _img_row(8, w=640, h=64),
+        _img_row(9, caption="hi"),
+        _img_row(10, caption="monoword"),
+        # corrupt row: stored dims disagree with the encoded pixels
+        (f"img{11:04d}", bytearray(simg.encode(simg.gen_pixels(11, 64, 64),
+                                               "png")),
+         96, 96, "png", "claims to be ninety-six", 4242),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_wellformed_gates(corpus):
+    cfg = ImageCorpusConfig(min_w=48, min_h=48)
+    kept = {r.image_id for r in wellformed_images(corpus, cfg)
+            .select("image_id").collect()}
+    assert "img0007" not in kept          # below the size floor
+    assert "img0008" not in kept          # aspect 10:1
+    assert "img0009" not in kept          # caption too short
+    assert "img0010" not in kept          # one token
+    assert {"img0000", "img0001", "img0002", "img0003",
+            "img0006"} <= kept
+
+
+def test_wellformed_format_allowlist(corpus):
+    cfg = ImageCorpusConfig(formats=("png", "ppm"))
+    kept = {r.image_id for r in wellformed_images(corpus, cfg)
+            .select("image_id").collect()}
+    assert "img0003" not in kept          # bmp
+
+
+def test_exact_dedup_keeps_largest_area(corpus):
+    out = image_exact_dedup(corpus)
+    ids = {r.image_id for r in out.select("image_id").collect()}
+    assert "img0005" in ids and "img0004" not in ids
+    # everything with a unique phash survives untouched
+    assert "img0000" in ids and "img0011" in ids
+
+
+def test_phash_near_dup_pairs_exact_at_radius(spark):
+    # exhaustive ground truth vs the blocked plan on adversarial hashes:
+    # bit-flips at chunk boundaries, clustered flips inside one chunk,
+    # flips spread across chunks, and far-apart values
+    base = 0x0123456789ABCDEF
+    hashes = [
+        base, base ^ 1, base ^ (1 << 10), base ^ (1 << 63),
+        base ^ 0b111,                       # 3 flips, one chunk
+        base ^ (1 | 1 << 21 | 1 << 42),     # 3 flips, three chunks
+        base ^ (1 | 1 << 21 | 1 << 42 | 1 << 59),  # hamming 4: out
+        0x7EDCBA9876543210,
+    ]
+    df = spark.createDataFrame(
+        [(f"i{k:02d}", int(_signed64(h))) for k, h in enumerate(hashes)],
+        "image_id string, phash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in phash_near_dup_pairs(df, max_hamming=3).collect()}
+    want = set()
+    for a in range(len(hashes)):
+        for b in range(a + 1, len(hashes)):
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want.add((f"i{a:02d}", f"i{b:02d}", d))
+    assert got == want
+    assert ("i00", "i06", 4) not in got
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_shard_manifest_invariants(spark):
+    df = spark.createDataFrame(
+        [(f"i{k:03d}", 300 + 37 * (k % 11)) for k in range(200)],
+        "image_id string, nbytes long")
+    m = image_shard_manifest(df, shard_bytes=2048, size_col="nbytes",
+                             parallelism=4).collect()
+    assert len(m) == 200
+    rows = sorted(m, key=lambda r: r.image_id)
+    cum = 0
+    for r in rows:
+        assert r.shard_id == cum // 2048
+        assert r.shard_offset == cum % 2048
+        cum += r.nbytes
+    # shards are dense 0..max
+    sids = {r.shard_id for r in rows}
+    assert sids == set(range(max(sids) + 1))
+
+
+def test_build_image_corpus_end_to_end(corpus):
+    cfg = ImageCorpusConfig(min_w=48, min_h=48, validate_decode=True,
+                            shard=True, shard_bytes=1 << 16)
+    out, audit = build_image_corpus(corpus, cfg)
+    ids = {r.image_id for r in out.select("image_id").collect()}
+    # gates: 7/8/9/10 out; exact dedup: 4 loses to 5; near-dup: 6 loses
+    # to 0 (smaller area); decode validation: 11 lies about its dims
+    assert ids == {"img0000", "img0001", "img0002", "img0003", "img0005"}
+    assert audit["input"] == 12
+    assert audit["wellformed"] == 8
+    assert audit["exact_dedup"] == 7
+    assert audit["near_dedup"] == 6
+    assert audit["validate_decode"] == 5
+    assert audit["shards"] >= 1
+    # manifest columns joined back
+    assert {"shard_id", "shard_offset", "nbytes"} <= set(out.columns)
+
+
+def test_wellformed_is_pure_filter_no_shuffle(corpus):
+    p = wellformed_images(corpus, ImageCorpusConfig()) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_bytes_never_cross_a_shuffle(corpus):
+    """The corpus posture: every wide stage runs on a narrow projection;
+    payload bytes reach the output only through scan-side joins."""
+    cfg = ImageCorpusConfig(min_w=48, min_h=48, validate_decode=False,
+                            shard=True, shard_bytes=1 << 16)
+    out, _ = build_image_corpus(corpus, cfg)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    for block in p.split("Exchange")[1:]:
+        first_line = block.splitlines()[0]
+        assert "bytes" not in first_line, \
+            f"payload bytes cross a shuffle: {first_line}"
