@@ -381,6 +381,46 @@ def bench_ops(spark, frontier_path: str) -> dict[str, float]:
     t = time.time()
     cosine_topk_lsh(em, q, k=10, dim=dim, n_planes=6, n_tables=4).count()
     out["ann_lsh"] = round(time.time() - t, 3)
+
+    # image-corpus surface (pyspark×image graft): metadata-scale, all
+    # JVM expressions — the codec/byte path is already what the headline
+    # cycle measures.  Groups of 4 share a base phash (1 exact dup, 2
+    # near dups per group), mirroring the oracle fixture at 2M rows.
+    from coherencebot_spark.datapipe.image_corpus import (
+        ImageCorpusConfig, image_exact_dedup, image_shard_manifest,
+        phash_near_dup_pairs, wellformed_images)
+
+    n_img = int(os.environ.get("BENCH_IMAGES", "2000000"))
+    r = F.col("id") % 4
+    bit = "shiftleft(CAST(1 AS BIGINT), CAST((id + {o}) % 59 AS INT))"
+    perturb = (F.when(r == 2, F.expr(bit.format(o=0)))
+               .when(r == 3, F.expr(f"{bit.format(o=0)} ^ "
+                                    f"{bit.format(o=13)} ^ "
+                                    f"{bit.format(o=31)}"))
+               .otherwise(F.lit(0).cast("long")))
+    img = spark.range(n_img).select(
+        F.concat(F.lit("img"), F.col("id").cast("string"))
+        .alias("image_id"),
+        (16 * (1 + F.col("id") % 40)).cast("int").alias("w"),
+        (16 * (1 + (F.col("id") * 7) % 40)).cast("int").alias("h"),
+        F.when(r == 0, "png").when(r == 1, "jpeg")
+        .when(r == 2, "ppm").otherwise("bmp").alias("fmt"),
+        F.concat(F.lit("synthetic caption for image "),
+                 F.col("id").cast("string")).alias("caption"),
+        F.xxhash64(F.floor(F.col("id") / 4)).bitwiseXOR(perturb)
+        .alias("phash"),
+    )
+    cfg_img = ImageCorpusConfig(formats=("png", "jpeg", "ppm"))
+    t = time.time()
+    kept = image_exact_dedup(wellformed_images(img, cfg_img))
+    phash_near_dup_pairs(kept, pair_mode="star").count()
+    out["image_phash_dedup"] = round(time.time() - t, 3)
+
+    t = time.time()
+    image_shard_manifest(
+        img, 1 << 30,
+        size_col=F.col("w").cast("long") * F.col("h") * 3).count()
+    out["image_shard_manifest"] = round(time.time() - t, 3)
     return out
 
 
