@@ -2381,6 +2381,28 @@ def _q_image_shard_manifest(spark, sf_dir):
         parallelism=8)
 
 
+def _q_thumbnail_key(spark, sf_dir):
+    # parse-thumb s3-key derivation (ThumbnailParseFilter.java:124-136):
+    # host-ish split + slugified path, with the no-path collapse quirk
+    from coherencebot_spark.operators.parsefilters import thumbnail_key_col
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    h = (F.col("doc_id") % 23).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("https://hostonly"), h,
+                        F.lit(".example.org")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.lit("http://h"), h,
+                       F.lit(".example.org:8080/a/b?x="), i))
+        .otherwise(F.concat(F.lit("https://h"), h,
+                            F.lit(".example.org/Files/Report V"), i,
+                            F.lit(".pdf"))))
+    return d.select("doc_id", url.alias("url"),
+                    thumbnail_key_col(url).alias("s3_key"))
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -2480,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_filter": _q_image_corpus_filter,
         "phash_near_dups": _q_phash_near_dups,
         "image_shard_manifest": _q_image_shard_manifest,
+        "thumbnail_key": _q_thumbnail_key,
     }.items()}
 
 
@@ -4445,6 +4468,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strt % 4194304 AS BIGINT) AS shard_offset,
                    nbytes
             FROM dd
+        """,
+        "thumbnail_key": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 7 = 0 THEN
+                         'https://hostonly' || (doc_id % 23) || '.example.org'
+                       WHEN doc_id % 7 = 1 THEN
+                         'http://h' || (doc_id % 23)
+                           || '.example.org:8080/a/b?x=' || doc_id
+                       ELSE
+                         'https://h' || (doc_id % 23)
+                           || '.example.org/Files/Report V' || doc_id
+                           || '.pdf'
+                     END AS url
+              FROM documents WHERE doc_id < 400
+            ), parts AS (
+              SELECT doc_id, url,
+                     regexp_replace(url, '(file://|http://|https://)',
+                                    '', 'g') AS np
+              FROM u
+            ), split AS (
+              SELECT doc_id, url, np,
+                     regexp_extract(np, '([^/\?]+)[/\?](.+)', 1) AS hostp,
+                     regexp_extract(np, '([^/\?]+)[/\?](.+)', 2) AS pathp
+              FROM parts
+            )
+            SELECT doc_id, url,
+                   CASE WHEN hostp <> '' THEN
+                     hostp || '/' ||
+                     regexp_replace(regexp_replace(lower(pathp),
+                       '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g')
+                     || '.png'
+                   ELSE
+                     np || '/' ||
+                     regexp_replace(regexp_replace(lower(np),
+                       '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g')
+                     || '.png'
+                   END AS s3_key
+            FROM split
         """,
     }
 

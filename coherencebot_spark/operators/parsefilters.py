@@ -1,5 +1,5 @@
 """CoherenceBot fork parse filters: outlink gating, PDF archiving,
-field translation.
+field translation, page thumbnails.
 
 * ``outlink_parse_filter`` — ``parsefilter-outlinks/.../
   OutlinkParseFilter.java:66-225``: drop outlinks that are not
@@ -29,6 +29,16 @@ field translation.
   to its target field only when it actually differs from the source.
   The AWS Translate client is an injectable ``translate(texts,
   source_lang) -> list[str]`` provider applied per Arrow batch.
+
+* ``thumbnail_parse_filter`` — ``parse-thumb/.../
+  ThumbnailParseFilter.java:75-225``: render a page thumbnail through
+  an injectable service (thum.io in prod) and store it under
+  ``<host>/<slug(path)>.png`` in an injectable object store, recording
+  ``thumbnail`` + ``thumbnail.url_archive`` in parse metadata.  Mime
+  allowlist, 4000-byte significant-content gate, meta-precedence skip,
+  and skip-existing-key semantics are the reference's; the Python stage
+  runs over a narrow DISTINCT (url, key) projection so payload bytes
+  never enter an Arrow batch.
 """
 
 from __future__ import annotations
@@ -45,6 +55,7 @@ __all__ = [
     "parse_anchor_rules", "outlink_parse_filter",
     "archive_key_col", "slugify_col", "archive_parse_filter",
     "translate_parse_filter",
+    "thumbnail_key_col", "thumbnail_parse_filter",
 ]
 
 
@@ -327,5 +338,119 @@ def translate_parse_filter(translate: Callable[[list[str], list[str]],
             F.when(F.col("_tr_add").isNotNull(),
                    F.map_concat(meta_out, F.col("_tr_add")))
             .otherwise(meta_out)).drop("_tr_add")
+
+    return _apply
+
+
+# --- parse-thumb ----------------------------------------------------------
+
+
+def thumbnail_key_col(url: Column) -> Column:
+    """The thumbnail object key (``parse-thumb/.../
+    ThumbnailParseFilter.java:124-136``): ``<host-ish>/<slug(path)>.png``.
+
+    Same host-ish split as the archive filter (whatever precedes the
+    first ``/`` or ``?`` after stripping protocol substrings — ports and
+    userinfo stay in), but the plugins diverge on the no-path case: the
+    archive filter buckets it under ``no-host/``, this one collapses to
+    ``<urlNoProto>/<slug(urlNoProto)>.png`` (:133-135).  Both quirks are
+    kept bit-for-bit."""
+    no_proto = F.regexp_replace(url, r"(file://|http://|https://)", "")
+    host_part = F.regexp_extract(no_proto, r"([^/\?]+)[/\?](.+)", 1)
+    path_part = F.regexp_extract(no_proto, r"([^/\?]+)[/\?](.+)", 2)
+    matched = host_part != ""
+    return F.when(
+        matched,
+        F.concat(host_part, F.lit("/"), slugify_col(path_part),
+                 F.lit(".png"))
+    ).otherwise(
+        F.concat(no_proto, F.lit("/"), slugify_col(no_proto), F.lit(".png")))
+
+
+def thumbnail_parse_filter(render: Callable[[list[str]], "list[bytes]"],
+                           store, bucket: str,
+                           public_base: str | None = None,
+                           min_content_length: int = 4000,
+                           supported_mimes: tuple = ("application/pdf",),
+                           mime_col: str = "mime", url_col: str = "url",
+                           bytes_col: str = "bytes",
+                           meta_col: str = "parse_meta"):
+    """Generate page thumbnails through an injectable render service and
+    object store (``parse-thumb/.../ThumbnailParseFilter.java:75-225``).
+
+    Reference semantics kept: mime allowlist (:79-85), the ≥4000-byte
+    significant-content gate (:89-94), the meta-precedence skip (a page
+    whose parse meta already carries ``thumbnail`` / ``twitter:image`` /
+    ``og:image`` is returned untouched — the filter does NOT copy those
+    into ``thumbnail``, :103-117), skip-render when the key already
+    exists (:150-158), zero-byte render results set nothing (:199-201),
+    and successful rows gain ``thumbnail`` (public URL) and
+    ``thumbnail.url_archive`` (``s3://<bucket>/<key>``) in parse meta
+    (:216-222).
+
+    Scale shape — better than a literal port: the render service needs
+    only the URL (thum.io renders the live page; the payload is never
+    sent), so the Python stage runs over a narrow DISTINCT ``(url,
+    key)`` projection — payload bytes never enter an Arrow batch — and
+    the per-URL results broadcast-join back (fetchlist-sized by
+    construction: at most one render per fetched page per cycle).
+
+    ``render(urls) -> list[bytes | None]`` is the thum.io stand-in;
+    ``store`` implements ``exists(key) -> bool`` / ``put(key, data)``
+    and must be executor-safe, exactly like the archive filter's."""
+    pub = public_base or f"https://{bucket}.s3.amazonaws.com/"
+
+    def _apply(df: DataFrame) -> DataFrame:
+        meta = (F.col(meta_col) if meta_col in df.columns
+                else F.create_map().cast("map<string,string>"))
+        # a NULL map must read as "no thumbnail yet", not NULL-eligible
+        meta = F.coalesce(meta, F.create_map().cast("map<string,string>"))
+        has_thumb = (F.element_at(meta, "thumbnail").isNotNull()
+                     | F.element_at(meta, "twitter:image").isNotNull()
+                     | F.element_at(meta, "og:image").isNotNull())
+        eligible = (F.col(mime_col).isin(*supported_mimes)
+                    & (F.length(F.col(bytes_col))
+                       >= int(min_content_length))
+                    & ~has_thumb)
+        work = df.withColumn(
+            "_th_key", F.when(eligible, thumbnail_key_col(F.col(url_col))))
+
+        st, bkt, prov, pb = store, bucket, render, pub
+
+        def _render(it):
+            for pdf in it:
+                urls = pdf[url_col].tolist()
+                keys = pdf["_th_key"].tolist()
+                need = [u for u, k in zip(urls, keys)
+                        if not st.exists(k)]
+                made = dict(zip(need, prov(need))) if need else {}
+                thumbs = []
+                for u, k in zip(urls, keys):
+                    if u in made:
+                        img = made[u]
+                        if img is None or len(img) == 0:
+                            thumbs.append(None)   # zero bytes: no meta
+                            continue
+                        st.put(k, bytes(img))
+                    thumbs.append(f"{pb}{k}")
+                out = pdf.copy()
+                out["_th_url"] = pd.Series(thumbs, dtype=object)
+                yield out
+
+        narrow = work.select(url_col, "_th_key") \
+            .filter(F.col("_th_key").isNotNull()).distinct()
+        rendered = narrow.mapInPandas(
+            _render,
+            schema=f"`{url_col}` string, _th_key string, _th_url string")
+        joined = work.drop("_th_key").join(
+            F.broadcast(rendered), url_col, "left")
+        new_meta = F.map_concat(meta, F.map_from_arrays(
+            F.array(F.lit("thumbnail"), F.lit("thumbnail.url_archive")),
+            F.array(F.col("_th_url"),
+                    F.concat(F.lit(f"s3://{bkt}/"), F.col("_th_key")))))
+        return joined.withColumn(
+            meta_col,
+            F.when(F.col("_th_url").isNotNull(), new_meta).otherwise(meta)
+        ).drop("_th_key", "_th_url")
 
     return _apply

@@ -252,3 +252,115 @@ def test_translate_max_length_cap(spark):
     meta = dict(out.collect()[0]["parse_meta"])
     # substring(0, max-1) like TranslateParser.java:106-108
     assert meta["title.translated"] == "X" * 49
+
+
+# --- parse-thumb ----------------------------------------------------------
+
+
+def test_thumbnail_key_derivation(spark):
+    from coherencebot_spark.operators.parsefilters import thumbnail_key_col
+
+    rows = [
+        ("https://docs.example.org/files/Report V2.pdf",),
+        ("http://h.example.org:8080/a?b=c",),
+        # no path: unlike the archive filter's no-host bucket, parse-thumb
+        # collapses to <urlNoProto>/<slug(urlNoProto)>.png (:133-135)
+        ("https://hostonly.example.org",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r["k"] for r in df.select(
+        thumbnail_key_col(F.col("url")).alias("k")).collect()]
+    assert got == [
+        "docs.example.org/files-report-v2-pdf.png",
+        "h.example.org:8080/a-b-c.png",
+        "hostonly.example.org/hostonly-example-org.png",
+    ]
+
+
+def _png_renderer(urls):
+    return [b"PNG:" + u.encode() for u in urls]
+
+
+def _empty_renderer(urls):
+    return [b"" for _ in urls]
+
+
+def test_thumbnail_parse_filter(spark, tmp_path):
+    from coherencebot_spark.operators.parsefilters import (
+        thumbnail_parse_filter)
+
+    store = DirStore(tmp_path)
+    # pre-existing key: must NOT re-render, must still set meta (:150-158)
+    store.put("h1.example.org/old.png", b"OLD")
+    big = b"%PDF" + b"x" * 4000
+    rows = [
+        ("https://h1.example.org/a.pdf", "application/pdf", big, None),
+        ("https://h1.example.org/old", "application/pdf", big, None),
+        # gates: wrong mime / too small / meta precedence (:79-117)
+        ("https://h1.example.org/page.html", "text/html", big, None),
+        ("https://h1.example.org/tiny.pdf", "application/pdf", b"%PDF", None),
+        ("https://h1.example.org/og.pdf", "application/pdf", big,
+         {"og:image": "https://cdn/x.png"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, mime string, bytes binary, "
+              "parse_meta map<string,string>")
+    out = thumbnail_parse_filter(_png_renderer, store, "thumbs")(df)
+    meta = {r["url"]: dict(r["parse_meta"] or {}) for r in out.collect()}
+
+    assert meta["https://h1.example.org/a.pdf"]["thumbnail"] == \
+        "https://thumbs.s3.amazonaws.com/h1.example.org/a-pdf.png"
+    assert meta["https://h1.example.org/a.pdf"]["thumbnail.url_archive"] \
+        == "s3://thumbs/h1.example.org/a-pdf.png"
+    assert store.exists("h1.example.org/a-pdf.png")
+
+    # existing key: meta set, stored object untouched
+    assert meta["https://h1.example.org/old"]["thumbnail"].endswith(
+        "h1.example.org/old.png")
+    p = store._p("h1.example.org/old.png")
+    with open(p, "rb") as f:
+        assert f.read() == b"OLD"
+
+    # gated rows: no thumbnail meta, other meta preserved untouched
+    assert "thumbnail" not in meta["https://h1.example.org/page.html"]
+    assert "thumbnail" not in meta["https://h1.example.org/tiny.pdf"]
+    assert meta["https://h1.example.org/og.pdf"] == {
+        "og:image": "https://cdn/x.png"}
+
+
+def test_thumbnail_zero_byte_render_sets_nothing(spark, tmp_path):
+    from coherencebot_spark.operators.parsefilters import (
+        thumbnail_parse_filter)
+
+    store = DirStore(tmp_path)
+    big = b"%PDF" + b"x" * 4000
+    df = spark.createDataFrame(
+        [("https://h1.example.org/z.pdf", "application/pdf", big, None)],
+        "url string, mime string, bytes binary, "
+        "parse_meta map<string,string>")
+    out = thumbnail_parse_filter(_empty_renderer, store, "thumbs")(df)
+    meta = dict(out.collect()[0]["parse_meta"] or {})
+    assert "thumbnail" not in meta                 # :199-201
+    assert not store.exists("h1.example.org/z-pdf.png")
+
+
+def test_thumbnail_bytes_stay_out_of_the_python_stage(spark, tmp_path):
+    """The render stage must run on the narrow (url, key) projection —
+    the payload column may not appear in any ArrowEvalPython/MapInPandas
+    input, and may not cross an Exchange."""
+    from coherencebot_spark.operators.parsefilters import (
+        thumbnail_parse_filter)
+
+    store = DirStore(tmp_path)
+    big = b"%PDF" + b"x" * 4000
+    df = spark.createDataFrame(
+        [("https://h1.example.org/a.pdf", "application/pdf", big, None)],
+        "url string, mime string, bytes binary, "
+        "parse_meta map<string,string>")
+    out = thumbnail_parse_filter(_png_renderer, store, "thumbs")(df)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "Exchange"):
+        for block in p.split(marker)[1:]:
+            first_line = block.splitlines()[0]
+            assert "bytes" not in first_line, \
+                f"payload bytes reach {marker}: {first_line}"
