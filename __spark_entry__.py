@@ -2381,6 +2381,21 @@ def _q_image_shard_manifest(spark, sf_dir):
         parallelism=8)
 
 
+def _q_cleaning_job(spark, sf_dir):
+    # bin/nutch clean (CleaningJob.java): whole-db scan for gone (3) /
+    # duplicate (7) rows -> one delete action per url, zero shuffles
+    from coherencebot_spark.sources.sinks import cleaning_job
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    f = d.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 23).cast("string"),
+                 F.lit(".example.org/p/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        (F.col("doc_id") % 9).cast("int").alias("status"),
+    )
+    return cleaning_job(f)
+
+
 def _q_thumbnail_key(spark, sf_dir):
     # parse-thumb s3-key derivation (ThumbnailParseFilter.java:124-136):
     # host-ish split + slugified path, with the no-path collapse quirk
@@ -2503,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": _q_phash_near_dups,
         "image_shard_manifest": _q_image_shard_manifest,
         "thumbnail_key": _q_thumbnail_key,
+        "cleaning_job": _q_cleaning_job,
     }.items()}
 
 
@@ -4508,6 +4524,13 @@ def oracle_sql() -> dict[str, str]:
                      || '.png'
                    END AS s3_key
             FROM split
+        """,
+        "cleaning_job": """
+            SELECT 'http://h' || (doc_id % 23) || '.example.org/p/' || doc_id
+                     AS url,
+                   TRUE AS _delete
+            FROM documents
+            WHERE doc_id < 500 AND (doc_id % 9) IN (3, 7)
         """,
     }
 

@@ -33,6 +33,26 @@ def build_index_documents(frontier: DataFrame, content: DataFrame,
     )
 
 
+def cleaning_job(frontier: DataFrame,
+                 include_duplicates: bool = True) -> DataFrame:
+    """``bin/nutch clean`` (indexer/CleaningJob.java:63-76,120-142): scan
+    the whole crawldb for DB_GONE (404) — and DB_DUPLICATE unless
+    disabled — and emit one delete action per url for the index sinks.
+
+    Returns ``(url, _delete=true)`` rows, the same ``_delete`` contract
+    :func:`write_elastic_bulk` / :func:`write_solr_xml` already honor,
+    so ``write_solr_xml(cleaning_job(frontier), path)`` is the whole
+    job.  Scale shape: a single pushed-down status filter over the
+    frontier scan, zero shuffles (the reference funnels every url
+    through ONE reducer keyed by a constant byte — the single worst
+    bottleneck a 10^10-row MapReduce job can have; the rewrite keeps
+    deletes partition-parallel end-to-end)."""
+    statuses = [int(Db.GONE)] + ([int(Db.DUPLICATE)]
+                                 if include_duplicates else [])
+    return frontier.filter(F.col("status").isin(statuses)) \
+        .select("url", F.lit(True).alias("_delete"))
+
+
 def build_segment_index_documents(frontier: DataFrame, content: DataFrame,
                                   seg: DataFrame,
                                   linkdb: DataFrame | None = None,

@@ -11,6 +11,9 @@ analogues over a crawl workdir (SnapshotTable layout written by
     python scripts/read_tools.py readhostdb --workdir /tmp/crawl --get host42
     python scripts/read_tools.py readseg --workdir /tmp/crawl --list
     python scripts/read_tools.py readseg --workdir /tmp/crawl --protostats
+    python scripts/read_tools.py clean   --workdir /tmp/crawl
+    python scripts/read_tools.py clean   --workdir /tmp/crawl \
+        --out /tmp/deletes --solr
 
 Each prints JSON lines (the ``-dump json`` flavor of the reference tools).
 """
@@ -46,7 +49,8 @@ def _emit(df, limit: int | None = None, name: str | None = None) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("tool", choices=["readdb", "readhostdb", "readseg"])
+    ap.add_argument("tool", choices=["readdb", "readhostdb", "readseg",
+                                     "clean"])
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--topn", type=int)
@@ -62,6 +66,9 @@ def main() -> None:
                     help="per-proto-status counts over the latest segment")
     ap.add_argument("--limit", type=int, default=0,
                     help="cap printed rows (0 = all)")
+    ap.add_argument("--solr", action="store_true",
+                    help="clean: write deletes as solr-xml parts (needs "
+                         "--out)")
     ap.add_argument("--out", help="write result as json parts to this dir "
                                   "instead of printing (distributed — the "
                                   "right mode for a 10^10-row dump; the "
@@ -106,6 +113,21 @@ def main() -> None:
             _emit(readhostdb.hostnames(hostdb, expr=args.expr), limit)
         else:
             _emit(readhostdb.dump(hostdb, expr=args.expr), limit)
+    elif args.tool == "clean":
+        # bin/nutch clean: whole-db gone/duplicate scan -> delete actions
+        # (CleaningJob.java).  With --out + --solr the deletes land as
+        # POST-able <delete> XML parts; otherwise JSON delete rows.
+        from coherencebot_spark.sources.sinks import cleaning_job, \
+            write_solr_xml
+
+        frontier = SnapshotTable(
+            os.path.join(args.workdir, "frontier"), "frontier"
+        ).read(spark).drop("bucket")
+        deletes = cleaning_job(frontier)
+        if args.out and args.solr:
+            write_solr_xml(deletes, args.out)
+        else:
+            _emit(deletes, limit)
     else:  # readseg
         from coherencebot_spark.operators.readseg import (
             protocol_status_statistics, segment_list,

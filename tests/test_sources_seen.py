@@ -304,3 +304,33 @@ def test_solr_xml_sink_round_trip(spark, tmp_path):
     assert a["sig"] == "0102"
     assert "n" not in a  # null field omitted
     assert by_url["https://b.example.org/y"]["n"] == "7"
+
+
+def test_cleaning_job(spark, tmp_path):
+    """bin/nutch clean (CleaningJob.java): gone + duplicate rows become
+    delete actions; everything else is untouched.  Round-trips through
+    the solr-xml sink's delete contract."""
+    from coherencebot_spark.sources.sinks import (
+        cleaning_job, read_solr_xml, write_solr_xml)
+    from coherencebot_spark.status import Db
+
+    rows = [
+        ("http://h/ok", int(Db.FETCHED)),
+        ("http://h/gone", int(Db.GONE)),
+        ("http://h/dup", int(Db.DUPLICATE)),
+        ("http://h/unfetched", int(Db.UNFETCHED)),
+    ]
+    f = spark.createDataFrame(rows, "url string, status int")
+    got = {r.url for r in cleaning_job(f).collect()}
+    assert got == {"http://h/gone", "http://h/dup"}
+    # --noCommit analogue of duplicate handling: CleaningJob always
+    # includes duplicates; the toggle is for engines doing dedup natively
+    only_gone = {r.url for r in
+                 cleaning_job(f, include_duplicates=False).collect()}
+    assert only_gone == {"http://h/gone"}
+
+    out = str(tmp_path / "deletes")
+    write_solr_xml(cleaning_job(f), out)
+    docs, deletes = read_solr_xml(out)
+    assert docs == []
+    assert sorted(deletes) == ["http://h/dup", "http://h/gone"]
