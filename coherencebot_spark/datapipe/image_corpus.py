@@ -61,6 +61,8 @@ __all__ = [
     "image_exact_dedup",
     "image_shard_manifest",
     "build_image_corpus",
+    "write_image_shards",
+    "read_image_shard",
 ]
 
 
@@ -267,3 +269,93 @@ def build_image_corpus(images: DataFrame,
         audit["shards"] = out.select("shard_id").distinct().count()
 
     return out, audit
+
+
+def write_image_shards(images: DataFrame, out_dir: str,
+                       shard_bytes: int = 1 << 30,
+                       id_col: str = "image_id",
+                       bytes_col: str = "bytes",
+                       order_col: str | None = None,
+                       parallelism: int | None = None) -> None:
+    """Materialize the corpus as byte-budgeted shard files — the
+    webdataset-style physical output the manifest describes.
+
+    Each shard ``shard-<n>.bin`` is the concatenation of its members'
+    payloads in manifest order; ``shard-<n>.idx.json`` carries one JSON
+    line per member ``{image_id, offset, nbytes}`` so a reader can
+    random-access any image with one ranged read.  A trailing
+    ``_MANIFEST.json`` line-file (one line per member, all shards) makes
+    the whole output self-describing.
+
+    Scale shape: this is the one image stage that MUST move payload
+    bytes — physical co-location of a shard's members is the point — so
+    it spends exactly one exchange on it (repartition by shard_id after
+    a broadcast-sized manifest join) and writes shards
+    partition-parallel, one task per shard group.  Everything upstream
+    (gates, dedup, manifest arithmetic) stayed narrow."""
+    import json
+    import os
+
+    man = image_shard_manifest(images, shard_bytes, id_col=id_col,
+                               size_col=F.length(F.col(bytes_col)),
+                               order_col=order_col,
+                               parallelism=parallelism)
+    joined = images.select(F.col(id_col).alias("image_id"),
+                           F.col(bytes_col).alias("_payload")) \
+        .join(man, "image_id") \
+        .repartition("shard_id")
+    os.makedirs(out_dir, exist_ok=True)
+    target = str(out_dir)
+
+    def _write(part):
+        rows = sorted(part, key=lambda r: (r["shard_id"], r["shard_offset"]))
+        cur, buf, idx, pos = None, [], [], 0
+
+        def flush():
+            if cur is None:
+                return
+            with open(os.path.join(target, f"shard-{cur:06d}.bin"),
+                      "wb") as f:
+                for b in buf:
+                    f.write(b)
+            with open(os.path.join(target, f"shard-{cur:06d}.idx.json"),
+                      "w") as f:
+                for line in idx:
+                    f.write(json.dumps(line) + "\n")
+
+        for r in rows:
+            if r["shard_id"] != cur:
+                flush()
+                cur, buf, idx, pos = r["shard_id"], [], [], 0
+            # idx offsets are PHYSICAL file positions: when an image
+            # overflows the previous shard's budget, the next shard's
+            # first member has a nonzero logical stream offset
+            # (manifest shard_offset = start % shard_bytes) but sits at
+            # file position 0
+            buf.append(bytes(r["_payload"]))
+            idx.append({"image_id": r["image_id"],
+                        "offset": pos,
+                        "nbytes": r["nbytes"]})
+            pos += r["nbytes"]
+        flush()
+
+    joined.foreachPartition(_write)
+    man.select(F.to_json(F.struct("image_id", "shard_id", "shard_offset",
+                                  "nbytes")).alias("line")) \
+        .write.mode("overwrite").text(os.path.join(target, "_MANIFEST.json"))
+
+
+def read_image_shard(shard_path: str, idx_path: str) -> "list[tuple]":
+    """Round-trip reader for one shard: [(image_id, bytes), ...] in
+    offset order — the ranged-read contract a trainer's data loader
+    would use."""
+    import json
+
+    out = []
+    with open(idx_path) as f:
+        entries = [json.loads(ln) for ln in f if ln.strip()]
+    with open(shard_path, "rb") as f:
+        blob = f.read()
+    for e in sorted(entries, key=lambda x: x["offset"]):
+        out.append((e["image_id"], blob[e["offset"]:e["offset"] + e["nbytes"]]))
+    return out

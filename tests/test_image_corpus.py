@@ -168,3 +168,48 @@ def test_bytes_never_cross_a_shuffle(corpus):
         first_line = block.splitlines()[0]
         assert "bytes" not in first_line, \
             f"payload bytes cross a shuffle: {first_line}"
+
+
+def test_write_image_shards_round_trip(spark, tmp_path):
+    """Physical shards: every payload lands byte-identical at its
+    manifest offset; the idx sidecar supports ranged reads."""
+    import glob
+    import json
+    import os
+
+    from coherencebot_spark.datapipe.image_corpus import (
+        read_image_shard, write_image_shards)
+
+    rows = [(f"i{k:03d}", bytes([k % 251]) * (100 + 37 * (k % 7)))
+            for k in range(60)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows],
+        "image_id string, bytes binary")
+    out = tmp_path / "shards"
+    write_image_shards(df, str(out), shard_bytes=1500, parallelism=4)
+
+    want = dict(rows)
+    seen = {}
+    for idx in sorted(glob.glob(str(out / "shard-*.idx.json"))):
+        shard = idx.replace(".idx.json", ".bin")
+        for image_id, data in read_image_shard(shard, idx):
+            seen[image_id] = data
+    assert seen == want
+
+    # offsets in the sidecars are shard-local and contiguous
+    for idx in glob.glob(str(out / "shard-*.idx.json")):
+        with open(idx) as f:
+            entries = sorted((json.loads(ln) for ln in f),
+                             key=lambda e: e["offset"])
+        pos = 0
+        for e in entries:
+            assert e["offset"] == pos
+            pos += e["nbytes"]
+        assert pos == os.path.getsize(idx.replace(".idx.json", ".bin"))
+
+    # the global manifest covers every member exactly once
+    man_lines = []
+    for p in glob.glob(str(out / "_MANIFEST.json" / "part-*")):
+        with open(p) as f:
+            man_lines += [json.loads(ln) for ln in f if ln.strip()]
+    assert {m["image_id"] for m in man_lines} == set(want)
