@@ -1588,6 +1588,16 @@ def _q_lang_index(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _q_lm_typicality(spark, sf_dir):
+    """Corpus-trained char-trigram LM typicality (CCNet-style cheap
+    perplexity proxy): top-4096-trigram add-one model trained on the
+    documents table, every doc scored by mean trigram log-prob with OOV
+    priced at the smoothed floor.  Broadcast model, two shuffles total."""
+    from coherencebot_spark.datapipe.lm_quality import lm_typicality
+    d = _t(spark, sf_dir, "documents")
+    return lm_typicality(d, vocab_limit=4096, max_chars=2000)
+
+
 def _q_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2493,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": _q_lang_detect,
         "lang_index": _q_lang_index,
         "quality_score": _q_quality,
+        "lm_typicality": _q_lm_typicality,
         "fingerprint": _q_fingerprint,
         "index_basic": _q_index_basic,
         "index_more": _q_index_more,
@@ -3925,6 +3936,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 7 WHEN 3 THEN 'pt' ELSE 'sv' END AS lang
             FROM documents
             WHERE doc_id < 700 AND doc_id % 7 IN (0, 2, 3)
+        """,
+        # trigram-LM typicality twin: same truncate→lower→trigram explode,
+        # same (count DESC, tri ASC) top-V tie-break, same add-one smoothing
+        # over the kept vocabulary, same OOV floor ln(1/(total+V))
+        "lm_typicality": """
+            WITH trunc AS (
+              SELECT doc_id, lower(substr(text, 1, 2000)) AS t
+              FROM documents
+              WHERE length(lower(substr(text, 1, 2000))) >= 3
+            ), idx AS (
+              SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i
+              FROM trunc
+            ), tris AS (
+              SELECT doc_id, substr(t, i::INT, 3) AS tri FROM idx
+            ), counts AS (
+              SELECT tri, count(*)::BIGINT AS c FROM tris GROUP BY tri
+            ), top AS (
+              SELECT tri, c FROM counts ORDER BY c DESC, tri ASC LIMIT 4096
+            ), stats AS (
+              SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM top
+            ), model AS (
+              SELECT tri, ln((c + 1.0) / (total + v)) AS logp
+              FROM top, stats
+            ), scored AS (
+              SELECT d.doc_id, m.logp
+              FROM tris d LEFT JOIN model m USING (tri)
+            ), agg AS (
+              SELECT doc_id, count(*)::INT AS n_tris,
+                     sum(CASE WHEN logp IS NULL THEN 1 ELSE 0 END)::INT
+                       AS oov_tris,
+                     sum(logp) AS hit_logp
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_tris, oov_tris,
+                   ROUND((COALESCE(hit_logp, 0)
+                          + oov_tris * ln(1.0 / (total + v))) / n_tris, 4)
+                     AS avg_logp
+            FROM agg, stats
         """,
         "quality_score": r"""
             SELECT doc_id,

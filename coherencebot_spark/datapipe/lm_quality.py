@@ -1,0 +1,98 @@
+"""Corpus-trained character-trigram LM typicality scoring.
+
+CCNet-style quality filtering ranks documents by language-model
+perplexity against an in-domain model; this is the same signal built
+from the corpus itself: train a char-trigram unigram-of-trigrams model
+(top-V vocabulary, add-one smoothing) and score every document by its
+average trigram log-probability.  Low ``avg_logp`` = atypical text
+(binary junk, boilerplate noise, wrong-language residue) — the standard
+cheap outlier filter between the C4 heuristics and a real LM pass.
+
+Everything is JVM column expressions and one broadcast join — no Python
+in the hot path and no driver-side collect:
+
+* trigram explode is bounded per doc by ``max_chars`` truncation;
+* the trigram-count aggregation has a bounded key space (distinct
+  trigrams ≤ charset³), so map-side partial aggregation collapses it
+  before the single shuffle;
+* the top-V vocabulary is a ``TakeOrderedAndProject`` (no full sort),
+  deterministic under ties via (count DESC, trigram ASC);
+* the model (≤ ``vocab_limit`` rows) and its (total, V) scalars join
+  back as broadcasts, so scoring adds exactly one more shuffle (the
+  per-doc aggregate, again map-side partial).
+
+At 10^10 docs the model is still ≤ vocab_limit rows — training cost is
+one bounded-key aggregation over the corpus and scoring is map-side
+except the per-doc combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _trigrams(text: Column, max_chars: int) -> Column:
+    """Array of lowercased character trigrams of the truncated text."""
+    t = F.lower(F.substring(text, 1, max_chars))
+    return F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2),
+        lambda i: F.substring(t, i, F.lit(3)),
+    )
+
+
+def train_trigram_lm(docs: DataFrame, text_col: str = "text",
+                     vocab_limit: int = 4096,
+                     max_chars: int = 2000) -> DataFrame:
+    """Train the model: top-``vocab_limit`` trigrams with add-one smoothed
+    log-probabilities.  Returns (tri, c, logp) — ``c`` kept so callers can
+    recompute the smoothing scalars without a second corpus pass."""
+    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
+    ex = (docs.where(F.length(t) >= 3)
+              .select(F.explode(_trigrams(F.col(text_col), max_chars))
+                      .alias("tri")))
+    counts = ex.groupBy("tri").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("tri")).limit(vocab_limit)
+    stats = top.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    return (top.crossJoin(F.broadcast(stats))
+               .select("tri", "c",
+                       F.log((F.col("c") + F.lit(1.0))
+                             / (F.col("total") + F.col("v"))).alias("logp")))
+
+
+def score_typicality(docs: DataFrame, model: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_chars: int = 2000) -> DataFrame:
+    """Per-document typicality: (id, n_tris, oov_tris, avg_logp) where
+    ``avg_logp`` is the mean trigram log-prob with OOV trigrams priced at
+    the smoothed floor ln(1 / (total + V)).  Docs shorter than one
+    trigram after truncation are dropped (no signal)."""
+    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
+    ex = (docs.where(F.length(t) >= 3)
+              .select(F.col(id_col),
+                      F.explode(_trigrams(F.col(text_col), max_chars))
+                      .alias("tri")))
+    stats = model.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    scored = ex.join(F.broadcast(model.select("tri", "logp")), "tri", "left")
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tris"),
+        F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0))
+         .alias("oov_tris"),
+        F.sum("logp").alias("hit_logp"),
+    )
+    oov_logp = F.log(F.lit(1.0) / (F.col("total") + F.col("v")))
+    return (agg.crossJoin(F.broadcast(stats))
+               .select(id_col,
+                       F.col("n_tris").cast("int").alias("n_tris"),
+                       F.col("oov_tris").cast("int").alias("oov_tris"),
+                       F.round((F.coalesce(F.col("hit_logp"), F.lit(0.0))
+                                + F.col("oov_tris") * oov_logp)
+                               / F.col("n_tris"), 4).alias("avg_logp")))
+
+
+def lm_typicality(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", vocab_limit: int = 4096,
+                  max_chars: int = 2000) -> DataFrame:
+    """Train on the corpus and score it (self-typicality outlier filter)."""
+    model = train_trigram_lm(docs, text_col, vocab_limit, max_chars)
+    return score_typicality(docs, model, id_col, text_col, max_chars)

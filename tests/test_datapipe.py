@@ -512,3 +512,49 @@ def test_lsh_33_planes_long_masks(spark):
     out = cosine_topk_lsh(vecs, q, k=3, dim=8, n_planes=33, n_tables=1,
                           multiprobe=2).collect()
     assert any(r.vec_id == 0 and r.rank == 1 for r in out)  # self-match
+
+
+def test_lm_typicality_scores_and_model(spark):
+    import math
+
+    from coherencebot_spark.datapipe.lm_quality import (
+        lm_typicality, score_typicality, train_trigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the cat sat again"),
+         (2, "the dog sat on the mat and the dog ran away"),
+         (3, "zzqx!!##@@ qqzx ##!!zz xx@@qq"),
+         (4, "ab")],                      # < 3 chars: no trigrams, dropped
+        "doc_id long, text string")
+
+    model = train_trigram_lm(docs, vocab_limit=4096)
+    mrows = {r.tri: (r.c, r.logp) for r in model.collect()}
+    # hand-counted corpus trigram: "at " occurs 4+3 times across docs 1-2
+    assert mrows["at "][0] == 7
+    total = sum(c for c, _ in mrows.values())
+    v = len(mrows)
+    assert mrows["at "][1] == pytest.approx(math.log(8 / (total + v)))
+
+    out = {r.doc_id: r for r in lm_typicality(docs).collect()}
+    assert set(out) == {1, 2, 3}          # doc 4 dropped (too short)
+    assert out[1].oov_tris == 0           # trained on itself: full coverage
+    # junk doc is the least typical
+    assert out[3].avg_logp < out[2].avg_logp < out[1].avg_logp
+
+    # OOV floor: score unseen text against a model trained only on docs 1-2
+    m12 = train_trigram_lm(docs.where("doc_id <= 2"), vocab_limit=4096)
+    s3 = score_typicality(docs.where("doc_id = 3"), m12).collect()[0]
+    assert s3.oov_tris > 0
+    n12 = {r.tri for r in m12.collect()}
+    assert "zzq" not in n12               # genuinely unseen trigram
+
+
+def test_lm_typicality_vocab_limit_tiebreak(spark):
+    from coherencebot_spark.datapipe.lm_quality import train_trigram_lm
+
+    # every trigram of "abcdef" occurs exactly once: the top-2 cut must be
+    # the deterministic (count DESC, tri ASC) prefix
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    m = train_trigram_lm(docs, vocab_limit=2)
+    assert sorted(r.tri for r in m.collect()) == ["abc", "bcd"]
