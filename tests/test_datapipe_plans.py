@@ -67,3 +67,25 @@ def test_packing_single_pass_shape(spark):
     for block in p.split("Exchange")[1:]:
         first_line = block.splitlines()[0]
         assert "text" not in first_line, f"text crosses a shuffle: {first_line}"
+
+
+def test_lm_typicality_plan_shape(spark):
+    """PLANS.md §trigram-LM typicality: the model reaches scoring via
+    BroadcastHashJoin (never a sort-merge join that would shuffle the
+    exploded corpus), the (total, V) scalars arrive as broadcast
+    nested-loop crossJoins, the top-V cut is a TakeOrderedAndProject
+    (no global Sort), and every Exchange is an aggregation exchange —
+    none carries the text column."""
+    from coherencebot_spark.datapipe.lm_quality import lm_typicality
+
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.concat(F.lit("some words here number "),
+                                     F.col("doc_id").cast("string")))
+    p = _plan(lm_typicality(docs))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p      # scalar crossJoins
+    assert "TakeOrderedAndProject" in p, p        # top-V, no full sort
+    for line in p.splitlines():                   # text never shuffles
+        if "Exchange" in line:
+            assert "text" not in line, line
