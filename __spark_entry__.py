@@ -463,6 +463,27 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over embeddings: corpus = base vectors (vec_id < 200)
+    plus scaled copies (id+10000, v×2 — same direction, cosine ≈ 1) of
+    the first 50; cluster with the DuckDB-reproducible 'first' codebook
+    and mark within-cluster duplicates at cosine ≥ 0.9 against the
+    smallest-id partner.  Expected: exactly the 50 copies are dups,
+    each dup_of its base (background pairwise cosine ≤ ~0.51)."""
+    from coherencebot_spark.datapipe.similarity import semantic_dedup
+
+    em = _t(spark, sf_dir, "embeddings").filter("vec_id < 200").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = em.filter("vec_id < 50").select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = em.unionByName(copies)
+    return semantic_dedup(corpus, threshold=0.9, n_centroids=8,
+                          codebook="first")
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     # exact 8-gram jaccard for all doc pairs with doc_id < 30
     d = _t(spark, sf_dir, "documents").filter("doc_id < 30")
@@ -2461,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sources": _q_union_sources,
         "dedup_exact": _q_dedup_exact,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -2954,6 +2976,57 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        """,
+        # SemDeDup twin: same constructed corpus (base ∪ ×2-scaled copies),
+        # same first-8-by-id codebook, same left-fold cosine and the same
+        # (cc DESC, cent_id ASC) assignment tie-break as the ann_ivf twin
+        "semantic_dedup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 200
+            ), corpus AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 10000, list_transform(v, x -> x * 2.0)
+              FROM base WHERE vec_id < 50
+            ), cents AS (
+              SELECT vec_id AS cent_id, v AS cvec
+              FROM corpus ORDER BY vec_id LIMIT 8
+            ), ac AS (
+              SELECT c.vec_id, c.v, k.cent_id,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(list_zip(c.v, k.cvec), z -> z[1] * z[2])),
+                       (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                          list_transform(c.v, x -> x * x)), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(k.cvec, x -> x * x)), (a, b) -> a + b)))
+                       AS cc
+              FROM corpus c CROSS JOIN cents k
+            ), assigned AS (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT vec_id, v, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cc DESC, cent_id ASC) AS r
+                FROM ac
+              ) WHERE r = 1
+            ), hits AS (
+              SELECT a.vec_id, min(b.vec_id)::BIGINT AS dup_of
+              FROM assigned a JOIN assigned b
+                ON a.cent_id = b.cent_id AND a.vec_id > b.vec_id
+              WHERE list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])),
+                      (x, y) -> x + y)
+                    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(a.v, x -> x * x)), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(b.v, x -> x * x)), (x, y) -> x + y)))
+                    >= 0.9
+              GROUP BY a.vec_id
+            )
+            SELECT s.vec_id, s.cent_id, h.dup_of,
+                   h.dup_of IS NOT NULL AS is_dup
+            FROM assigned s LEFT JOIN hits h USING (vec_id)
         """,
         "dedup_ngram_jaccard": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),

@@ -283,6 +283,80 @@ def ivf_refine_codebook(vectors: DataFrame, cent_rows: list[tuple],
     return cent_rows
 
 
+def _resolve_codebook(vectors: DataFrame, n_centroids: int, id_col: str,
+                      vec_col: str, codebook: str | list,
+                      refine_iters: int, seed: int) -> list[tuple]:
+    """Shared codebook resolution: explicit list / 'refined' (hash-sampled
+    seeds + Lloyd passes) / 'sample' / 'first' (the DuckDB-reproducible
+    oracle codebook)."""
+    if isinstance(codebook, list):
+        return codebook
+    if codebook == "refined":
+        return ivf_refine_codebook(
+            vectors,
+            ivf_seed_codebook(vectors, n_centroids, id_col, vec_col,
+                              method="sample", seed=seed),
+            id_col, vec_col, iters=refine_iters,
+        )
+    return ivf_seed_codebook(vectors, n_centroids, id_col, vec_col,
+                             method=codebook, seed=seed)
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float,
+                   n_centroids: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   codebook: str | list = "refined",
+                   refine_iters: int = 1, seed: int = 42,
+                   max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, then mark within-cluster semantic
+    duplicates — a row is a duplicate iff some SMALLER-id member of its
+    cluster has cosine ≥ ``threshold`` to it; ``dup_of`` is the smallest
+    such id (the deterministic keep-first rule, the embedding-space twin
+    of the phash/simhash near-dup marking).
+
+    Returns (id, cent_id, dup_of, is_dup) for every input row.
+
+    Scale shape: centroid assignment is the shuffle-free
+    :func:`ivf_assign` projection; the candidate set is within-cluster
+    only — O(cluster²) per cluster, NEVER all-pairs — so n_centroids is
+    the skew dial (size it ~|corpus|/target_cluster, exactly like LSH
+    band count).  The self-join co-locates by cent_id: two exchanges of
+    narrow (id, cent_id, vec) rows, the only time embeddings move.
+    ``max_cluster`` is the hot-bucket cap (same contract as the simhash
+    blocker's): clusters larger than the cap — pathological centroid
+    collapse — skip pair generation instead of running a quadratic
+    straggler, and their rows simply stay non-duplicates.  The final
+    mark join-back is on id-only narrow rows."""
+    cent_rows = _resolve_codebook(vectors, n_centroids, id_col, vec_col,
+                                  codebook, refine_iters, seed)
+    if not cent_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"{id_col} long, cent_id long, dup_of long, is_dup boolean")
+    assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
+    pairside = assigned
+    if max_cluster is not None:
+        keep = (assigned.groupBy("cent_id").count()
+                .where(F.col("count") <= int(max_cluster))
+                .select("cent_id"))
+        pairside = assigned.join(F.broadcast(keep), "cent_id", "left_semi")
+    a = pairside.select(F.col(id_col).alias("_ida"),
+                        F.col(vec_col).alias("_va"), "cent_id")
+    b = pairside.select(F.col(id_col).alias("_idb"),
+                        F.col(vec_col).alias("_vb"), "cent_id")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va"))
+                                              * _norm(F.col("_vb")))
+    hits = (a.join(b, "cent_id")
+             .where(F.col("_ida") > F.col("_idb"))
+             .where(cos >= float(threshold))
+             .groupBy("_ida").agg(F.min("_idb").alias("dup_of"))
+             .withColumnRenamed("_ida", id_col))
+    return (assigned.drop(vec_col)
+            .join(hits, id_col, "left")
+            .select(id_col, "cent_id", "dup_of",
+                    F.col("dup_of").isNotNull().alias("is_dup")))
+
+
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
                     n_centroids: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -308,18 +382,8 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
     take an argmax).  A query touches nprobe/n_centroids of the data;
     recall improves with nprobe (= brute force at nprobe == n_centroids).
     """
-    if isinstance(codebook, list):
-        cent_rows = codebook
-    elif codebook == "refined":
-        cent_rows = ivf_refine_codebook(
-            vectors,
-            ivf_seed_codebook(vectors, n_centroids, id_col, vec_col,
-                              method="sample", seed=seed),
-            id_col, vec_col, iters=refine_iters,
-        )
-    else:
-        cent_rows = ivf_seed_codebook(vectors, n_centroids, id_col, vec_col,
-                                      method=codebook, seed=seed)
+    cent_rows = _resolve_codebook(vectors, n_centroids, id_col, vec_col,
+                                  codebook, refine_iters, seed)
     if not cent_rows:
         return vectors.sparkSession.createDataFrame(
             [], f"{qid_col} long, {id_col} long, cosine double, rank int")

@@ -558,3 +558,48 @@ def test_lm_typicality_vocab_limit_tiebreak(spark):
     docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
     m = train_trigram_lm(docs, vocab_limit=2)
     assert sorted(r.tri for r in m.collect()) == ["abc", "bcd"]
+
+
+def test_semantic_dedup_marks_scaled_copies(spark):
+    from coherencebot_spark.datapipe.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated direction clusters of 10 vectors each
+    centers = rng.randn(3, 16) * 4
+    rows = []
+    # noise large enough that two cluster MEMBERS stay below the 0.999
+    # threshold (≈0.994 cosine) while a scaled copy is exactly parallel
+    for i in range(30):
+        v = centers[i % 3] + rng.randn(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    # ids 100+: exact scaled copies of vectors 0..4 — semantic dups
+    for i in range(5):
+        rows.append((100 + i, [2.0 * x for x in rows[i][1]]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: r for r in
+           semantic_dedup(vecs, threshold=0.999, n_centroids=3,
+                          codebook="refined", seed=3).collect()}
+    assert len(out) == 35
+    for i in range(5):                    # each copy dups its base
+        assert out[100 + i].is_dup and out[100 + i].dup_of == i
+    assert not any(out[i].is_dup for i in range(30))  # originals all kept
+    # copies landed in the same cluster as their base (same direction)
+    assert all(out[100 + i].cent_id == out[i].cent_id for i in range(5))
+
+
+def test_semantic_dedup_max_cluster_cap(spark):
+    from coherencebot_spark.datapipe.similarity import semantic_dedup
+
+    # one degenerate cluster: every vector identical — pair generation is
+    # quadratic there, the cap must skip it and keep all rows non-dup
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    capped = semantic_dedup(vecs, threshold=0.9, n_centroids=2,
+                            codebook="first", max_cluster=5)
+    rows = capped.collect()
+    assert len(rows) == 20 and not any(r.is_dup for r in rows)
+    uncapped = semantic_dedup(vecs, threshold=0.9, n_centroids=2,
+                              codebook="first")
+    assert uncapped.where("is_dup").count() == 19  # keep-first, all others
