@@ -463,6 +463,28 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """CCNet duplicated-paragraph removal over a constructed multi-line
+    corpus: every doc carries a corpus-wide boilerplate header, half
+    carry a shared footer, and each has a unique body slice + tail line.
+    Expected: boilerplate/footer lines dropped everywhere (count > 1),
+    unique lines and the blank separator survive in order."""
+    from coherencebot_spark.datapipe.dedup_text import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Cookie notice accept all\n"),
+            F.substring("text", 1, 40), F.lit("\n\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("Shared footer line"))
+             .otherwise(F.concat(F.lit("odd footer "),
+                                 F.col("doc_id").cast("string"))),
+            F.lit("\nunique tail "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(d, max_count=1)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup over embeddings: corpus = base vectors (vec_id < 200)
     plus scaled copies (id+10000, v×2 — same direction, cosine ≈ 1) of
@@ -2483,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "dedup_lines": _q_dedup_lines,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -2976,6 +2999,38 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        """,
+        # CCNet line-dedup twin: same constructed corpus, DuckDB's zipped
+        # parallel unnest provides line positions, string_agg(ORDER BY pos)
+        # reassembles; a doc whose every line dropped comes back as ''
+        "dedup_lines": """
+            WITH built AS (
+              SELECT doc_id,
+                     'Cookie notice accept all' || chr(10)
+                     || substr(text, 1, 40) || chr(10) || chr(10)
+                     || CASE WHEN doc_id % 2 = 0 THEN 'Shared footer line'
+                             ELSE 'odd footer ' || doc_id END
+                     || chr(10) || 'unique tail ' || doc_id AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     unnest(range(1, len(string_split(t, chr(10))) + 1))
+                       AS pos
+              FROM built
+            ), common AS (
+              SELECT trim(line) AS key FROM ex
+              WHERE trim(line) <> ''
+              GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT e.doc_id,
+                   COALESCE(string_agg(e.line, chr(10) ORDER BY e.pos)
+                            FILTER (WHERE c.key IS NULL), '') AS text,
+                   count(*)::INT AS n_lines,
+                   sum(CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END)::INT
+                     AS n_dropped
+            FROM ex e LEFT JOIN common c ON trim(e.line) = c.key
+            GROUP BY e.doc_id
         """,
         # SemDeDup twin: same constructed corpus (base ∪ ×2-scaled copies),
         # same first-8-by-id codebook, same left-fold cosine and the same

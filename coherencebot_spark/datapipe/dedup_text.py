@@ -354,3 +354,44 @@ def simhash_block_stats(docs: DataFrame, id_col: str = "doc_id",
         )
         .orderBy(F.desc("bucket_size"))
     )
+
+
+def dedup_lines(docs: DataFrame, max_count: int = 1,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """CCNet-style corpus-wide duplicated-line removal (Wenzek et al.
+    2020 drop duplicated paragraphs before LM filtering): a non-blank
+    line survives iff its trimmed form occurs ≤ ``max_count`` times
+    across the WHOLE corpus; blank lines pass through untouched (they
+    are structure, and counting them would delete every paragraph
+    break).  Documents are reassembled in original line order; a doc
+    whose every line was boilerplate comes back with empty text, never
+    dropped.
+
+    Returns (id, text, n_lines, n_dropped).
+
+    Scale shape: three exchanges, all narrow and combinable — the line
+    count aggregate (map-side partial over line keys), the count
+    join-back keyed by the trimmed line, and the per-doc reassembly
+    keyed by id.  Line payloads are bounded by the document length and
+    never fan out (posexplode is linear, unlike shingling); no Python,
+    no driver state."""
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    common = (ex.where(F.col("key") != "")
+                .groupBy("key").agg(F.count("*").alias("c"))
+                .where(F.col("c") > int(max_count))
+                .select("key", F.lit(True).alias("_dup")))
+    j = ex.join(common, "key", "left")
+    keep = F.col("_dup").isNull() | (F.col("key") == "")
+    kept_struct = F.when(keep, F.struct("pos", "line"))
+    return (j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"]),
+            "\n").alias(text_col),
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("int").alias("n_dropped"),
+    ))

@@ -603,3 +603,36 @@ def test_semantic_dedup_max_cluster_cap(spark):
     uncapped = semantic_dedup(vecs, threshold=0.9, n_centroids=2,
                               codebook="first")
     assert uncapped.where("is_dup").count() == 19  # keep-first, all others
+
+
+def test_dedup_lines_ccnet_semantics(spark):
+    from coherencebot_spark.datapipe.dedup_text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "unique one\ncookie banner\n\nreal text here"),
+         (2, "cookie banner\nother unique line"),
+         (3, "cookie banner\n  cookie banner  \nonly boilerplate")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert len(out) == 3                         # no doc ever dropped
+    # trimmed-form matching: the padded variant counts with the bare one
+    assert out[1].text == "unique one\n\nreal text here"   # blank kept
+    assert out[2].text == "other unique line"
+    assert out[3].text == "only boilerplate" and out[3].n_dropped == 2
+    # max_count=3: 'cookie banner' occurs 4x corpus-wide, still dropped;
+    # raise to 4 and it survives everywhere with original padding
+    relaxed = {r.doc_id: r.text
+               for r in dedup_lines(docs, max_count=4).collect()}
+    assert relaxed[3] == "cookie banner\n  cookie banner  \nonly boilerplate"
+
+
+def test_dedup_lines_all_boilerplate_doc_kept_empty(spark):
+    from coherencebot_spark.datapipe.dedup_text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same line")],
+        "doc_id long, text string")
+    rows = dedup_lines(docs).collect()
+    assert len(rows) == 3
+    assert all(r.text == "" and r.n_dropped == 1 and r.n_lines == 1
+               for r in rows)
