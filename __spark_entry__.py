@@ -463,6 +463,30 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_winnow_passages(spark, sf_dir):
+    """MOSS-winnowing shared-passage detection over a constructed corpus:
+    every third doc carries a common boilerplate passage appended to its
+    unique 80-char slice; the rest stay fully unique.  Expected: the
+    doc_id%3==0 docs report a large n_shared, the others ~0 (modulo
+    accidental 11-char overlaps between natural slices, which the twin
+    reproduces identically)."""
+    from coherencebot_spark.datapipe.dedup_text import shared_passage_stats
+    from coherencebot_spark.functions.hashing import md5_long60
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" the common boilerplate passage that repeats"
+                         " across many documents verbatim"))
+             .otherwise(F.concat(F.lit(" unique tail "),
+                                 F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    return shared_passage_stats(d, k=8, window=4, hash_fn=md5_long60)
+
+
 def _q_dedup_lines(spark, sf_dir):
     """CCNet duplicated-paragraph removal over a constructed multi-line
     corpus: every doc carries a corpus-wide boilerplate header, half
@@ -2506,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         "dedup_lines": _q_dedup_lines,
+        "winnow_passages": _q_winnow_passages,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -2999,6 +3024,46 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        """,
+        # winnowing twin: same constructed corpus, same portable md5_long60
+        # gram hash, list_transform/list_slice/list_min reproduce the
+        # window-min selection; distinct-per-doc sets make shared counts
+        # exact.  k=8, window=4, max_chars=2000, min doc length k+w-1=11
+        "winnow_passages": """
+            WITH built AS (
+              SELECT doc_id,
+                     substr(text, 1, 80)
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' the common boilerplate passage that'
+                                  || ' repeats across many documents verbatim'
+                             ELSE ' unique tail ' || doc_id END AS t0
+              FROM documents
+            ), trunc AS (
+              SELECT doc_id, substr(t0, 1, 2000) AS t FROM built
+              WHERE length(substr(t0, 1, 2000)) >= 11
+            ), grams AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(t) - 8 + 2),
+                       i -> CAST(('0x' || substring(md5(substr(t, i::INT, 8)),
+                                          1, 15)) AS BIGINT)) AS g
+              FROM trunc
+            ), fps AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       list_transform(range(1, len(g) - 4 + 2),
+                         j -> list_min(list_slice(g, j::INT, (j + 3)::INT)))))
+                       AS fp
+              FROM grams
+            ), common AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1
+            )
+            SELECT f.doc_id, count(*)::INT AS n_fps,
+                   sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)::INT
+                     AS n_shared,
+                   ROUND(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) AS shared_frac
+            FROM fps f LEFT JOIN common c USING (fp)
+            GROUP BY f.doc_id
         """,
         # CCNet line-dedup twin: same constructed corpus, DuckDB's zipped
         # parallel unnest provides line positions, string_agg(ORDER BY pos)

@@ -395,3 +395,62 @@ def dedup_lines(docs: DataFrame, max_count: int = 1,
         F.count("*").cast("int").alias("n_lines"),
         F.sum(F.when(~keep, 1).otherwise(0)).cast("int").alias("n_dropped"),
     ))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_fn=None, max_chars: int = 2000) -> DataFrame:
+    """MOSS winnowing (Schleimer et al., SIGMOD'03): per-doc selected
+    k-gram fingerprints — the min rolling hash of each ``window``
+    consecutive k-grams.  The winnowing guarantee: any substring of
+    length ≥ k + window - 1 shared by two documents yields at least one
+    SHARED selected fingerprint, at ~1/window the density of the full
+    k-gram set.  Returns (id, fp), distinct per doc.
+
+    Scale shape: grams and window-minima are higher-order array
+    expressions over the truncated text — a pure Project, bounded by
+    ``max_chars``; only the selected ~len/window fingerprints explode.
+    ``hash_fn``: xxhash64 by default; pass ``md5_long60`` for the
+    DuckDB-twin portable variant."""
+    from coherencebot_spark.functions.hashing import xxh64_hash
+    hf = hash_fn or xxh64_hash
+    t = F.substring(F.col(text_col), 1, int(max_chars))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (int(k) - 1)),
+        lambda i: hf(F.substring(t, i, F.lit(int(k)))),
+    )
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(t) - (int(k) + int(window) - 2)),
+        lambda j: F.array_min(F.slice(grams, j, int(window))),
+    ))
+    return (docs.where(F.length(t) >= int(k) + int(window) - 1)
+                .select(F.col(id_col), F.explode(sel).alias("fp")))
+
+
+def shared_passage_stats(docs: DataFrame, k: int = 8, window: int = 4,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         hash_fn=None, max_chars: int = 2000) -> DataFrame:
+    """Cross-document repeated-passage detection via winnowing — the
+    bounded cousin of Lee et al. 2022 exact-substring dedup: a
+    fingerprint seen in > 1 document marks a shared passage of length
+    ≥ k + window - 1.  Returns per-doc (id, n_fps, n_shared,
+    shared_frac) for threshold filtering downstream.
+
+    Scale shape: fingerprints are already distinct per doc, so the
+    cross-doc count is one combinable aggregation; the join-back moves
+    (fp, flag) pairs and the per-doc rollup is the second combinable
+    aggregation — the same three-narrow-exchange shape as
+    :func:`dedup_lines`, never all-pairs."""
+    fps = winnow_fingerprints(docs, k, window, id_col, text_col,
+                              hash_fn, max_chars)
+    common = (fps.groupBy("fp").agg(F.count("*").alias("ndocs"))
+                 .where(F.col("ndocs") > 1)
+                 .select("fp", F.lit(True).alias("_shared")))
+    j = fps.join(common, "fp", "left")
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_fps"),
+        F.sum(F.when(F.col("_shared"), 1).otherwise(0)).cast("int")
+         .alias("n_shared"),
+        F.round(F.sum(F.when(F.col("_shared"), 1).otherwise(0))
+                / F.count("*"), 4).alias("shared_frac"),
+    )

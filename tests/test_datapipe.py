@@ -636,3 +636,45 @@ def test_dedup_lines_all_boilerplate_doc_kept_empty(spark):
     assert len(rows) == 3
     assert all(r.text == "" and r.n_dropped == 1 and r.n_lines == 1
                for r in rows)
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length >= k + window - 1
+    always yields at least one shared selected fingerprint."""
+    from coherencebot_spark.datapipe.dedup_text import (
+        shared_passage_stats, winnow_fingerprints,
+    )
+    from coherencebot_spark.functions.hashing import md5_long60
+
+    passage = "the shared boilerplate passage appears right here"
+    docs = spark.createDataFrame(
+        [(1, "completely unique text sharing nothing with anyone at all"),
+         (2, passage + " in this document"),
+         (3, "different start but " + passage + " too")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           shared_passage_stats(docs, hash_fn=md5_long60).collect()}
+    assert out[1].n_shared == 0 and out[1].shared_frac == 0.0
+    assert out[2].n_shared > 0 and out[3].n_shared > 0
+
+    # density: winnowing selects ~1/window of the grams, never more than
+    # the window count, and the guarantee needs >= 1 per doc here
+    from pyspark.sql import functions as F
+    fps = winnow_fingerprints(docs, k=8, window=4, hash_fn=md5_long60)
+    per_doc = {r.doc_id: r.cnt for r in
+               fps.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    for r in docs.collect():
+        n_windows = len(r.text) - (8 + 4 - 2)
+        assert 1 <= per_doc[r.doc_id] <= n_windows
+
+
+def test_winnow_short_docs_dropped(spark):
+    from coherencebot_spark.datapipe.dedup_text import winnow_fingerprints
+    from coherencebot_spark.functions.hashing import md5_long60
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789"), (2, "0123456789a")],  # k+w-1 = 11
+        "doc_id long, text string")
+    got = {r.doc_id for r in
+           winnow_fingerprints(docs, hash_fn=md5_long60).collect()}
+    assert got == {2}
