@@ -18,6 +18,13 @@ each stage shrinks the data the next one touches:
                       upsampling (Project + bounded explode);
 7. **pack**         — concat-and-chunk manifest (two-level offset sum).
 
+Optional round-4 stages slot into the same skeleton (all default off):
+**line_dedup** (CCNet duplicated-paragraph removal, after scrub),
+**typicality** (trigram-LM corpus-typicality gate, after quality),
+**passage_dedup** (winnowing shared-passage gate, after near dedup),
+**semantic** (SemDeDup over an embedding column, before
+decontamination).
+
 Every stage is optional and individually hard-oracled (see
 ``__spark_entry__``); this module adds the glue, a per-stage row-count
 audit (one tiny aggregate per enabled stage — the numbers a pipeline
@@ -57,6 +64,22 @@ class CorpusConfig:
     minhash_k: int = 5
     minhash_hashes: int = 32
     minhash_bands: int = 8
+    # optional round-4 stages (default off: the canonical audit above is
+    # oracled/tested as-is; turn on per the recipe you're reproducing —
+    # CCNet uses line_dedup + a perplexity gate ≈ typicality, Lee et al.
+    # motivates passage_dedup, SemDeDup motivates semantic over embeddings)
+    line_dedup: bool = False            # CCNet duplicated-paragraph removal
+    typicality: bool = False            # trigram-LM corpus-typicality gate
+    min_typicality: float = -8.0        # keep docs with avg_logp >= this
+    typicality_vocab: int = 4096
+    passage_dedup: bool = False         # winnowing shared-passage gate
+    max_shared_frac: float = 0.5        # drop docs above this share
+    winnow_k: int = 8
+    winnow_window: int = 4
+    semantic: bool = False              # SemDeDup over an embedding column
+    embedding_col: str | None = None
+    semantic_threshold: float = 0.99
+    semantic_centroids: int = 16
     # decontamination
     decontam_n: int = 13
     # mixing: stratum column + fraction recipe (None = single fraction)
@@ -96,6 +119,15 @@ def build_training_corpus(docs: DataFrame,
     if cfg.scrub:
         out = scrub_pii(out, text_col=cfg.text_col, counts_col=None)
 
+    if cfg.line_dedup:
+        # CCNet: drop corpus-wide duplicated paragraphs BEFORE the quality
+        # gates so boilerplate doesn't skew length/repetition ratios
+        from .dedup_text import dedup_lines
+        cleaned = dedup_lines(out, id_col=cfg.id_col, text_col=cfg.text_col)
+        out = out.drop(cfg.text_col).join(
+            cleaned.select(cfg.id_col, cfg.text_col), cfg.id_col)
+        audit["line_dedup"] = out.count()
+
     if cfg.quality:
         if cfg.languages:
             out = with_lang_id(out, text_col=cfg.text_col) \
@@ -107,6 +139,19 @@ def build_training_corpus(docs: DataFrame,
             max_dup_line_char_frac=cfg.max_dup_line_char_frac,
             max_top_bigram_char_frac=cfg.max_top_bigram_char_frac)
         audit["quality"] = out.count()
+
+    if cfg.typicality:
+        # corpus-trained trigram-LM gate — the cheap stand-in for CCNet's
+        # in-domain-LM perplexity bucket filter
+        from .lm_quality import lm_typicality
+        scores = lm_typicality(out, id_col=cfg.id_col,
+                               text_col=cfg.text_col,
+                               vocab_limit=cfg.typicality_vocab)
+        keep = scores.where(
+            F.col("avg_logp") >= float(cfg.min_typicality)
+        ).select(cfg.id_col)
+        out = out.join(keep, cfg.id_col, "left_semi")
+        audit["typicality"] = out.count()
 
     if cfg.exact_dedup:
         # keep the minimum id per byte-identical text (one shuffle on
@@ -131,6 +176,33 @@ def build_training_corpus(docs: DataFrame,
             .filter(F.col("is_canonical")) \
             .drop("component", "is_canonical")
         audit["near_dedup"] = out.count()
+
+    if cfg.passage_dedup:
+        # winnowing shared-passage gate: drop docs dominated by passages
+        # repeated elsewhere in the corpus (short docs with no
+        # fingerprints have no stats row and are kept)
+        from .dedup_text import shared_passage_stats
+        stats = shared_passage_stats(out, k=cfg.winnow_k,
+                                     window=cfg.winnow_window,
+                                     id_col=cfg.id_col,
+                                     text_col=cfg.text_col)
+        viol = stats.where(
+            F.col("shared_frac") > float(cfg.max_shared_frac)
+        ).select(cfg.id_col)
+        out = out.join(viol, cfg.id_col, "left_anti")
+        audit["passage_dedup"] = out.count()
+
+    if cfg.semantic and cfg.embedding_col:
+        # SemDeDup: embedding-space near-duplicate removal (keep-first)
+        from .similarity import semantic_dedup
+        marks = semantic_dedup(
+            out.select(cfg.id_col, cfg.embedding_col),
+            threshold=cfg.semantic_threshold,
+            n_centroids=cfg.semantic_centroids,
+            id_col=cfg.id_col, vec_col=cfg.embedding_col)
+        dups = marks.where("is_dup").select(cfg.id_col)
+        out = out.join(dups, cfg.id_col, "left_anti")
+        audit["semantic_dedup"] = out.count()
 
     if cfg.decontaminate and eval_docs is not None:
         out = _decon(out, eval_docs, n=cfg.decontam_n,

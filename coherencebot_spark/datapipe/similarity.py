@@ -223,6 +223,9 @@ def ivf_assign(vectors: DataFrame, cent_rows: list[tuple],
     (the IVF codebook), so it lives in the plan as literals instead of a
     crossJoin side.  Physical plan = Scan → Project; a test asserts no
     Exchange appears."""
+    if not cent_rows:
+        raise ValueError("ivf_assign: empty codebook (empty corpus?) — "
+                         "callers must handle the no-centroids case")
     elem_type = vectors.schema[vec_col].dataType.elementType.simpleString()
     best = F.array_max(
         _centroid_score_structs(F.col(vec_col), cent_rows, elem_type)
@@ -268,6 +271,8 @@ def ivf_refine_codebook(vectors: DataFrame, cent_rows: list[tuple],
     the corpus.  Centroids whose inverted list came up empty keep their
     previous vector (standard Lloyd empty-cluster handling); cent_ids are
     stable across passes."""
+    if not cent_rows:
+        return cent_rows        # empty corpus: nothing to refine
     for _ in range(max(int(iters), 0)):
         assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
         agg = (

@@ -84,3 +84,55 @@ def test_pipeline_mix_stage(spark):
           for r in out.groupBy("src").count().collect()}
     assert by["a"] == 1000
     assert abs(by["b"] / 1000 - 0.25) < 0.07
+
+
+def test_pipeline_round4_stages(spark):
+    """line_dedup / typicality / passage_dedup / semantic slots: each
+    planted defect is removed by exactly the stage that owns it."""
+    # docs 0/1/2/6 share VOCABULARY (trigram mass for the typicality
+    # model) but never a >=11-char passage (so winnowing won't pair
+    # them); only 4/5 share a long verbatim passage
+    shared_passage = ("this very long shared boilerplate passage repeats "
+                      "verbatim across several documents in the corpus")
+    rows = [
+        (0, "the sun rises over a green hill and the river runs past an "
+            "old mill while birds sing in tall trees", [1.0, 0.0, 0.0]),
+        # duplicated line corpus-wide -> line_dedup strips it, doc stays
+        (1, "Accept cookies banner\nbirds sing near that river while a "
+            "green sun sets and the old hill rests beyond the mill",
+            [0.0, 1.0, 0.0]),
+        (2, "Accept cookies banner\nthe mill stands beyond the hill while "
+            "the river birds rest and a green sun rises slowly",
+            [0.0, 0.0, 1.0]),
+        # gibberish (trigrams unlike the corpus) -> typicality drops it
+        (3, "@@## $$%% ^^&& **(( ))__ ++== @@## $$%% ^^&& **((",
+            [1.0, 1.0, 0.0]),
+        # passage-dominated pair -> passage_dedup drops both
+        (4, shared_passage + " unique a", [0.0, 1.0, 1.0]),
+        (5, shared_passage + " unique b", [1.0, 0.0, 1.0]),
+        # semantic dup: same embedding direction as doc 0, typical text
+        (6, "an old river runs while green birds rise past a sun hill "
+            "and that mill sings slowly in tall trees", [2.0, 0.0, 0.0]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    cfg = CorpusConfig(
+        quality=False, exact_dedup=False, near_dedup=False,
+        decontaminate=False, mix=False, pack=False,
+        line_dedup=True,
+        typicality=True, min_typicality=-5.65,
+        passage_dedup=True, max_shared_frac=0.7,
+        semantic=True, embedding_col="embedding",
+        semantic_threshold=0.999, semantic_centroids=3,
+    )
+    out, audit = build_training_corpus(docs, None, cfg)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 3 not in ids                   # typicality drop
+    assert 4 not in ids and 5 not in ids  # passage dedup drops the pair
+    assert 6 not in ids                   # semantic dup of 0 (keep-first)
+    assert {0, 1, 2} <= ids               # line-deduped docs survive
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "Accept cookies banner" not in texts[1]   # line stripped
+    assert audit["line_dedup"] == 7
+    assert set(audit) >= {"input", "line_dedup", "typicality",
+                          "passage_dedup", "semantic_dedup"}
