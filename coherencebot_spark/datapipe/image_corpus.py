@@ -94,6 +94,14 @@ class ImageCorpusConfig:
     phash_bits: int = 64
     max_bucket: int | None = None
     pair_mode: str = "all"
+    # SemDeDup over an image-embedding column (default off): catches the
+    # recompressed/rescaled/color-shifted variants that drift past the
+    # phash hamming radius — the LAION-2B dedup recipe's semantic pass
+    semantic: bool = False
+    embedding_col: str | None = None
+    semantic_threshold: float = 0.99
+    semantic_centroids: int = 16
+    semantic_max_cluster: int | None = None
     # sharding
     shard_bytes: int = 1 << 30     # 1 GiB target per output shard
 
@@ -251,6 +259,27 @@ def build_image_corpus(images: DataFrame,
             .filter(F.col("is_canonical")) \
             .drop("component", "is_canonical")
         audit["near_dedup"] = out.count()
+
+    if cfg.semantic and cfg.embedding_col:
+        # SemDeDup pass on a narrow (surrogate-id, embedding) projection —
+        # bytes stay out of every exchange, same posture as the phash
+        # stages.  image_id is a string, so the keep-first rule runs on
+        # the xxhash64 surrogate: the min-hash member of each duplicate
+        # group survives (deterministic, arbitrary — the LAION posture)
+        from .similarity import semantic_dedup
+        sid = out.select(F.xxhash64(F.col(cfg.id_col)).alias("_sid"),
+                         F.col(cfg.id_col), F.col(cfg.embedding_col))
+        marks = semantic_dedup(
+            sid.select("_sid", cfg.embedding_col),
+            threshold=cfg.semantic_threshold,
+            n_centroids=cfg.semantic_centroids,
+            id_col="_sid", vec_col=cfg.embedding_col,
+            max_cluster=cfg.semantic_max_cluster)
+        dup_ids = (marks.where("is_dup").select("_sid")
+                   .join(sid.select("_sid", cfg.id_col), "_sid")
+                   .select(cfg.id_col))
+        out = out.join(dup_ids, cfg.id_col, "left_anti")
+        audit["semantic_dedup"] = out.count()
 
     if cfg.validate_decode:
         from .multimodal import with_image_features

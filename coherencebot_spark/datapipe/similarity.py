@@ -333,6 +333,12 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
     collapse — skip pair generation instead of running a quadratic
     straggler, and their rows simply stay non-duplicates.  The final
     mark join-back is on id-only narrow rows."""
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"semantic_dedup: id column '{id_col}' is {id_type}; the IVF "
+            "codebook needs an integral id — derive a surrogate first, "
+            "e.g. .withColumn('_sid', F.xxhash64(id_col))")
     cent_rows = _resolve_codebook(vectors, n_centroids, id_col, vec_col,
                                   codebook, refine_iters, seed)
     if not cent_rows:

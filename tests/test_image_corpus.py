@@ -213,3 +213,35 @@ def test_write_image_shards_round_trip(spark, tmp_path):
         with open(p) as f:
             man_lines += [json.loads(ln) for ln in f if ln.strip()]
     assert {m["image_id"] for m in man_lines} == set(want)
+
+
+def test_image_semantic_dedup_stage(spark):
+    """SemDeDup slot: an embedding-duplicate that drifted past the phash
+    radius is removed by the semantic stage, bytes stay out of it."""
+    rows = [
+        _img_row(0, caption="a small test image zero"),
+        _img_row(1, caption="a small test image one"),
+        _img_row(2, caption="a small test image two"),
+        # heavy recompress of img0000: phash far (not caught by hamming<=3)
+        # but embedding direction identical
+        _img_row(20, caption="recompressed copy of image zero",
+                 phash=phash64(simg.gen_pixels(0, 64, 64)) ^ 0xFF00FF),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "embedding",
+        F.when(F.col("image_id").isin("img0000", "img0020"),
+               F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)))
+         .when(F.col("image_id") == "img0001",
+               F.array(F.lit(0.0), F.lit(1.0), F.lit(0.0)))
+         .otherwise(F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0))))
+    cfg = ImageCorpusConfig(
+        wellformed=False, exact_dedup=False, near_dedup=False,
+        shard=False, semantic=True, embedding_col="embedding",
+        semantic_threshold=0.999, semantic_centroids=3)
+    out, audit = build_image_corpus(df, cfg)
+    ids = {r.image_id for r in out.collect()}
+    # the surrogate keep rule removes exactly one of the duplicate pair
+    # (min-xxhash member survives — deterministic, arbitrary)
+    assert audit["semantic_dedup"] == 3
+    assert {"img0001", "img0002"} <= ids
+    assert len(ids & {"img0000", "img0020"}) == 1
