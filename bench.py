@@ -421,6 +421,50 @@ def bench_ops(spark, frontier_path: str) -> dict[str, float]:
         img, 1 << 30,
         size_col=F.col("w").cast("long") * F.col("h") * 3).count()
     out["image_shard_manifest"] = round(time.time() - t, 3)
+
+    # round-4 tail datapipe surface: CCNet line dedup, trigram-LM
+    # typicality, winnowing passage stats over a 2M-row synthetic doc
+    # corpus (JVM synthesis: shared header line, 1000-way colliding body
+    # lines, unique tails), and SemDeDup at 200k×512-centroid scale
+    from coherencebot_spark.datapipe.dedup_text import (
+        dedup_lines, shared_passage_stats)
+    from coherencebot_spark.datapipe.lm_quality import lm_typicality
+    from coherencebot_spark.datapipe.similarity import semantic_dedup
+
+    n_docs = int(os.environ.get("BENCH_DOCS", "1000000"))
+    dsyn = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate header line across the corpus\n"),
+            F.lit("body words alpha beta gamma group "),
+            (F.col("id") % 1000).cast("string"),
+            F.lit(" delta epsilon zeta eta theta iota kappa\n"),
+            F.lit("unique tail line number "), F.col("id").cast("string"),
+        ).alias("text"))
+    t = time.time()
+    dedup_lines(dsyn).agg(F.sum("n_dropped")).collect()
+    out["dedup_lines"] = round(time.time() - t, 3)
+
+    t = time.time()
+    lm_typicality(dsyn).agg(F.avg("avg_logp")).collect()
+    out["lm_typicality"] = round(time.time() - t, 3)
+
+    t = time.time()
+    shared_passage_stats(dsyn).agg(F.avg("shared_frac")).collect()
+    out["winnow_passages"] = round(time.time() - t, 3)
+
+    n_vec = int(os.environ.get("BENCH_VECTORS", "200000"))
+    vsyn = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.xxhash64(F.floor(F.col("id") / 4), i) % 1000)
+            .cast("double")).alias("embedding"))
+    t = time.time()
+    semantic_dedup(vsyn, threshold=0.999, n_centroids=512,
+                   codebook="sample", max_cluster=4000) \
+        .where("is_dup").count()
+    out["semantic_dedup"] = round(time.time() - t, 3)
     return out
 
 

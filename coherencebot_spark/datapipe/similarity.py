@@ -194,6 +194,37 @@ def _hyperplane_probe_buckets(vec_col, dim: int, n_planes: int, seed: int,
     )
 
 
+# n_centroids × dim threshold: below, assignment is the literal
+# projection (codegen folds, bit-exact with the DuckDB oracle twin);
+# above, the Arrow-batched numpy path (one BLAS matmul per batch)
+_ASSIGN_LITERAL_BUDGET = 2048
+
+
+def _dot_unrolled(a, b, dim: int):
+    """Dot product as plain unrolled arithmetic — NOT a higher-order fold.
+
+    ``aggregate``/``zip_with`` expressions are interpreted (they block
+    whole-stage codegen and allocate per evaluation); for a statically
+    known ``dim`` the unrolled chain compiles into codegen arithmetic.
+    Use for SINGLE hot expressions (the pair cosine) — an array of many
+    unrolled copies (the centroid-score structs) overflows janino method
+    limits and was reverted.  The chain starts at ``lit(0.0)`` and adds
+    left-to-right — the EXACT evaluation order of the ``F.aggregate``
+    fold and of the DuckDB ``list_reduce`` twin, so results are
+    bit-identical."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def _norm_unrolled(a, dim: int):
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * a[i]
+    return F.sqrt(acc)
+
+
 def _centroid_score_structs(vec_col, cent_rows, elem_type: str):
     """Per-centroid cosine scores as literal-array projections.
 
@@ -203,7 +234,12 @@ def _centroid_score_structs(vec_col, cent_rows, elem_type: str):
     nearest-centroid decision needs NO join and NO exchange — it is a pure
     map over the corpus.  struct ordering (cc asc, neg_id asc) makes
     array_max pick (max cc, max neg_id) = (max cc, min cent_id), i.e. the
-    same tie-break as ``ORDER BY cc DESC, cent_id ASC``."""
+    same tie-break as ``ORDER BY cc DESC, cent_id ASC``.
+
+    The per-centroid cosines stay as ``F.aggregate`` folds: unrolling
+    them was tried and REVERTED — the k-struct array expression compiles
+    as one janino method, and even a 64×16 codebook overflowed method
+    limits (fallback + compile retries cost more than the fold)."""
     structs = []
     for cid, cvec in cent_rows:
         carr = F.array(*[F.lit(float(x)).cast(elem_type) for x in cvec])
@@ -233,6 +269,46 @@ def ivf_assign(vectors: DataFrame, cent_rows: list[tuple],
     return vectors.select(
         id_col, vec_col, (-best["neg_id"]).cast("long").alias("cent_id")
     )
+
+
+def ivf_assign_pandas(vectors: DataFrame, cent_rows: list[tuple],
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment as an Arrow-batched numpy matmul —
+    the large-codebook path.
+
+    The literal-projection :func:`ivf_assign` evaluates k interpreted
+    cosine folds per row; at k=512/dim=16 that is ~200 M folds on a 200k
+    corpus (measured ~400 s), while one batched ``(batch×dim) @ (dim×k)``
+    BLAS call is milliseconds.  Still a pure map — no join, no exchange.
+    Tie-break parity with the literal path: centroids are ordered by
+    cent_id ascending and ``argmax`` returns the FIRST maximum, i.e.
+    (max cosine, min cent_id).  Float results are numpy-accumulated (not
+    the fold order), so use the literal path where bit-exact oracle
+    parity matters."""
+    if not cent_rows:
+        raise ValueError("ivf_assign_pandas: empty codebook")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(cent_rows, key=lambda r: int(r[0]))
+    cids = np.array([int(c) for c, _ in ordered], dtype="int64")
+    C = np.array([v for _, v in ordered], dtype="float64")
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    Cn = (C / cn).T                       # dim × k
+
+    @pandas_udf("long")
+    def _assign(col: pd.Series) -> pd.Series:
+        M = np.stack(col.to_numpy()).astype("float64")
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (M / n) @ Cn
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    return vectors.select(id_col, vec_col,
+                          _assign(F.col(vec_col)).alias("cent_id"))
 
 
 def ivf_seed_codebook(vectors: DataFrame, n_centroids: int,
@@ -344,19 +420,34 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
     if not cent_rows:
         return vectors.sparkSession.createDataFrame(
             [], f"{id_col} long, cent_id long, dup_of long, is_dup boolean")
-    assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
+    # assignment path: literal projection for small codebooks (bit-exact
+    # with the DuckDB twin), Arrow-batched numpy matmul past the budget
+    # where k interpreted folds per row dominate the stage
+    dim = len(cent_rows[0][1])
+    if len(cent_rows) * dim <= _ASSIGN_LITERAL_BUDGET:
+        assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
+    else:
+        assigned = ivf_assign_pandas(vectors, cent_rows, id_col, vec_col)
     pairside = assigned
     if max_cluster is not None:
         keep = (assigned.groupBy("cent_id").count()
                 .where(F.col("count") <= int(max_cluster))
                 .select("cent_id"))
         pairside = assigned.join(F.broadcast(keep), "cent_id", "left_semi")
-    a = pairside.select(F.col(id_col).alias("_ida"),
-                        F.col(vec_col).alias("_va"), "cent_id")
-    b = pairside.select(F.col(id_col).alias("_idb"),
-                        F.col(vec_col).alias("_vb"), "cent_id")
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va"))
-                                              * _norm(F.col("_vb")))
+    # precompute each vector's norm BEFORE the pair join, and keep the
+    # whole pair predicate as unrolled codegen arithmetic: higher-order
+    # folds are interpreted, and evaluating them per PAIR on O(cluster²)
+    # rows dominated the stage (measured ~10×)
+    withn = pairside.withColumn(
+        "_n", _norm_unrolled(F.col(vec_col), dim))
+    a = withn.select(F.col(id_col).alias("_ida"),
+                     F.col(vec_col).alias("_va"),
+                     F.col("_n").alias("_na"), "cent_id")
+    b = withn.select(F.col(id_col).alias("_idb"),
+                     F.col(vec_col).alias("_vb"),
+                     F.col("_n").alias("_nb"), "cent_id")
+    cos = (_dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+           / (F.col("_na") * F.col("_nb")))
     hits = (a.join(b, "cent_id")
              .where(F.col("_ida") > F.col("_idb"))
              .where(cos >= float(threshold))

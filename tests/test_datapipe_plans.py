@@ -76,16 +76,23 @@ def test_lm_typicality_plan_shape(spark):
     nested-loop crossJoins, the top-V cut is a TakeOrderedAndProject
     (no global Sort), and every Exchange is an aggregation exchange —
     none carries the text column."""
-    from coherencebot_spark.datapipe.lm_quality import lm_typicality
+    from coherencebot_spark.datapipe.lm_quality import (
+        lm_typicality, train_trigram_lm)
 
     docs = spark.range(0, 100).withColumnRenamed("id", "doc_id") \
         .withColumn("text", F.concat(F.lit("some words here number "),
                                      F.col("doc_id").cast("string")))
+    # train plan: top-V is a TakeOrderedAndProject, never a full Sort
+    pt = _plan(train_trigram_lm(docs))
+    assert "TakeOrderedAndProject" in pt, pt
+    # scoring plan: model arrives as a materialized local relation
+    # (ExistingRDD — the training explode is NOT re-derived inside the
+    # broadcast), joined broadcast, scalars via broadcast crossJoin
     p = _plan(lm_typicality(docs))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p      # scalar crossJoins
-    assert "TakeOrderedAndProject" in p, p        # top-V, no full sort
+    assert "ExistingRDD" in p, p                  # model materialized once
     for line in p.splitlines():                   # text never shuffles
         if "Exchange" in line:
             assert "text" not in line, line
