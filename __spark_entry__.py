@@ -463,6 +463,21 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_corpus_rollup(spark, sf_dir):
+    """ROLLUP composition table over (lang, source) with grouping flags —
+    the one-shuffle Expand+hashAgg dashboard aggregate."""
+    from coherencebot_spark.datapipe.corpus_stats import corpus_rollup
+    return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+
+def _q_length_quantiles(spark, sf_dir):
+    """Per-language exact interpolated length quantiles (DuckDB
+    quantile_cont twin); production swaps approx_percentile in via the
+    same API (approx=True) for unbounded groups."""
+    from coherencebot_spark.datapipe.corpus_stats import length_quantiles
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def _q_winnow_passages(spark, sf_dir):
     """MOSS-winnowing shared-passage detection over a constructed corpus:
     every third doc carries a common boilerplate passage appended to its
@@ -2531,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "dedup_lines": _q_dedup_lines,
         "winnow_passages": _q_winnow_passages,
+        "corpus_rollup": _q_corpus_rollup,
+        "length_quantiles": _q_length_quantiles,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -3024,6 +3041,26 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        """,
+        "corpus_rollup": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   ROUND(avg(n_chars), 4) AS avg_chars,
+                   GROUPING(lang)::INT AS g_lang,
+                   GROUPING(source)::INT AS g_source
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "length_quantiles": """
+            WITH probs(prob) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+            q AS (
+              SELECT lang,
+                     quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.75, 0.9])
+                       AS qs
+              FROM documents GROUP BY lang
+            )
+            SELECT lang, p.prob::DOUBLE AS prob,
+                   ROUND(qs[i::INT], 4) AS value
+            FROM q, (SELECT prob, row_number() OVER () AS i FROM probs) p
         """,
         # winnowing twin: same constructed corpus, same portable md5_long60
         # gram hash, list_transform/list_slice/list_min reproduce the

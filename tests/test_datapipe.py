@@ -678,3 +678,35 @@ def test_winnow_short_docs_dropped(spark):
     got = {r.doc_id for r in
            winnow_fingerprints(docs, hash_fn=md5_long60).collect()}
     assert got == {2}
+
+
+def test_corpus_rollup_levels(spark):
+    from coherencebot_spark.datapipe.corpus_stats import corpus_rollup
+
+    d = spark.createDataFrame(
+        [(1, "en", "a", 10), (2, "en", "a", 20), (3, "en", "b", 30),
+         (4, "de", "a", 40)],
+        "doc_id long, lang string, source string, n_chars long")
+    rows = {(r.lang, r.source, r.g_lang, r.g_source): r
+            for r in corpus_rollup(d).collect()}
+    assert rows[("en", "a", 0, 0)].n_docs == 2
+    assert rows[("en", None, 0, 1)].total_chars == 60     # lang subtotal
+    gt = rows[(None, None, 1, 1)]                         # grand total
+    assert gt.n_docs == 4 and gt.total_chars == 100
+    assert gt.avg_chars == 25.0
+
+
+def test_length_quantiles_exact_and_approx(spark):
+    from coherencebot_spark.datapipe.corpus_stats import length_quantiles
+
+    d = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "doc_id long, lang string, n_chars long")
+    exact = {r.prob: r.value
+             for r in length_quantiles(d, probs=(0.5, 0.75)).collect()}
+    assert exact[0.5] == 30.0
+    assert exact[0.75] == 40.0          # linear interpolation on 5 values
+    approx = {r.prob: r.value
+              for r in length_quantiles(d, probs=(0.5,),
+                                        approx=True).collect()}
+    assert abs(approx[0.5] - 30.0) <= 10.0   # sketch within one step here
