@@ -463,6 +463,31 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Batch-vs-history incremental exact dedup: history = docs < 250,
+    batch = docs >= 250 with every 5th text replaced by its history
+    twin (doc_id-250).  The Spark side runs the FULL production path —
+    sharded bloom pre-filter + exact verify of the maybe sliver — whose
+    result is exact regardless of bloom false positives; the twin is
+    the plain relational anti-join."""
+    from coherencebot_spark.datapipe.incremental import (
+        doc_signatures, incremental_exact_dedup)
+    from coherencebot_spark.functions.hashing import build_bloom_sharded
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.where("doc_id < 250").select("doc_id", "text")
+    twin = d.select((F.col("doc_id") + 250).alias("doc_id"),
+                    F.col("text").alias("_ht"))
+    batch = (d.where("doc_id >= 250").join(twin, "doc_id", "left")
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 5 == 0, F.col("_ht"))
+                      .otherwise(F.col("text")).alias("text")))
+    sigs = doc_signatures(hist)
+    blooms = build_bloom_sharded(sigs, "sig", capacity=100_000,
+                                 n_buckets=16)
+    return incremental_exact_dedup(batch, sigs, blooms, n_buckets=16)
+
+
 def _q_corpus_rollup(spark, sf_dir):
     """ROLLUP composition table over (lang, source) with grouping flags —
     the one-shuffle Expand+hashAgg dashboard aggregate."""
@@ -2548,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_passages": _q_winnow_passages,
         "corpus_rollup": _q_corpus_rollup,
         "length_quantiles": _q_length_quantiles,
+        "incremental_dedup": _q_incremental_dedup,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -3041,6 +3067,29 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        """,
+        # incremental-dedup twin: the bloom is a pruning detail, so the
+        # relational form is just intra-batch min-id rep + history anti-join
+        "incremental_dedup": """
+            WITH hist AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+            ), batch AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.doc_id % 5 = 0 THEN h.text
+                          ELSE b.text END AS text
+              FROM documents b
+              LEFT JOIN documents h ON h.doc_id = b.doc_id - 250
+              WHERE b.doc_id >= 250
+            ), sig AS (
+              SELECT doc_id, text, md5(text) AS s FROM batch
+            ), keep AS (
+              SELECT s, min(doc_id) AS k FROM sig GROUP BY s
+            ), reps AS (
+              SELECT g.doc_id, g.text, g.s
+              FROM sig g JOIN keep ON g.s = keep.s AND g.doc_id = keep.k
+            )
+            SELECT doc_id, text FROM reps
+            WHERE s NOT IN (SELECT md5(text) FROM hist)
         """,
         "corpus_rollup": """
             SELECT lang, source, count(*)::BIGINT AS n_docs,

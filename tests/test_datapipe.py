@@ -710,3 +710,55 @@ def test_length_quantiles_exact_and_approx(spark):
               for r in length_quantiles(d, probs=(0.5,),
                                         approx=True).collect()}
     assert abs(approx[0.5] - 30.0) <= 10.0   # sketch within one step here
+
+
+def test_incremental_dedup_batch_vs_history(spark):
+    from coherencebot_spark.datapipe.incremental import (
+        doc_signatures, incremental_exact_dedup, merge_bloom_shards)
+    from coherencebot_spark.functions.hashing import (
+        bloom_contains_sharded, build_bloom_sharded)
+
+    hist = spark.createDataFrame(
+        [(1, "old document one"), (2, "old document two")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "old document one"),      # historical dup -> drop
+         (11, "brand new eleven"),
+         (12, "brand new twelve"),
+         (13, "brand new twelve")],     # intra-batch dup of 12 -> drop
+        "doc_id long, text string")
+    sigs = doc_signatures(hist)
+    blooms = build_bloom_sharded(sigs, "sig", capacity=10_000, n_buckets=8)
+
+    with_bloom = incremental_exact_dedup(batch, sigs, blooms, n_buckets=8)
+    assert sorted(r.doc_id for r in with_bloom.collect()) == [11, 12]
+    # bloom is pruning only: the no-bloom path gives the same answer
+    exact = incremental_exact_dedup(batch, sigs)
+    assert sorted(r.doc_id for r in exact.collect()) == [11, 12]
+
+    # fold the accepted batch in by bitmap OR; everything now maybe-seen
+    merged = merge_bloom_shards(
+        blooms, build_bloom_sharded(doc_signatures(with_bloom), "sig",
+                                    capacity=10_000, n_buckets=8))
+    probe = bloom_contains_sharded(doc_signatures(batch), "sig", merged,
+                                   n_buckets=8)
+    assert all(r.maybe_seen for r in probe.collect())
+    # and a never-seen signature still probes negative (no saturation)
+    novel = doc_signatures(spark.createDataFrame(
+        [(99, "definitely unseen text")], "doc_id long, text string"))
+    p2 = bloom_contains_sharded(novel, "sig", merged, n_buckets=8)
+    assert [r.maybe_seen for r in p2.collect()] == [False]
+
+
+def test_merge_bloom_shards_param_mismatch(spark):
+    import pytest as _pytest
+    from coherencebot_spark.datapipe.incremental import (
+        doc_signatures, merge_bloom_shards)
+    from coherencebot_spark.functions.hashing import build_bloom_sharded
+
+    sigs = doc_signatures(spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"))
+    a = build_bloom_sharded(sigs, "sig", capacity=10_000, n_buckets=4)
+    b = build_bloom_sharded(sigs, "sig", capacity=500_000, n_buckets=4)
+    with _pytest.raises(Exception, match="mismatched shard params"):
+        merge_bloom_shards(a, b).collect()
