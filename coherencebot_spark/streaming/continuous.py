@@ -186,3 +186,92 @@ def stream_fetch_window_metrics(spark: SparkSession, src_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_corpus_intake(spark: SparkSession, intake_dir: str,
+                         corpus_dir: str, checkpoint_dir: str,
+                         available_now: bool = True,
+                         n_buckets: int = 64,
+                         bloom_capacity: int = 1_000_000,
+                         prepare=None):
+    """Continuous training-corpus growth: JSON doc files appearing in
+    ``intake_dir`` (schema ``doc_id long, text string``) fold into an
+    append-only corpus at ``corpus_dir`` through the incremental dedup
+    path — each micro-batch is deduped intra-batch AND against ALL
+    previously accepted documents via the sharded-bloom + exact-verify
+    store (``datapipe/incremental.py``), so per-batch cost never grows
+    with corpus size.
+
+    Layout under ``corpus_dir``: ``docs/`` (accepted rows, parquet
+    append), ``sigs/`` (signature store — the source of truth),
+    ``blooms/`` (sharded bitmaps — a rebuildable cache, swapped per
+    batch), ``applied/`` (batch-id markers making the fold idempotent:
+    a replayed micro-batch after a crash between the checkpoint commit
+    and the writes is skipped, so appends stay exactly-once).
+
+    ``prepare``: optional callable(batch_df) -> DataFrame for gate
+    stages (quality/scrub) before dedup.  Returns the StreamingQuery."""
+    import os
+
+    from ..datapipe.incremental import (
+        doc_signatures, incremental_exact_dedup, merge_bloom_shards)
+    from ..functions.hashing import build_bloom_sharded
+
+    docs_dir = os.path.join(corpus_dir, "docs")
+    sigs_dir = os.path.join(corpus_dir, "sigs")
+    blooms_dir = os.path.join(corpus_dir, "blooms")
+    applied_dir = os.path.join(corpus_dir, "applied")
+    os.makedirs(applied_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 16)
+        .json(intake_dir)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):      # replay after crash: already folded
+            return
+        batch = prepare(batch_df) if prepare is not None else batch_df
+        have_hist = os.path.exists(sigs_dir)
+        if have_hist:
+            sigs = spark.read.parquet(sigs_dir)
+            blooms = (spark.read.parquet(blooms_dir)
+                      if os.path.exists(blooms_dir) else
+                      build_bloom_sharded(sigs, "sig", bloom_capacity,
+                                          n_buckets=n_buckets))
+            fresh = incremental_exact_dedup(batch, sigs, blooms,
+                                            n_buckets=n_buckets)
+        else:
+            fresh = incremental_exact_dedup(
+                batch, spark.createDataFrame([], "doc_id long, sig string"))
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(docs_dir)
+            new_sigs = doc_signatures(fresh)
+            new_sigs.write.mode("append").parquet(sigs_dir)
+            shards = build_bloom_sharded(new_sigs, "sig", bloom_capacity,
+                                         n_buckets=n_buckets)
+            if have_hist and os.path.exists(blooms_dir):
+                shards = merge_bloom_shards(
+                    spark.read.parquet(blooms_dir), shards)
+            # blooms are a rebuildable cache: write aside, then swap
+            tmp = blooms_dir + f".b{batch_id}"
+            shards.write.mode("overwrite").parquet(tmp)
+            import shutil
+            if os.path.exists(blooms_dir):
+                shutil.rmtree(blooms_dir)
+            os.rename(tmp, blooms_dir)
+            with open(marker, "w") as fh:
+                fh.write("done")
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

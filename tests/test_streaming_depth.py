@@ -220,3 +220,54 @@ def test_stream_dedup_urls_within_watermark(spark, tmp_path):
     run_once()
     got = sorted(r.url for r in spark.read.parquet(out).collect())
     assert got == ["https://h1/a", "https://h1/b", "https://h1/c"]
+
+
+def test_stream_corpus_intake_incremental_dedup(spark, tmp_path):
+    """Continuous corpus growth: cross-batch dups dropped via the bloom +
+    signature store, intra-batch dups collapse, replays are idempotent."""
+    import json
+    import os
+
+    from coherencebot_spark.streaming.continuous import stream_corpus_intake
+
+    intake = tmp_path / "intake"
+    intake.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    def drop(name, rows):
+        (intake / name).write_text(
+            "\n".join(json.dumps(r) for r in rows))
+
+    drop("w1.json", [
+        {"doc_id": 1, "text": "first unique document"},
+        {"doc_id": 2, "text": "second unique document"},
+        {"doc_id": 3, "text": "second unique document"},   # intra-batch dup
+    ])
+    q = stream_corpus_intake(spark, str(intake), corpus,
+                             str(tmp_path / "ckpt"), n_buckets=8)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in
+           spark.read.parquet(os.path.join(corpus, "docs")).collect()}
+    assert got == {1, 2}
+
+    drop("w2.json", [
+        {"doc_id": 10, "text": "first unique document"},   # cross-batch dup
+        {"doc_id": 11, "text": "third unique document"},
+    ])
+    q = stream_corpus_intake(spark, str(intake), corpus,
+                             str(tmp_path / "ckpt"), n_buckets=8)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in
+           spark.read.parquet(os.path.join(corpus, "docs")).collect()}
+    assert got == {1, 2, 11}
+
+    # replay with a FRESH checkpoint (simulates redelivery of the same
+    # files): the applied/ markers make the fold idempotent only for the
+    # same batch ids, so assert the real guard — signature store dedup
+    # still rejects every already-accepted text
+    q = stream_corpus_intake(spark, str(intake), corpus,
+                             str(tmp_path / "ckpt2"), n_buckets=8)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(os.path.join(corpus, "docs")).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 11}
+    assert len(rows) == 3                      # no duplicate appends
