@@ -463,6 +463,25 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_caption_dedup(spark, sf_dir):
+    """LAION caption-spam gate over a constructed image-metadata corpus:
+    every 7th row carries the boilerplate caption; the min-id copy of
+    each repeated caption survives, unique captions pass untouched."""
+    from coherencebot_spark.datapipe.image_corpus import caption_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string"))
+        .alias("image_id"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("  Image May Contain: Person  "))
+         .otherwise(F.concat(F.lit("photo of scene "),
+                             F.col("doc_id").cast("string")))
+         .alias("caption"),
+    )
+    return caption_dedup(d, max_count=1).select("image_id", "caption")
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Batch-vs-history incremental exact dedup: history = docs < 250,
     batch = docs >= 250 with every 5th text replaced by its history
@@ -2574,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _q_corpus_rollup,
         "length_quantiles": _q_length_quantiles,
         "incremental_dedup": _q_incremental_dedup,
+        "caption_dedup": _q_caption_dedup,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -3067,6 +3087,27 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        """,
+        # caption-spam twin: trimmed-lowered caption counts, min-id keeper
+        # (string min — image_id is a string, both engines sort bytewise)
+        "caption_dedup": """
+            WITH built AS (
+              SELECT 'img' || doc_id AS image_id, doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN '  Image May Contain: Person  '
+                          ELSE 'photo of scene ' || doc_id END AS caption
+              FROM documents
+            ), narrow AS (
+              SELECT image_id, trim(lower(caption)) AS k FROM built
+            ), counts AS (
+              SELECT k, count(*) AS c, min(image_id) AS keep
+              FROM narrow GROUP BY k
+            )
+            SELECT b.image_id, b.caption
+            FROM built b
+            JOIN narrow n ON n.image_id = b.image_id
+            JOIN counts ct ON ct.k = n.k
+            WHERE ct.c <= 1 OR b.image_id = ct.keep
         """,
         # incremental-dedup twin: the bloom is a pruning detail, so the
         # relational form is just intra-batch min-id rep + history anti-join

@@ -59,6 +59,7 @@ __all__ = [
     "wellformed_images",
     "phash_near_dup_pairs",
     "image_exact_dedup",
+    "caption_dedup",
     "image_shard_manifest",
     "build_image_corpus",
     "write_image_shards",
@@ -88,6 +89,10 @@ class ImageCorpusConfig:
     caption_min_tokens: int = 2
     # caption language gate
     languages: tuple = ("en",)
+    # caption spam gate (LAION boilerplate-caption drop; default off to
+    # keep the canonical audit stable)
+    caption_dedup: bool = False
+    caption_max_count: int = 1
     # near-dup radius (multi-chunk blocking: exact at this hamming)
     max_hamming: int = 3
     n_chunks: int = 6
@@ -182,6 +187,31 @@ def image_exact_dedup(images: DataFrame,
         keep.select(F.col("_keep").alias(id_col)), id_col, "left_semi")
 
 
+def caption_dedup(images: DataFrame,
+                  id_col: str = "image_id",
+                  caption_col: str = "caption",
+                  max_count: int = 1) -> DataFrame:
+    """Drop images whose normalized caption repeats corpus-wide more
+    than ``max_count`` times, keeping the min-id copy of each repeated
+    caption — the LAION-style spam gate (stock-photo boilerplate like
+    "image may contain: person" arrives with thousands of distinct
+    images attached; those rows add no caption signal).
+
+    Same narrow-projection posture as :func:`image_exact_dedup`: the
+    count and the keeper argmin run on (id, trimmed-lower caption) only,
+    survivors rejoin the payload scan by left-semi join on id —
+    ``bytes`` never enters an exchange."""
+    key = F.trim(F.lower(F.col(caption_col)))
+    narrow = images.select(F.col(id_col).alias("_id"), key.alias("_k"))
+    counts = narrow.groupBy("_k").agg(F.count("*").alias("_c"),
+                                      F.min("_id").alias("_keep"))
+    keep = (narrow.join(counts, "_k")
+            .where((F.col("_c") <= int(max_count))
+                   | (F.col("_id") == F.col("_keep")))
+            .select(F.col("_id").alias(id_col)))
+    return images.join(keep, id_col, "left_semi")
+
+
 def image_shard_manifest(images: DataFrame,
                          shard_bytes: int = 1 << 30,
                          id_col: str = "image_id",
@@ -241,6 +271,11 @@ def build_image_corpus(images: DataFrame,
             .filter(F.col("lang_pred").isin(*cfg.languages)) \
             .drop("lang_pred")
         audit["caption_lang"] = out.count()
+
+    if cfg.caption_dedup:
+        out = caption_dedup(out, cfg.id_col, "caption",
+                            cfg.caption_max_count)
+        audit["caption_dedup"] = out.count()
 
     if cfg.exact_dedup:
         out = image_exact_dedup(out, cfg.id_col, cfg.phash_col)

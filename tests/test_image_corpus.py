@@ -245,3 +245,21 @@ def test_image_semantic_dedup_stage(spark):
     assert audit["semantic_dedup"] == 3
     assert {"img0001", "img0002"} <= ids
     assert len(ids & {"img0000", "img0020"}) == 1
+
+
+def test_caption_dedup_spam_gate(spark):
+    from coherencebot_spark.datapipe.image_corpus import caption_dedup
+
+    rows = [
+        _img_row(0, caption="a unique red bicycle by the wall"),
+        _img_row(1, caption="Image may contain: person"),
+        _img_row(2, caption="  image may contain: PERSON "),  # same key
+        _img_row(3, caption="image may contain: person"),      # same key
+        _img_row(4, caption="another unique caption entirely"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    kept = {r.image_id for r in caption_dedup(df).collect()}
+    # min-id copy of the boilerplate survives; uniques untouched
+    assert kept == {"img0000", "img0001", "img0004"}
+    relaxed = {r.image_id for r in caption_dedup(df, max_count=3).collect()}
+    assert relaxed == {f"img{i:04d}" for i in range(5)}
