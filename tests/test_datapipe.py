@@ -762,3 +762,23 @@ def test_merge_bloom_shards_param_mismatch(spark):
     b = build_bloom_sharded(sigs, "sig", capacity=500_000, n_buckets=4)
     with _pytest.raises(Exception, match="mismatched shard params"):
         merge_bloom_shards(a, b).collect()
+
+
+def test_ivf_assign_pandas_matches_literal_path(spark):
+    """The large-codebook numpy assignment must agree with the literal
+    projection wherever cosines aren't ulp-tied (well-separated data)."""
+    from coherencebot_spark.datapipe.similarity import (
+        ivf_assign, ivf_assign_pandas, ivf_seed_codebook)
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 12) * 5
+    rows = [(i, [float(x) for x in centers[i % 6] + rng.randn(12) * 0.1])
+            for i in range(120)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_seed_codebook(vecs, 6, method="sample", seed=5)
+
+    lit = {r.vec_id: r.cent_id for r in
+           ivf_assign(vecs, cents).collect()}
+    pnd = {r.vec_id: r.cent_id for r in
+           ivf_assign_pandas(vecs, cents).collect()}
+    assert lit == pnd
