@@ -489,7 +489,13 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int,
     if not cent_rows:
         return vectors.sparkSession.createDataFrame(
             [], f"{qid_col} long, {id_col} long, cosine double, rank int")
-    assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
+    # corpus-side assignment auto-routes like semantic_dedup: literal
+    # projection within the budget (bit-exact, the oracle path), numpy
+    # matmul past it (k interpreted folds per row don't scale)
+    if len(cent_rows) * len(cent_rows[0][1]) <= _ASSIGN_LITERAL_BUDGET:
+        assigned = ivf_assign(vectors, cent_rows, id_col, vec_col)
+    else:
+        assigned = ivf_assign_pandas(vectors, cent_rows, id_col, vec_col)
 
     # query side: top-nprobe centroids per query — the query set is small,
     # so sort the literal score array per row (still shuffle-free)

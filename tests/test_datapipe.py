@@ -782,3 +782,22 @@ def test_ivf_assign_pandas_matches_literal_path(spark):
     pnd = {r.vec_id: r.cent_id for r in
            ivf_assign_pandas(vecs, cents).collect()}
     assert lit == pnd
+
+
+def test_cosine_topk_ivf_large_codebook_routes_pandas(spark):
+    """Past the literal budget the IVF corpus assignment auto-routes to
+    the numpy path; results still contain each query's true neighbor."""
+    from coherencebot_spark.datapipe.similarity import cosine_topk_ivf
+
+    rng = np.random.RandomState(21)
+    pts = rng.randn(300, 8) * 3
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in pts[0]])],
+        "query_id long, embedding array<double>")
+    # 300 centroids × 8 dims = 2400 > budget 2048 -> pandas assignment
+    out = cosine_topk_ivf(vecs, q, k=3, n_centroids=300, nprobe=4,
+                          codebook="sample").collect()
+    assert any(r.vec_id == 0 and r.rank == 1 for r in out)  # self-match
