@@ -263,3 +263,43 @@ def test_caption_dedup_spam_gate(spark):
     assert kept == {"img0000", "img0001", "img0004"}
     relaxed = {r.image_id for r in caption_dedup(df, max_count=3).collect()}
     assert relaxed == {f"img{i:04d}" for i in range(5)}
+
+
+def test_build_corpus_cli_bridge(spark, tmp_path):
+    """scripts/build_corpus.py: crawl content SnapshotTable (one snapshot
+    per cycle) -> deduped manifest + physical shards."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from build_corpus import build
+    from coherencebot_spark.sources.snapshot import SnapshotTable
+
+    wd = str(tmp_path / "crawl")
+    tbl = SnapshotTable(os.path.join(wd, "content"), "content")
+    base = ("url string, host string, score float, "
+            "metadata map<string,string>, " + SCHEMA + ", truncated boolean")
+
+    def seg(rows):
+        return spark.createDataFrame(
+            [("http://h/x", "h", 1.0, None) + r + (False,) for r in rows],
+            base)
+
+    dup = _img_row(5, w=128, h=128, phash=777)
+    tbl.write(seg([_img_row(0), _img_row(4, phash=777)]), cycle_id=0)
+    tbl.write(seg([dup, _img_row(6, w=16, h=16)]), cycle_id=1)  # tiny: gated
+
+    out = str(tmp_path / "corpus")
+    audit = build(spark, wd, out, write_shards=True, shard_bytes=1 << 20)
+    assert audit["input"] == 4
+    assert audit["wellformed"] == 3          # img0006 fails the size gate
+    assert audit["exact_dedup"] == 2         # phash 777: larger copy wins
+    assert audit["shard_files"] >= 1
+    import duckdb
+    kept = {r[0] for r in duckdb.connect().execute(
+        f"SELECT image_id FROM read_parquet('{out}/manifest/**/*.parquet')"
+    ).fetchall()}
+    assert kept == {"img0000", "img0005"}
+    assert os.path.exists(os.path.join(out, "shards", "_MANIFEST.json"))
