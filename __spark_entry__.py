@@ -463,6 +463,20 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_aspect_buckets(spark, sf_dir):
+    """SDXL-style aspect bucketing over synthesized dims: nearest ladder
+    entry by |ln(w/h) − ln(bw/bh)|, ties → smaller index."""
+    from coherencebot_spark.datapipe.image_corpus import aspect_bucket
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string"))
+        .alias("image_id"),
+        (64 + F.col("doc_id") % 1200).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 7) % 900).cast("int").alias("h"),
+    )
+    return aspect_bucket(d)
+
+
 def _q_caption_dedup(spark, sf_dir):
     """LAION caption-spam gate over a constructed image-metadata corpus:
     every 7th row carries the boilerplate caption; the min-id copy of
@@ -2594,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "incremental_dedup": _q_incremental_dedup,
         "caption_dedup": _q_caption_dedup,
+        "aspect_buckets": _q_aspect_buckets,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -3087,6 +3102,31 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        """,
+        # aspect-bucket twin: same ladder, same |ln(w/h)-ln(bw/bh)| argmin
+        # with (dist ASC, idx ASC) ordering
+        "aspect_buckets": """
+            WITH imgs AS (
+              SELECT 'img' || doc_id AS image_id,
+                     (64 + doc_id % 1200)::INT AS w,
+                     (64 + (doc_id * 7) % 900)::INT AS h
+              FROM documents
+            ), ladder(i, bw, bh) AS (VALUES
+              (0, 704, 1408), (1, 768, 1344), (2, 832, 1216),
+              (3, 896, 1152), (4, 1024, 1024), (5, 1152, 896),
+              (6, 1216, 832), (7, 1344, 768), (8, 1408, 704)
+            ), scored AS (
+              SELECT image_id, w, h, i, bw, bh,
+                     abs(ln(w::DOUBLE / h) - ln(bw::DOUBLE / bh)) AS d,
+                     ROW_NUMBER() OVER (PARTITION BY image_id
+                                        ORDER BY abs(ln(w::DOUBLE / h)
+                                            - ln(bw::DOUBLE / bh)) ASC,
+                                            i ASC) AS r
+              FROM imgs CROSS JOIN ladder
+            )
+            SELECT image_id, w, h, i::INT AS bucket_id,
+                   bw::INT AS bucket_w, bh::INT AS bucket_h
+            FROM scored WHERE r = 1
         """,
         # caption-spam twin: trimmed-lowered caption counts, min-id keeper
         # (string min — image_id is a string, both engines sort bytewise)

@@ -60,6 +60,8 @@ __all__ = [
     "phash_near_dup_pairs",
     "image_exact_dedup",
     "caption_dedup",
+    "aspect_bucket",
+    "DEFAULT_ASPECT_LADDER",
     "image_shard_manifest",
     "build_image_corpus",
     "write_image_shards",
@@ -210,6 +212,43 @@ def caption_dedup(images: DataFrame,
                    | (F.col("_id") == F.col("_keep")))
             .select(F.col("_id").alias(id_col)))
     return images.join(keep, id_col, "left_semi")
+
+
+# SDXL-style aspect-ratio ladder (subset): (bucket_w, bucket_h) targets a
+# trainer crops/resizes into; ~1 MP each, aspect from 1:2 to 2:1
+DEFAULT_ASPECT_LADDER = (
+    (704, 1408), (768, 1344), (832, 1216), (896, 1152), (1024, 1024),
+    (1152, 896), (1216, 832), (1344, 768), (1408, 704),
+)
+
+
+def aspect_bucket(images: DataFrame,
+                  ladder: tuple = DEFAULT_ASPECT_LADDER,
+                  id_col: str = "image_id") -> DataFrame:
+    """Aspect-ratio bucketing (the NovelAI/SDXL training trick: batch
+    images of similar aspect so the resize-crop loss is minimal): each
+    image goes to the ladder entry minimizing |ln(w/h) − ln(bw/bh)|,
+    ties → the smaller ladder index.
+
+    Pure projection — the ladder is a literal struct array and the
+    argmin is an ``array_min`` over (distance, index), so bucketing adds
+    zero exchanges; downstream batching reuses the shard manifest per
+    bucket.  Returns (id, w, h, bucket_id, bucket_w, bucket_h)."""
+    log_aspect = F.log(F.col("w").cast("double") / F.col("h"))
+    cands = F.array(*[
+        F.struct(
+            F.abs(log_aspect - F.log(F.lit(float(bw)) / F.lit(float(bh))))
+             .alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, (bw, bh) in enumerate(ladder)
+    ])
+    best = F.array_min(cands)["i"]
+    bw = F.element_at(F.array(*[F.lit(w) for w, _ in ladder]), best + 1)
+    bh = F.element_at(F.array(*[F.lit(h) for _, h in ladder]), best + 1)
+    return images.select(id_col, "w", "h",
+                         best.alias("bucket_id"),
+                         bw.alias("bucket_w"), bh.alias("bucket_h"))
 
 
 def image_shard_manifest(images: DataFrame,

@@ -303,3 +303,27 @@ def test_build_corpus_cli_bridge(spark, tmp_path):
     ).fetchall()}
     assert kept == {"img0000", "img0005"}
     assert os.path.exists(os.path.join(out, "shards", "_MANIFEST.json"))
+
+
+def test_aspect_bucket_assignment(spark):
+    from coherencebot_spark.datapipe.image_corpus import (
+        DEFAULT_ASPECT_LADDER, aspect_bucket)
+    import math
+
+    df = spark.createDataFrame(
+        [("sq", 1000, 1000), ("tall", 700, 1400),
+         ("wide", 1300, 800), ("vga", 640, 480)],
+        "image_id string, w int, h int")
+    got = {r.image_id: (r.bucket_w, r.bucket_h)
+           for r in aspect_bucket(df).collect()}
+    assert got["sq"] == (1024, 1024)
+    assert got["tall"] == (704, 1408)
+    # hand-check: nearest log-aspect entry for every row
+    for r in [("wide", 1300, 800), ("vga", 640, 480)]:
+        la = math.log(r[1] / r[2])
+        best = min(DEFAULT_ASPECT_LADDER,
+                   key=lambda b: abs(la - math.log(b[0] / b[1])))
+        assert got[r[0]] == best
+    # pure projection: no exchange
+    p = aspect_bucket(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
