@@ -2517,6 +2517,24 @@ def _q_phash_near_dups(spark, sf_dir):
                       F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_caption_alignment(spark, sf_dir):
+    # CLIP-score gate: consecutive embedding rows stand in for the
+    # (image embedding, caption embedding) pair an upstream encoder
+    # would produce; keep pairs whose rounded cosine clears 0.05.  The
+    # Spark side is the library's JVM zip_with/aggregate expression,
+    # the DuckDB twin is list_dot_product over DOUBLE[].
+    from coherencebot_spark.datapipe.image_corpus import caption_alignment
+
+    em = _t(spark, sf_dir, "embeddings")
+    a = (em.filter("vec_id % 2 = 0")
+         .select(F.col("vec_id").alias("image_id"),
+                 F.col("embedding").alias("img_emb")))
+    b = em.select((F.col("vec_id") - 1).alias("image_id"),
+                  F.col("embedding").alias("cap_emb"))
+    out = caption_alignment(a.join(b, "image_id"), min_score=0.05)
+    return out.select("image_id", "alignment")
+
+
 def _q_image_shard_manifest(spark, sf_dir):
     # byte-budgeted output shards over the image corpus (4 MiB budget,
     # w*h*3 raw-pixel size proxy): Spark's distributed two-level cumsum
@@ -2675,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_manifest": _q_chunk_manifest,
         "image_corpus_filter": _q_image_corpus_filter,
         "phash_near_dups": _q_phash_near_dups,
+        "caption_alignment": _q_caption_alignment,
         "image_shard_manifest": _q_image_shard_manifest,
         "thumbnail_key": _q_thumbnail_key,
         "cleaning_job": _q_cleaning_job,
@@ -4817,6 +4836,23 @@ def oracle_sql() -> dict[str, str]:
             FROM dd, unnest(range(CAST(strt // 97 AS BIGINT),
                             CAST((strt + n - 1) // 97 + 1 AS BIGINT)))
                           AS g(generate_series)
+        """,
+        "caption_alignment": """
+            WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            p AS (SELECT a.vec_id AS image_id, a.v AS iv, b.v AS cv
+                  FROM em a JOIN em b ON b.vec_id = a.vec_id + 1
+                  WHERE a.vec_id % 2 = 0),
+            s AS (SELECT image_id,
+                         ROUND(CASE WHEN sqrt(list_dot_product(iv, iv))
+                                         * sqrt(list_dot_product(cv, cv)) = 0
+                                    THEN 0.0
+                                    ELSE list_dot_product(iv, cv)
+                                         / (sqrt(list_dot_product(iv, iv))
+                                            * sqrt(list_dot_product(cv, cv)))
+                               END, 4) AS alignment
+                  FROM p)
+            SELECT image_id, alignment FROM s WHERE alignment >= 0.05
         """,
         "image_corpus_filter": r"""
             WITH img AS (

@@ -57,6 +57,8 @@ from .components import dedup_clusters
 __all__ = [
     "ImageCorpusConfig",
     "wellformed_images",
+    "alignment_score",
+    "caption_alignment",
     "phash_near_dup_pairs",
     "image_exact_dedup",
     "caption_dedup",
@@ -139,6 +141,56 @@ def wellformed_images(images: DataFrame,
     if keep_col is not None:
         return images.withColumn(keep_col, ok)
     return images.filter(ok)
+
+
+def alignment_score(img_col: Column, cap_col: Column) -> Column:
+    """Cosine between an image-embedding and a caption-embedding column —
+    the CLIP-score analog used by LAION/DataComp-style corpus recipes to
+    drop images whose caption does not describe them.
+
+    Pure JVM expressions (``zip_with`` product + left-fold sums), so the
+    gate stays inside the Project above the scan: no Python, no shuffle,
+    and Catalyst prunes every other column when only the verdict is
+    consumed.  Zero-norm vectors (dead embeddings) score 0.0 instead of
+    NaN so they are dropped by any positive threshold rather than
+    poisoning downstream comparisons.
+    """
+    dot = F.aggregate(F.zip_with(img_col, cap_col, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    ni = F.sqrt(F.aggregate(img_col, F.lit(0.0), lambda a, v: a + v * v))
+    nc = F.sqrt(F.aggregate(cap_col, F.lit(0.0), lambda a, v: a + v * v))
+    denom = ni * nc
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+
+
+def caption_alignment(pairs: DataFrame, img_col: str = "img_emb",
+                      cap_col: str = "cap_emb",
+                      min_score: float | None = 0.2,
+                      score_col: str = "alignment") -> DataFrame:
+    """CLIP-score gate over a DataFrame carrying paired image / caption
+    embeddings (``array<float>`` or ``array<double>`` columns, produced
+    by an upstream encoder — in this engine the embeddings arrive as
+    table columns, the same contract as the ANN operators in
+    :mod:`.similarity`).
+
+    Appends ``score_col`` and, when ``min_score`` is not None, keeps
+    only rows at or above it.  The score is rounded to 4 decimals
+    BEFORE the threshold compare so the verdict is reproducible across
+    engines and re-runs (the filter then never hinges on sub-1e-4
+    float noise).  ``min_score=None`` = audit mode: score everything,
+    drop nothing.
+
+    100 TB shape: a narrow Project on whatever partitioning the input
+    already has — composes with :func:`wellformed_images` before any
+    dedup shuffle so misaligned pairs never enter the wide stages.
+    """
+    score = F.round(
+        alignment_score(F.col(img_col).cast("array<double>"),
+                        F.col(cap_col).cast("array<double>")), 4)
+    out = pairs.withColumn(score_col, score)
+    if min_score is None:
+        return out
+    return out.filter(F.col(score_col) >= min_score)
 
 
 def phash_near_dup_pairs(images: DataFrame, id_col: str = "image_id",

@@ -327,3 +327,39 @@ def test_aspect_bucket_assignment(spark):
     # pure projection: no exchange
     p = aspect_bucket(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
+
+
+def test_caption_alignment_gate(spark):
+    from coherencebot_spark.datapipe.image_corpus import caption_alignment
+
+    rows = [
+        ("perfect", [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]),   # cosine 1.0
+        ("ortho",   [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),   # cosine 0.0
+        ("anti",    [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),  # cosine -1.0
+        ("dead",    [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]),   # zero norm -> 0.0
+        ("partial", [1.0, 1.0, 0.0], [1.0, 0.0, 0.0]),   # cosine ~0.7071
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, img_emb array<double>, cap_emb array<double>")
+
+    audit = {r.image_id: r.alignment
+             for r in caption_alignment(df, min_score=None).collect()}
+    assert audit["perfect"] == 1.0
+    assert audit["ortho"] == 0.0
+    assert audit["anti"] == -1.0
+    assert audit["dead"] == 0.0          # no NaN from the zero norm
+    assert audit["partial"] == 0.7071    # rounded to 4 decimals
+
+    kept = {r.image_id for r in caption_alignment(df, min_score=0.2).collect()}
+    assert kept == {"perfect", "partial"}
+
+    # threshold compares the ROUNDED score: 0.7071 >= 0.7071 keeps partial
+    kept = {r.image_id
+            for r in caption_alignment(df, min_score=0.7071).collect()}
+    assert kept == {"perfect", "partial"}
+
+    # pure projection + filter: no exchange, no Python stage
+    p = (caption_alignment(df, min_score=0.2)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
