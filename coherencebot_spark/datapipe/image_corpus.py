@@ -103,6 +103,12 @@ class ImageCorpusConfig:
     phash_bits: int = 64
     max_bucket: int | None = None
     pair_mode: str = "all"
+    # CLIP-score alignment gate (default off: needs paired embedding
+    # columns from an upstream encoder) — drops rows whose caption
+    # embedding does not match the image embedding, the DataComp filter
+    alignment_min: float | None = None
+    img_emb_col: str = "img_emb"
+    cap_emb_col: str = "cap_emb"
     # SemDeDup over an image-embedding column (default off): catches the
     # recompressed/rescaled/color-shifted variants that drift past the
     # phash hamming radius — the LAION-2B dedup recipe's semantic pass
@@ -362,6 +368,12 @@ def build_image_corpus(images: DataFrame,
             .filter(F.col("lang_pred").isin(*cfg.languages)) \
             .drop("lang_pred")
         audit["caption_lang"] = out.count()
+
+    if cfg.alignment_min is not None:
+        out = caption_alignment(out, cfg.img_emb_col, cfg.cap_emb_col,
+                                min_score=cfg.alignment_min) \
+            .drop("alignment")
+        audit["alignment"] = out.count()
 
     if cfg.caption_dedup:
         out = caption_dedup(out, cfg.id_col, "caption",

@@ -363,3 +363,21 @@ def test_caption_alignment_gate(spark):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in p, p
     assert "Python" not in p, p
+
+
+def test_alignment_stage_in_pipeline(spark):
+    # wellformed survivors carrying paired embeddings: the misaligned
+    # pair is dropped by the alignment stage before any dedup shuffle
+    rows = [
+        _img_row(70) + ([1.0, 0.0], [1.0, 0.0]),
+        _img_row(71) + ([1.0, 0.0], [0.9, 0.1]),
+        _img_row(72) + ([1.0, 0.0], [0.0, 1.0]),   # misaligned
+    ]
+    df = spark.createDataFrame(
+        rows, SCHEMA + ", img_emb array<double>, cap_emb array<double>")
+    out, audit = build_image_corpus(
+        df, ImageCorpusConfig(alignment_min=0.5, languages=()))
+    ids = {r.image_id for r in out.select("image_id").collect()}
+    assert ids == {"img0070", "img0071"}
+    assert audit["alignment"] == 2
+    assert "alignment" not in out.columns   # stage drops its score column
