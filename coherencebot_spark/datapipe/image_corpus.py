@@ -31,7 +31,12 @@ broadcast-able id frame, mirroring the crawl cycle's payload posture
    disagree with the decoded pixels (a corrupt-payload gate; the wild-
    codec variant needs PIL/libvips and raises the documented
    ``NotImplementedError`` in :func:`..datapipe.multimodal.decode_rgb`).
-6. **shard manifest** — assign survivors to byte-budgeted output shards
+6. **junk gate** (optional, Arrow path) — drop images whose decoded
+   pixels carry no signal (tracking pixels, placeholder blanks,
+   solid/two-tone banners) by luma entropy, modal-color share and luma
+   std (:func:`junk_image_gate`) — the image analog of the Gopher
+   quality floors.
+7. **shard manifest** — assign survivors to byte-budgeted output shards
    by a global running sum of payload sizes (two-level cumsum, same
    pattern as :func:`..datapipe.packing.chunk_manifest`: one P-row
    collect, nothing wide touches bytes).  Images never split: a row
@@ -61,6 +66,7 @@ __all__ = [
     "caption_alignment",
     "phash_near_dup_pairs",
     "image_exact_dedup",
+    "junk_image_gate",
     "caption_dedup",
     "aspect_bucket",
     "DEFAULT_ASPECT_LADDER",
@@ -82,6 +88,7 @@ class ImageCorpusConfig:
     exact_dedup: bool = True
     near_dedup: bool = True
     validate_decode: bool = False
+    junk_gate: bool = False
     shard: bool = True
     # wellformed gates (LAION-style)
     min_w: int = 64
@@ -117,6 +124,13 @@ class ImageCorpusConfig:
     semantic_threshold: float = 0.99
     semantic_centroids: int = 16
     semantic_max_cluster: int | None = None
+    # junk-image gate thresholds (decoded-pixel statistics; the image
+    # analog of the Gopher text-quality floors).  Defaults drop solid /
+    # two-tone placeholder images while clearing natural content by a
+    # wide margin (synthetic world: px_entropy ≈ 5.5-6, solid_frac < 0.05)
+    junk_min_entropy: float = 1.5
+    junk_max_solid: float = 0.90
+    junk_min_std: float = 2.0
     # sharding
     shard_bytes: int = 1 << 30     # 1 GiB target per output shard
 
@@ -245,6 +259,37 @@ def image_exact_dedup(images: DataFrame,
         .groupBy("_ph").agg(F.min("_id").alias("_keep"))
     return images.join(
         keep.select(F.col("_keep").alias(id_col)), id_col, "left_semi")
+
+
+def junk_image_gate(images: DataFrame,
+                    cfg: ImageCorpusConfig = ImageCorpusConfig(),
+                    keep_col: str | None = None) -> DataFrame:
+    """Drop junk images by decoded-pixel statistics — the image analog
+    of the Gopher text-quality floors: tracking pixels, placeholder
+    blanks, solid-color banners, and two-tone spacer graphics carry no
+    training signal but pass every metadata gate.
+
+    A row survives when ALL of
+    ``px_entropy >= junk_min_entropy`` (luma histogram entropy, bits),
+    ``solid_frac <= junk_max_solid`` (modal quantized-RGB share), and
+    ``px_std >= junk_min_std`` (luma standard deviation).  Null stats
+    (null payload) fail the gate.
+
+    Decode is one map-side Arrow pass over the scan
+    (:func:`..datapipe.multimodal.with_image_quality_stats`); no
+    shuffle, bytes pruned from everything downstream of the verdict.
+    With ``keep_col`` the verdict is appended instead of filtering
+    (audit mode), mirroring :func:`wellformed_images`."""
+    from .multimodal import with_image_quality_stats
+
+    stats = with_image_quality_stats(images, bytes_col=cfg.bytes_col)
+    ok = ((F.col("px_entropy") >= cfg.junk_min_entropy)
+          & (F.col("solid_frac") <= cfg.junk_max_solid)
+          & (F.col("px_std") >= cfg.junk_min_std))
+    ok = F.coalesce(ok, F.lit(False))
+    if keep_col is not None:
+        return stats.withColumn(keep_col, ok)
+    return stats.filter(ok).drop("px_std", "px_entropy", "solid_frac")
 
 
 def caption_dedup(images: DataFrame,
@@ -427,6 +472,14 @@ def build_image_corpus(images: DataFrame,
             .drop("dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
                   "phash64")
         audit["validate_decode"] = out.count()
+
+    if cfg.junk_gate:
+        # decoded-pixel junk gate — runs after the dedups so the decode
+        # pass (map-side, but it touches every payload byte) only sees
+        # surviving rows; a second enabled decode stage
+        # (validate_decode) costs its own pass, same as audit re-counts
+        out = junk_image_gate(out, cfg)
+        audit["junk_gate"] = out.count()
 
     if cfg.shard:
         manifest = image_shard_manifest(

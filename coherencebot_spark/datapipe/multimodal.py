@@ -81,6 +81,57 @@ def with_image_features(content: DataFrame, bytes_col: str = "bytes",
     return content.mapInPandas(feats, schema=schema)
 
 
+def with_image_quality_stats(content: DataFrame, bytes_col: str = "bytes",
+                             fmt_col: str = "fmt") -> DataFrame:
+    """Append decoded-pixel quality statistics:
+
+    * ``px_std``      — grayscale (BT.601 luma) standard deviation;
+      solid colors land at 0.
+    * ``px_entropy``  — Shannon entropy (bits) of the 64-bin luma
+      histogram; a solid color scores 0, rich natural content ~5-6.
+    * ``solid_frac``  — fraction of pixels in the modal 12-bit
+      (4-bit/channel) quantized RGB color; 1.0 for tracking pixels /
+      placeholder blanks, near-1 for single-color banners.
+
+    These are the inputs to the junk-image gate
+    (:func:`..datapipe.image_corpus.junk_image_gate`): the decoded-pixel
+    analog of the text pipeline's Gopher quality heuristics.  One decode
+    pass over the scan (mapInPandas, Arrow-batched, per-image release) —
+    bytes never reach a shuffle; null payloads yield null stats so a
+    gate treats them as junk.
+    """
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            std, ent, solid = [], [], []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                if data is None:
+                    std.append(None); ent.append(None); solid.append(None)
+                    continue
+                px = decode_rgb(bytes(data), fmt)
+                flat = px.reshape(-1, 3).astype(np.float64)
+                luma = flat @ np.array([0.299, 0.587, 0.114])
+                std.append(float(luma.std()))
+                hist = np.bincount(
+                    np.clip(luma, 0, 255).astype(np.int64) >> 2,
+                    minlength=64)
+                p = hist[hist > 0] / luma.size
+                ent.append(float(-(p * np.log2(p)).sum()))
+                q = ((flat[:, 0].astype(np.int64) >> 4) << 8) | \
+                    ((flat[:, 1].astype(np.int64) >> 4) << 4) | \
+                    (flat[:, 2].astype(np.int64) >> 4)
+                solid.append(float(np.bincount(q, minlength=4096).max()
+                                   / q.size))
+            res = pdf.copy()
+            res["px_std"], res["px_entropy"], res["solid_frac"] = \
+                std, ent, solid
+            yield res
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in content.schema) \
+        + ", px_std double, px_entropy double, solid_frac double"
+    return content.mapInPandas(stats, schema=schema)
+
+
 def resize_images(content: DataFrame, target: int = 32,
                   bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
     """Decode → bilinear resize to target×target → re-encode PNG.

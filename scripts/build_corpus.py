@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build(spark, workdir: str, out: str, *,
           caption_dedup: bool = False, validate_decode: bool = False,
+          junk_gate: bool = False,
           max_hamming: int = 3, shard_bytes: int = 1 << 30,
           min_w: int = 64, min_h: int = 64,
           write_shards: bool = False) -> dict:
@@ -55,6 +56,7 @@ def build(spark, workdir: str, out: str, *,
                       "phash", "url"))
     cfg = ImageCorpusConfig(
         caption_dedup=caption_dedup, validate_decode=validate_decode,
+        junk_gate=junk_gate,
         max_hamming=max_hamming, shard_bytes=shard_bytes,
         min_w=min_w, min_h=min_h)
     corpus, audit = build_image_corpus(images, cfg)
@@ -75,6 +77,9 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="corpus output dir")
     ap.add_argument("--caption-dedup", action="store_true")
     ap.add_argument("--validate-decode", action="store_true")
+    ap.add_argument("--junk-gate", action="store_true",
+                    help="drop solid/low-entropy placeholder images by "
+                         "decoded-pixel statistics")
     ap.add_argument("--max-hamming", type=int, default=3)
     ap.add_argument("--shard-bytes", type=int, default=1 << 30)
     ap.add_argument("--min-w", type=int, default=64)
@@ -92,6 +97,7 @@ def main() -> None:
     audit = build(spark, args.workdir, args.out,
                   caption_dedup=args.caption_dedup,
                   validate_decode=args.validate_decode,
+                  junk_gate=args.junk_gate,
                   max_hamming=args.max_hamming,
                   shard_bytes=args.shard_bytes,
                   min_w=args.min_w, min_h=args.min_h,

@@ -381,3 +381,65 @@ def test_alignment_stage_in_pipeline(spark):
     assert ids == {"img0070", "img0071"}
     assert audit["alignment"] == 2
     assert "alignment" not in out.columns   # stage drops its score column
+
+
+def test_junk_image_stats_and_gate(spark):
+    """Decoded-pixel junk gate: solid / near-solid placeholders drop,
+    natural synthetic content clears every floor, null payloads fail."""
+    import numpy as np
+    from coherencebot_spark.datapipe.image_corpus import junk_image_gate
+    from coherencebot_spark.datapipe.multimodal import (
+        with_image_quality_stats)
+
+    solid = np.full((64, 64, 3), 128, dtype=np.uint8)
+    spacer = np.full((64, 64, 3), 200, dtype=np.uint8)
+    spacer[:2, :, :] = 10                     # 2/64 rows a second tone
+    rows = [
+        _img_row(80), _img_row(81, fmt="bmp"),
+        _img_row(82, px=solid, caption="solid grey placeholder"),
+        _img_row(83, px=spacer, caption="two tone spacer banner"),
+        ("img0084", None, 64, 64, "png", "null payload", 0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    st = {r.image_id: r for r in with_image_quality_stats(df).collect()}
+    assert st["img0082"].px_std == 0.0
+    assert st["img0082"].px_entropy == 0.0
+    assert st["img0082"].solid_frac == 1.0
+    assert st["img0083"].solid_frac == pytest.approx(62 / 64, abs=1e-9)
+    assert st["img0083"].px_entropy < 0.5
+    for healthy in ("img0080", "img0081"):
+        assert st[healthy].px_entropy > 3.0
+        assert st[healthy].solid_frac < 0.2
+        assert st[healthy].px_std > 10.0
+    assert st["img0084"].px_entropy is None
+
+    kept = {r.image_id for r in
+            junk_image_gate(df).select("image_id").collect()}
+    assert kept == {"img0080", "img0081"}
+
+    # audit mode appends the verdict instead of filtering
+    audit = {r.image_id: r.keep for r in
+             junk_image_gate(df, keep_col="keep").collect()}
+    assert audit == {"img0080": True, "img0081": True, "img0082": False,
+                     "img0083": False, "img0084": False}
+
+    # map-side only: one Arrow stage over the scan, no exchange
+    p = junk_image_gate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_junk_gate_stage_in_pipeline(spark):
+    import numpy as np
+
+    solid = np.full((64, 64, 3), 55, dtype=np.uint8)
+    rows = [_img_row(90), _img_row(91),
+            _img_row(92, px=solid, caption="a blank placeholder image")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out, audit = build_image_corpus(
+        df, ImageCorpusConfig(junk_gate=True, shard=False))
+    ids = {r.image_id for r in out.select("image_id").collect()}
+    assert ids == {"img0090", "img0091"}
+    assert audit["junk_gate"] == 2
+    # stat columns are internal to the gate
+    assert not {"px_std", "px_entropy", "solid_frac"} & set(out.columns)
