@@ -477,6 +477,27 @@ def _q_aspect_buckets(spark, sf_dir):
     return aspect_bucket(d)
 
 
+def _q_vision_token_batches(spark, sf_dir):
+    """NaViT-style token-budget packing: native-resolution ViT patch
+    counts (ceil(w/14)*ceil(h/14)) packed greedily into 16384-token
+    batches within each aspect bucket, in image_id order.  Spark runs
+    the two-level grouped cumsum (no single-task group windows); the
+    DuckDB twin is the plain per-bucket window running sum — both must
+    agree on every (batch_id, batch_offset)."""
+    from coherencebot_spark.datapipe.image_corpus import (
+        aspect_bucket, vision_token_batches)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string"))
+        .alias("image_id"),
+        (64 + F.col("doc_id") % 1200).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 7) % 900).cast("int").alias("h"),
+    )
+    b = aspect_bucket(d)
+    return vision_token_batches(b, token_budget=16384, patch=14,
+                                group_col="bucket_id")
+
+
 def _q_caption_dedup(spark, sf_dir):
     """LAION caption-spam gate over a constructed image-metadata corpus:
     every 7th row carries the boilerplate caption; the min-id copy of
@@ -2627,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "caption_dedup": _q_caption_dedup,
         "aspect_buckets": _q_aspect_buckets,
+        "vision_token_batches": _q_vision_token_batches,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
@@ -3146,6 +3168,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, w, h, i::INT AS bucket_id,
                    bw::INT AS bucket_w, bh::INT AS bucket_h
             FROM scored WHERE r = 1
+        """,
+        # NaViT packing twin: per-bucket window running sum of patch
+        # tokens in image_id order; batch = the 16384-token interval the
+        # running offset lands in (rows never split)
+        "vision_token_batches": """
+            WITH imgs AS (
+              SELECT 'img' || doc_id AS image_id,
+                     (64 + doc_id % 1200)::INT AS w,
+                     (64 + (doc_id * 7) % 900)::INT AS h
+              FROM documents
+            ), ladder(i, bw, bh) AS (VALUES
+              (0, 704, 1408), (1, 768, 1344), (2, 832, 1216),
+              (3, 896, 1152), (4, 1024, 1024), (5, 1152, 896),
+              (6, 1216, 832), (7, 1344, 768), (8, 1408, 704)
+            ), scored AS (
+              SELECT image_id, w, h, i,
+                     ROW_NUMBER() OVER (PARTITION BY image_id
+                                        ORDER BY abs(ln(w::DOUBLE / h)
+                                            - ln(bw::DOUBLE / bh)) ASC,
+                                            i ASC) AS r
+              FROM imgs CROSS JOIN ladder
+            ), b AS (
+              SELECT image_id, w, h, i::INT AS bucket_id
+              FROM scored WHERE r = 1
+            ), t AS (
+              SELECT image_id, bucket_id,
+                     CAST(ceil(w / 14.0) * ceil(h / 14.0) AS BIGINT)
+                       AS n_tokens
+              FROM b
+            ), c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY bucket_id ORDER BY image_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS s
+              FROM t
+            )
+            SELECT image_id, bucket_id, n_tokens,
+                   CAST(floor(s / 16384.0) AS BIGINT) AS batch_id,
+                   CAST(s % 16384 AS BIGINT) AS batch_offset
+            FROM c
         """,
         # caption-spam twin: trimmed-lowered caption counts, min-id keeper
         # (string min — image_id is a string, both engines sort bytewise)

@@ -70,6 +70,8 @@ __all__ = [
     "caption_dedup",
     "aspect_bucket",
     "DEFAULT_ASPECT_LADDER",
+    "vision_tokens",
+    "vision_token_batches",
     "image_shard_manifest",
     "build_image_corpus",
     "write_image_shards",
@@ -352,6 +354,65 @@ def aspect_bucket(images: DataFrame,
     return images.select(id_col, "w", "h",
                          best.alias("bucket_id"),
                          bw.alias("bucket_w"), bh.alias("bucket_h"))
+
+
+def vision_tokens(w_col: Column | str = "w", h_col: Column | str = "h",
+                  patch: int = 14) -> Column:
+    """ViT patch-token count at native resolution:
+    ``ceil(w/patch) * ceil(h/patch)`` — the sequence length an image
+    contributes to a vision-transformer batch (patch 14 = CLIP/SigLIP
+    convention).  Pure integer arithmetic, stays in the Project."""
+    w = F.col(w_col) if isinstance(w_col, str) else w_col
+    h = F.col(h_col) if isinstance(h_col, str) else h_col
+    p = int(patch)
+    return (F.ceil(w.cast("double") / p) *
+            F.ceil(h.cast("double") / p)).cast("long")
+
+
+def vision_token_batches(images: DataFrame, token_budget: int,
+                         patch: int = 14,
+                         id_col: str = "image_id",
+                         group_col: str | None = None,
+                         order_col: str | None = None,
+                         require_fit: bool = False,
+                         parallelism: int | None = None) -> DataFrame:
+    """NaViT-style token-budget batch packing: assign images (in
+    deterministic ``order_col`` order, optionally within a
+    ``group_col`` such as the aspect bucket) to batches of at most
+    ``token_budget`` vision tokens.
+
+    Returns ``(image_id[, group_col], n_tokens, batch_id,
+    batch_offset)``.  Offset-interval semantics, the same rows-never-
+    split rule as :func:`image_shard_manifest`: an image belongs to the
+    batch its running token offset lands in, so a batch overflows its
+    budget by less than one image (a loader pads or defers the
+    straddler).  ``require_fit=True`` instead drops images whose own
+    token count exceeds the budget before packing.
+
+    Scale shape: the running sum is the packing module's two-level
+    cumsum — per-group it range-partitions on (group, order) so no
+    group ever collapses into a single task, per-(partition, group)
+    window sums, one P×G-row totals collect joined back broadcast
+    (:func:`..datapipe.packing._grouped_offsets`).  Everything else is
+    a Project; bytes are never touched."""
+    from .packing import _global_offsets, _grouped_offsets
+
+    n = vision_tokens(patch=patch)
+    keep = [id_col] + ([group_col] if group_col else [])
+    d = images.select(*keep,
+                      F.col(order_col or id_col).alias("_ord"),
+                      n.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    if require_fit:
+        d = d.filter(F.col("n_tokens") <= int(token_budget))
+    if group_col:
+        d = _grouped_offsets(d, group_col, "_ord", "n_tokens", parallelism)
+    else:
+        d = _global_offsets(d, "_ord", "n_tokens", parallelism)
+    b = int(token_budget)
+    return d.select(
+        *keep, "n_tokens",
+        F.floor(F.col("_start") / b).cast("long").alias("batch_id"),
+        (F.col("_start") % b).cast("long").alias("batch_offset"))
 
 
 def image_shard_manifest(images: DataFrame,

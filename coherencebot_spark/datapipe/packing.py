@@ -57,6 +57,42 @@ def _global_offsets(docs: DataFrame, order_col: str,
         .drop("_pid", "_local")
 
 
+def _grouped_offsets(docs: DataFrame, group_col: str, order_col: str,
+                     n_col: str, parallelism: int | None) -> DataFrame:
+    """Per-group variant of :func:`_global_offsets`: ``_start`` = sum of
+    ``n_col`` over rows of the SAME ``group_col`` strictly before this
+    one in ``order_col`` order.
+
+    Same two-level shape — range-partition by (group, order) so a
+    group's rows are contiguous across partitions and ordered within,
+    per-(partition, group) window sums, then a P×G-row totals collect
+    (the only driver traffic; P×G stays tiny because G is a handful of
+    buckets) joined back broadcast as base offsets.  A window
+    partitioned by the group alone would collapse each group into one
+    task — useless when G ≪ cores and fatal at 10^10 rows."""
+    parts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    d = docs.repartitionByRange(parts, F.col(group_col), F.col(order_col)) \
+        .sortWithinPartitions(group_col, order_col) \
+        .withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid", group_col).orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    d = d.withColumn("_local", F.coalesce(F.sum(n_col).over(w), F.lit(0)))
+    totals = d.groupBy("_pid", group_col).agg(F.sum(n_col).alias("_tot")) \
+        .collect()  # P×G rows — the only driver traffic
+    base, acc = [], {}
+    for row in sorted(totals, key=lambda r: (r[group_col], r["_pid"])):
+        g = row[group_col]
+        base.append((row["_pid"], g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + (row["_tot"] or 0)
+    gtype = docs.schema[group_col].dataType.simpleString()
+    bdf = docs.sparkSession.createDataFrame(
+        base, f"_pid int, {group_col} {gtype}, _base long")
+    return d.join(F.broadcast(bdf), ["_pid", group_col]) \
+        .withColumn("_start", (F.col("_base") + F.col("_local"))
+                    .cast("long")) \
+        .drop("_pid", "_local", "_base")
+
+
 def chunk_manifest(docs: DataFrame, chunk_tokens: int,
                    id_col: str = "doc_id", text_col: str = "text",
                    order_col: str | None = None,

@@ -443,3 +443,75 @@ def test_junk_gate_stage_in_pipeline(spark):
     assert audit["junk_gate"] == 2
     # stat columns are internal to the gate
     assert not {"px_std", "px_entropy", "solid_frac"} & set(out.columns)
+
+
+def test_vision_token_batches_semantics(spark):
+    """NaViT packing: deterministic order, per-group running offsets,
+    rows never split (a batch overflows by < one image), require_fit
+    drops over-budget singletons."""
+    from coherencebot_spark.datapipe.image_corpus import (
+        vision_token_batches, vision_tokens)
+
+    rows = [(f"i{k:03d}", 14 * ((k * 7) % 9 + 1), 14 * ((k * 5) % 11 + 1),
+             k % 3) for k in range(60)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int, g int")
+
+    out = vision_token_batches(df, token_budget=50, patch=14,
+                               group_col="g").collect()
+    got = {r.image_id: r for r in out}
+    # python reference: per-group cumsum in id order
+    for g in range(3):
+        start = 0
+        for iid, w, h, gg in sorted(rows):
+            if gg != g:
+                continue
+            n = -(-w // 14) * -(-h // 14)
+            r = got[iid]
+            assert (r.n_tokens, r.batch_id, r.batch_offset) == \
+                (n, start // 50, start % 50), iid
+            start += n
+    # rows never split: every image is in exactly one batch, and each
+    # batch's offset interval is contiguous from 0
+    for g in range(3):
+        by_batch = {}
+        for r in out:
+            if r.g == g:
+                by_batch.setdefault(r.batch_id, []).append(r)
+        for b, members in by_batch.items():
+            tot = sum(m.n_tokens for m in members)
+            lo = min(m.batch_offset for m in members)
+            assert lo < 50                       # starts inside the budget
+            assert tot < 50 + max(m.n_tokens for m in members)
+
+    # ungrouped path + require_fit: an 80-token image exceeds budget 50
+    big = spark.createDataFrame(
+        [("a", 14, 14, 0), ("huge", 14 * 10, 14 * 8, 0), ("b", 14, 14, 0)],
+        "image_id string, w int, h int, g int")
+    fit = vision_token_batches(big, token_budget=50, patch=14,
+                               require_fit=True)
+    assert {r.image_id for r in fit.collect()} == {"a", "b"}
+
+    # vision_tokens column matches the CLIP-patch arithmetic
+    v = df.select("image_id", vision_tokens(patch=14).alias("t")).collect()
+    for r in v:
+        iid = r.image_id
+        k = int(iid[1:])
+        assert r.t == ((k * 7) % 9 + 1) * ((k * 5) % 11 + 1)
+
+
+def test_grouped_offsets_never_single_task_per_group(spark):
+    """The scale property: the per-group cumsum partitions by
+    (spark_partition_id, group) — a group spanning many range
+    partitions is summed in parallel, with only the P×G totals on the
+    driver.  Verified by matching a single-group run against the
+    ungrouped two-level cumsum at parallelism 8."""
+    from coherencebot_spark.datapipe.packing import (
+        _global_offsets, _grouped_offsets)
+
+    rows = [(f"d{k:04d}", 0, (k * 13) % 97 + 1) for k in range(500)]
+    df = spark.createDataFrame(rows, "id string, g int, n long")
+    a = {r.id: r._start
+         for r in _grouped_offsets(df, "g", "id", "n", 8).collect()}
+    b = {r.id: r._start
+         for r in _global_offsets(df, "id", "n", 8).collect()}
+    assert a == b
