@@ -79,6 +79,13 @@ def _grouped_offsets(docs: DataFrame, group_col: str, order_col: str,
     d = d.withColumn("_local", F.coalesce(F.sum(n_col).over(w), F.lit(0)))
     totals = d.groupBy("_pid", group_col).agg(F.sum(n_col).alias("_tot")) \
         .collect()  # P×G rows — the only driver traffic
+    if any(row[group_col] is None for row in totals):
+        # a null group key would vanish in the base-offset equi-join
+        # below (null never equals null) — fail loudly instead of
+        # silently dropping those rows
+        raise ValueError(
+            f"_grouped_offsets: null values in group column "
+            f"{group_col!r}; filter or fill them before packing")
     base, acc = [], {}
     for row in sorted(totals, key=lambda r: (r[group_col], r["_pid"])):
         g = row[group_col]

@@ -69,3 +69,15 @@ def test_multi_partition_offsets(spark):
         want_len[key] = want_len.get(key, 0) + 1
     got_len = {(r["chunk_id"], r["doc_id"]): r["len"] for r in man}
     assert got_len == want_len
+
+
+def test_grouped_offsets_rejects_null_groups(spark):
+    """A null group key would silently vanish in the base-offset
+    equi-join — the grouped cumsum must refuse instead."""
+    import pytest as _pt
+    from coherencebot_spark.datapipe.packing import _grouped_offsets
+
+    df = spark.createDataFrame(
+        [("a", 0, 3), ("b", None, 4)], "id string, g int, n long")
+    with _pt.raises(ValueError, match="null values in group column"):
+        _grouped_offsets(df, "g", "id", "n", 4).collect()
