@@ -2362,6 +2362,28 @@ def _q_dedup_components(spark, sf_dir):
         "is_canonical")
 
 
+def _q_cluster_safe_split(spark, sf_dir):
+    # leakage-free split: the SAME constructed near-dup graph as
+    # dedup_components (6-node chains + sparse cross-group merges),
+    # split keyed on the discovered component so no cluster straddles
+    # train/eval.  Spark runs large-star/small-star + the md5 split;
+    # the DuckDB twin is the closed-form component CASE + the same md5
+    # prefix compare — membership itself is under the hard oracle.
+    from coherencebot_spark.datapipe.sampling import cluster_safe_split
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 600")
+    i = F.col("doc_id")
+    chain = d.filter((i % 6 != 5) & (i < 599)).select(
+        i.alias("a"), (i + 1).alias("b"))
+    merge = d.filter((i % 60 == 0) & (i < 570)).select(
+        i.alias("a"), (i + 30).alias("b"))
+    pairs = chain.unionByName(merge)
+    out = cluster_safe_split(d.select("doc_id"), pairs, 0.25)
+    return out.select(
+        "doc_id", F.col("component").cast("long").alias("component"),
+        "split")
+
+
 def _q_data_mix(spark, sf_dir):
     # deterministic sampling / mixing: stratified keep (a=100%, b=25%,
     # c dropped), fractional upsample (w=1.5), stable train/eval split —
@@ -2708,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_stats_format": _q_crawl_stats_format,
         "fetcher_events": _q_fetcher_events,
         "dedup_components": _q_dedup_components,
+        "cluster_safe_split": _q_cluster_safe_split,
         "data_mix": _q_data_mix,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher_repetition,
@@ -4765,6 +4788,24 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 6 * (doc_id // 6) END) = doc_id
                      AS is_canonical
             FROM documents WHERE doc_id < 600
+        """,
+        # cluster-safe split twin: closed-form component (same graph as
+        # dedup_components) then the md5-prefix split keyed on it
+        # (0.25 → threshold 40000000)
+        "cluster_safe_split": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN (doc_id // 6) % 10 = 5
+                               THEN 6 * ((doc_id // 6) - 5)
+                               ELSE 6 * (doc_id // 6) END AS BIGINT)
+                       AS component
+              FROM documents WHERE doc_id < 600
+            )
+            SELECT doc_id, component,
+                   CASE WHEN substr(md5('split' || component), 1, 8)
+                             < '40000000'
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM c
         """,
         "data_mix": """
             WITH s AS (

@@ -35,7 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["keep_fraction", "deterministic_sample", "stratified_sample",
-           "deterministic_upsample", "train_eval_split"]
+           "deterministic_upsample", "train_eval_split",
+           "cluster_safe_split"]
 
 _SCALE = 1 << 32
 
@@ -114,3 +115,32 @@ def train_eval_split(df: DataFrame, eval_fraction: float,
     is_eval = keep_fraction(F.col(key_col), eval_fraction, salt)
     return df.withColumn(
         out_col, F.when(is_eval, F.lit("eval")).otherwise(F.lit("train")))
+
+
+def cluster_safe_split(docs: DataFrame, pairs: DataFrame,
+                       eval_fraction: float,
+                       id_col: str = "doc_id",
+                       a_col: str = "a", b_col: str = "b",
+                       salt: str = "split",
+                       out_col: str = "split") -> DataFrame:
+    """Leakage-free train/eval split: the split hash is keyed on the
+    duplicate CLUSTER id (min member of the connected component over
+    ``pairs``), not the document id, so a document and every one of its
+    near-duplicates land in the same split.  Hash-splitting by doc id
+    alone leaks eval content into train through surviving near-dups —
+    the contamination mode n-gram decontamination
+    (:mod:`.contamination`) then has to mop up; keying on the component
+    closes it structurally.
+
+    Returns ``docs`` + ``component`` + the split column.  Scale shape
+    is :func:`..datapipe.components.dedup_clusters` (components frame
+    holds paired docs only → broadcast left join over the doc scan;
+    no full-corpus shuffle) followed by a pure md5-prefix Project."""
+    from .components import dedup_clusters
+
+    labeled = dedup_clusters(docs, pairs, id_col=id_col,
+                             a_col=a_col, b_col=b_col) \
+        .drop("is_canonical")
+    return train_eval_split(labeled, eval_fraction,
+                            key_col="component", salt=salt,
+                            out_col=out_col)

@@ -88,3 +88,30 @@ def test_split_stable_under_growth(spark, docs):
     assert all(split2[k] == v for k, v in split1.items())
     frac = sum(1 for v in split2.values() if v == "eval") / 8000
     assert abs(frac - 0.1) < 0.02
+
+
+def test_cluster_safe_split_no_straddle(spark):
+    """The leakage property: every member of a near-dup cluster lands in
+    the same split; plain doc-id hashing demonstrably straddles."""
+    from coherencebot_spark.datapipe.sampling import (
+        cluster_safe_split, train_eval_split)
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    # 3-node chains: 3k — 3k+1 — 3k+2
+    pairs = (spark.range(0, 300).where("id % 3 != 2")
+             .selectExpr("id AS a", "id + 1 AS b"))
+
+    out = cluster_safe_split(docs, pairs, 0.3).collect()
+    by_comp = {}
+    for r in out:
+        assert r.component == 3 * (r.doc_id // 3)
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    splits = {r.doc_id: r.split for r in out}
+    assert {"train", "eval"} == set(splits.values())   # both sides hit
+
+    # counter-property: id-keyed split straddles at least one cluster
+    naive = {r.doc_id: r.split
+             for r in train_eval_split(docs, 0.3).collect()}
+    assert any(len({naive[3 * k], naive[3 * k + 1], naive[3 * k + 2]}) > 1
+               for k in range(100))
