@@ -2384,6 +2384,20 @@ def _q_cluster_safe_split(spark, sf_dir):
         "split")
 
 
+def _q_source_cap(spark, sf_dir):
+    # per-source contribution cap (anti-domination): at most 5 docs per
+    # synthetic source key, earliest ids survive.  Spark's row_number<=k
+    # compiles to WindowGroupLimit (map-side pre-prune — plan-asserted
+    # in tests); the DuckDB twin is the plain window ROW_NUMBER.
+    from coherencebot_spark.datapipe.sampling import cap_per_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 37).cast("string"))
+        .alias("source_key"))
+    return cap_per_key(d, "source_key", 5, "doc_id")
+
+
 def _q_data_mix(spark, sf_dir):
     # deterministic sampling / mixing: stratified keep (a=100%, b=25%,
     # c dropped), fractional upsample (w=1.5), stable train/eval split —
@@ -2731,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetcher_events": _q_fetcher_events,
         "dedup_components": _q_dedup_components,
         "cluster_safe_split": _q_cluster_safe_split,
+        "source_cap": _q_source_cap,
         "data_mix": _q_data_mix,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher_repetition,
@@ -4788,6 +4803,17 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 6 * (doc_id // 6) END) = doc_id
                      AS is_canonical
             FROM documents WHERE doc_id < 600
+        """,
+        # per-source cap twin: plain window ROW_NUMBER (Spark's plan is
+        # the WindowGroupLimit-optimized equivalent)
+        "source_cap": """
+            WITH t AS (
+              SELECT doc_id, 'src' || (doc_id % 37) AS source_key,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id % 37
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id, source_key FROM t WHERE rn <= 5
         """,
         # cluster-safe split twin: closed-form component (same graph as
         # dedup_components) then the md5-prefix split keyed on it

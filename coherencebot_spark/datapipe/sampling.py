@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["keep_fraction", "deterministic_sample", "stratified_sample",
            "deterministic_upsample", "train_eval_split",
-           "cluster_safe_split"]
+           "cluster_safe_split", "cap_per_key"]
 
 _SCALE = 1 << 32
 
@@ -115,6 +115,27 @@ def train_eval_split(df: DataFrame, eval_fraction: float,
     is_eval = keep_fraction(F.col(key_col), eval_fraction, salt)
     return df.withColumn(
         out_col, F.when(is_eval, F.lit("eval")).otherwise(F.lit("train")))
+
+
+def cap_per_key(df: DataFrame, key_col: str, max_n: int,
+                order_col: str) -> DataFrame:
+    """Deterministic per-key contribution cap: keep the first ``max_n``
+    rows of each key in ``order_col`` order (pass a UNIQUE column, e.g.
+    the id — ties would make survivorship run-dependent) — the
+    corpus-side analog of the
+    generator's per-host cap, and the anti-domination gate of the
+    LAION-style recipes: no single domain/source swamps the mix.
+
+    Scale shape: a ``row_number() <= k`` window compiles to
+    ``WindowGroupLimit`` (plan-asserted in tests) — every map task
+    pre-prunes to k rows per key BEFORE the exchange, so a hot key
+    (one domain with 10^8 images) costs k×P shuffled rows instead of
+    its full multiplicity.  Skew never reaches the reducer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") <= int(max_n)).drop("_rn")
 
 
 def cluster_safe_split(docs: DataFrame, pairs: DataFrame,

@@ -115,3 +115,26 @@ def test_cluster_safe_split_no_straddle(spark):
              for r in train_eval_split(docs, 0.3).collect()}
     assert any(len({naive[3 * k], naive[3 * k + 1], naive[3 * k + 2]}) > 1
                for k in range(100))
+
+
+def test_cap_per_key_semantics_and_grouplimit_plan(spark):
+    from coherencebot_spark.datapipe.sampling import cap_per_key
+
+    df = spark.range(0, 200).selectExpr("id AS doc_id",
+                                        "id % 3 AS source_key")
+    out = cap_per_key(df, "source_key", 4, "doc_id")
+    rows = out.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.source_key, []).append(r.doc_id)
+    # earliest 4 ids of each key survive
+    assert {k: sorted(v) for k, v in by_key.items()} == {
+        k: [k, k + 3, k + 6, k + 9] for k in range(3)}
+    # the scale property: map-side group limit prunes BEFORE the
+    # exchange — a hot key never ships its full multiplicity
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    # two instances: Final above the exchange AND Partial below it —
+    # the Partial one is the map-side prune that bounds hot-key skew
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange"), plan
