@@ -2574,6 +2574,37 @@ def _q_phash_near_dups(spark, sf_dir):
                       F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_eval_decontaminate(spark, sf_dir):
+    # image-side eval-set decontamination: an "eval benchmark" built by
+    # perturbing every 10th training phash — 2 flips (within the
+    # hamming-3 radius → contaminated) when doc_id % 20 == 0, 5 flips
+    # (outside) otherwise.  Spark runs the cross-table pigeonhole
+    # blocking with a broadcast eval side; the DuckDB twin brute-forces
+    # the train×eval hamming join — the blocked plan must reproduce the
+    # exhaustive survivor set exactly.
+    from coherencebot_spark.datapipe.image_corpus import (
+        eval_phash_decontaminate)
+
+    t = _synth_image_table(spark, sf_dir)
+    d = F.substring("image_id", 4, 8).cast("long")
+
+    def bit(off):
+        return F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            f"CAST((CAST(substring(image_id, 4, 8) AS LONG) + {off}) % 59 "
+            "AS INT))")
+
+    near = bit(0).bitwiseXOR(bit(7))
+    far = bit(0).bitwiseXOR(bit(11)).bitwiseXOR(bit(23)) \
+        .bitwiseXOR(bit(37)).bitwiseXOR(bit(43))
+    ev = t.filter(d % 10 == 0).select(
+        F.col("phash").bitwiseXOR(
+            F.when(d % 20 == 0, near).otherwise(far)).alias("phash"))
+    out = eval_phash_decontaminate(t, ev, max_hamming=3, n_chunks=6,
+                                   n_bits=60)
+    return out.select("image_id", "phash")
+
+
 def _q_caption_alignment(spark, sf_dir):
     # CLIP-score gate: consecutive embedding rows stand in for the
     # (image embedding, caption embedding) pair an upstream encoder
@@ -2754,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_filter": _q_image_corpus_filter,
         "phash_near_dups": _q_phash_near_dups,
         "caption_alignment": _q_caption_alignment,
+        "eval_decontaminate": _q_eval_decontaminate,
         "image_shard_manifest": _q_image_shard_manifest,
         "thumbnail_key": _q_thumbnail_key,
         "cleaning_job": _q_cleaning_job,
@@ -5018,6 +5050,42 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY phash
                 ORDER BY CAST(w AS BIGINT) * h DESC, image_id ASC) AS rn
               FROM ok) WHERE rn = 1
+        """,
+        # image eval-decontamination twin: brute-force train×eval
+        # hamming join (the blocked broadcast plan must reproduce it)
+        "eval_decontaminate": r"""
+            WITH img AS (
+              SELECT doc_id,
+                     'img' || lpad(doc_id::VARCHAR, 8, '0') AS image_id,
+                     xor(CAST(('0x' || substring(md5((doc_id // 4)::VARCHAR),
+                                                 1, 15)) AS BIGINT),
+                         CASE doc_id % 4
+                           WHEN 2 THEN (1::BIGINT
+                                        << CAST(doc_id % 59 AS INT))
+                           WHEN 3 THEN xor(xor(
+                               1::BIGINT << CAST(doc_id % 59 AS INT),
+                               1::BIGINT << CAST((doc_id + 13) % 59 AS INT)),
+                               1::BIGINT << CAST((doc_id + 31) % 59 AS INT))
+                           ELSE 0 END) AS phash
+              FROM documents WHERE doc_id < 500
+            ), ev AS (
+              SELECT xor(phash,
+                     CASE WHEN doc_id % 20 = 0
+                          THEN xor(1::BIGINT << CAST(doc_id % 59 AS INT),
+                                   1::BIGINT << CAST((doc_id + 7) % 59 AS INT))
+                          ELSE xor(xor(xor(xor(
+                               1::BIGINT << CAST(doc_id % 59 AS INT),
+                               1::BIGINT << CAST((doc_id + 11) % 59 AS INT)),
+                               1::BIGINT << CAST((doc_id + 23) % 59 AS INT)),
+                               1::BIGINT << CAST((doc_id + 37) % 59 AS INT)),
+                               1::BIGINT << CAST((doc_id + 43) % 59 AS INT))
+                     END) AS ephash
+              FROM img WHERE doc_id % 10 = 0
+            )
+            SELECT image_id, phash FROM img t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM ev e
+              WHERE bit_count(xor(t.phash, e.ephash)) <= 3)
         """,
         "phash_near_dups": r"""
             WITH img AS (

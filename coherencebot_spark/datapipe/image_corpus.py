@@ -66,6 +66,7 @@ __all__ = [
     "caption_alignment",
     "phash_near_dup_pairs",
     "image_exact_dedup",
+    "eval_phash_decontaminate",
     "junk_image_gate",
     "caption_dedup",
     "aspect_bucket",
@@ -292,6 +293,67 @@ def junk_image_gate(images: DataFrame,
     if keep_col is not None:
         return stats.withColumn(keep_col, ok)
     return stats.filter(ok).drop("px_std", "px_entropy", "solid_frac")
+
+
+def eval_phash_decontaminate(train: DataFrame, eval_images: DataFrame,
+                             max_hamming: int = 3, n_chunks: int = 6,
+                             n_bits: int = 64,
+                             id_col: str = "image_id",
+                             phash_col: str = "phash",
+                             eval_phash_col: str | None = None,
+                             keep_col: str | None = None) -> DataFrame:
+    """Drop training images within hamming ≤ ``max_hamming`` of ANY
+    eval-set image's perceptual hash — eval-set decontamination on the
+    image axis (the DataComp/ImageNet-dedup posture: benchmark images
+    and their near-duplicate reposts must not leak into training), the
+    pixel-side twin of the caption pipeline's n-gram
+    :mod:`..datapipe.contamination`.
+
+    Exact recall at the radius by the same pigeonhole chunk blocking as
+    :func:`phash_near_dup_pairs`, applied CROSS-TABLE: both sides
+    explode into their C(n_chunks, n_chunks−h) combination keys, the
+    eval side (tiny next to the corpus) broadcasts, the train side
+    streams map-side into the broadcast hash join and verifies the true
+    hamming on the spot — the corpus never shuffles for candidates, and
+    only the distinct HIT ids (small) are aggregated for the final
+    broadcast anti-join.  With ``keep_col`` the verdict is appended
+    instead of filtering (audit mode)."""
+    from .dedup_text import _simhash_block_keys
+
+    keys = _simhash_block_keys(n_chunks, max_hamming)
+    width = n_bits // n_chunks
+    mask = (1 << width) - 1
+    ephc = eval_phash_col or phash_col
+
+    def blocked(df, idc, phc, pal):
+        def chunk(c):
+            return F.shiftrightunsigned(F.col(phc), c * width) \
+                .bitwiseAND(F.lit(mask))
+        return df.select(
+            F.col(idc).alias(f"_{pal}_id"),
+            F.col(phc).cast("long").alias(f"_{pal}_ph"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(ki).alias("bkey"),
+                    F.concat_ws("|", *[chunk(c).cast("string")
+                                       for c in combo]).alias("v"))
+                for ki, combo in enumerate(keys)
+            ])).alias("cc"),
+        ).select(f"_{pal}_id", f"_{pal}_ph", "cc.bkey", "cc.v")
+
+    tb = blocked(train, id_col, phash_col, "t")
+    eb = blocked(eval_images.select(ephc).distinct(), ephc, ephc, "e")
+    hits = (tb.join(F.broadcast(eb), ["bkey", "v"])
+            .filter(F.bit_count(F.col("_t_ph").bitwiseXOR(F.col("_e_ph")))
+                    <= int(max_hamming))
+            .select(F.col("_t_id").alias(id_col))
+            .distinct())
+    if keep_col is not None:
+        flag = hits.withColumn("_hit", F.lit(True))
+        return train.join(F.broadcast(flag), id_col, "left") \
+            .withColumn(keep_col, F.coalesce(~F.col("_hit"), F.lit(True))) \
+            .drop("_hit")
+    return train.join(F.broadcast(hits), id_col, "left_anti")
 
 
 def caption_dedup(images: DataFrame,

@@ -515,3 +515,45 @@ def test_grouped_offsets_never_single_task_per_group(spark):
     b = {r.id: r._start
          for r in _global_offsets(df, "id", "n", 8).collect()}
     assert a == b
+
+
+def test_eval_phash_decontaminate(spark):
+    """Image-side eval decontamination: exact recall at the hamming
+    radius, broadcast-only plan (the training corpus never shuffles)."""
+    from coherencebot_spark.datapipe.image_corpus import (
+        eval_phash_decontaminate)
+
+    base = [(f"t{k:03d}", (0x5A5A5A5A5A5A5A5 << 1 >> 1) ^ (k * 0x9E3779B9))
+            for k in range(40)]
+    train = spark.createDataFrame(base, "image_id string, phash long")
+    # eval: t007's hash 2 bits off (hit), t013's 5 bits off (miss),
+    # plus an unrelated hash
+    ev = spark.createDataFrame(
+        [(base[7][1] ^ 0b101,),
+         (base[13][1] ^ 0b10101000001,),
+         (0x123456789,)], "phash long")
+
+    out = eval_phash_decontaminate(train, ev, max_hamming=3,
+                                   n_chunks=6, n_bits=60)
+    kept = {r.image_id for r in out.collect()}
+    assert "t007" not in kept
+    assert "t013" in kept and len(kept) == 39
+
+    # audit mode
+    audit = {r.image_id: r.keep
+             for r in eval_phash_decontaminate(
+                 train, ev, max_hamming=3, n_chunks=6, n_bits=60,
+                 keep_col="keep").collect()}
+    assert audit["t007"] is False and audit["t013"] is True
+
+    # plan: candidates and the anti-join are broadcast joins; the only
+    # shuffles are the distinct() over the eval phashes and over the
+    # HIT ids — both single-column narrow frames, never corpus rows
+    p = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in p, p
+    assert "LeftAnti, BuildRight" in p, p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            keys = line.split("hashpartitioning(")[1].rsplit(",", 1)[0]
+            assert keys.count("#") == 1, line
