@@ -801,3 +801,18 @@ def test_cosine_topk_ivf_large_codebook_routes_pandas(spark):
     out = cosine_topk_ivf(vecs, q, k=3, n_centroids=300, nprobe=4,
                           codebook="sample").collect()
     assert any(r.vec_id == 0 and r.rank == 1 for r in out)  # self-match
+
+
+def test_winnow_single_hash_pass_plan(spark):
+    """The gram-hash transform must appear exactly once in the physical
+    plan: the staged projection keeps CollapseProject from re-inlining
+    it into every shifted copy (a window× re-evaluation, measured 2.2×
+    slower on the bench corpus)."""
+    from coherencebot_spark.datapipe.dedup_text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "some reasonably long text for winnowing " * 4)],
+        "doc_id long, text string")
+    p = winnow_fingerprints(docs)._jdf.queryExecution() \
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    assert p.count("transform(sequence") == 1, p
