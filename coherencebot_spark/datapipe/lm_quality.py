@@ -33,23 +33,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _trigrams(text: Column, max_chars: int) -> Column:
-    """Array of lowercased character trigrams of the truncated text.
+def _exploded_trigrams(docs: DataFrame, text_col: str, max_chars: int,
+                       *keep: str) -> DataFrame:
+    """(*keep, tri) — one row per lowercased character trigram of the
+    truncated text.
 
     Built by zipping the char array with two shifted copies of itself
     rather than `transform(sequence(...), i -> substring(t, i, 3))`: a
     lambda that indexes back into the outer string re-inlines (and
     re-lowers) the whole text expression per element — O(len²) character
-    work per document.  The zip form evaluates the char split exactly
-    three times per row and stays linear."""
-    t = F.lower(F.substring(text, 1, max_chars))
-    chars = F.split(t, "")
+    work per document.  The char split is additionally STAGED in its own
+    projection, so it is evaluated once per row, not once per shifted
+    copy (CollapseProject refuses to merge a multiply-referenced
+    non-cheap expression — BENCH.md round-4 finding #3; measured 2.4×
+    on the bench corpus)."""
+    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
+    staged = (docs.where(F.length(t) >= 3)
+                  .select(*keep, F.length(t).alias("_len"),
+                          F.split(t, "").alias("_c")))
+    chars = F.col("_c")
     zipped = F.arrays_zip(chars.alias("c0"),
                           F.slice(chars, 2, 1 << 30).alias("c1"),
                           F.slice(chars, 3, 1 << 30).alias("c2"))
     tris = F.transform(
         zipped, lambda s: F.concat(s["c0"], s["c1"], s["c2"]))
-    return F.slice(tris, 1, F.length(t) - 2)
+    return staged.select(
+        *keep,
+        F.explode(F.slice(tris, 1, F.col("_len") - 2)).alias("tri"))
 
 
 def train_trigram_lm(docs: DataFrame, text_col: str = "text",
@@ -58,10 +68,7 @@ def train_trigram_lm(docs: DataFrame, text_col: str = "text",
     """Train the model: top-``vocab_limit`` trigrams with add-one smoothed
     log-probabilities.  Returns (tri, c, logp) — ``c`` kept so callers can
     recompute the smoothing scalars without a second corpus pass."""
-    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
-    ex = (docs.where(F.length(t) >= 3)
-              .select(F.explode(_trigrams(F.col(text_col), max_chars))
-                      .alias("tri")))
+    ex = _exploded_trigrams(docs, text_col, max_chars)
     counts = ex.groupBy("tri").agg(F.count("*").alias("c"))
     top = counts.orderBy(F.desc("c"), F.asc("tri")).limit(vocab_limit)
     stats = top.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
@@ -78,11 +85,7 @@ def score_typicality(docs: DataFrame, model: DataFrame,
     ``avg_logp`` is the mean trigram log-prob with OOV trigrams priced at
     the smoothed floor ln(1 / (total + V)).  Docs shorter than one
     trigram after truncation are dropped (no signal)."""
-    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
-    ex = (docs.where(F.length(t) >= 3)
-              .select(F.col(id_col),
-                      F.explode(_trigrams(F.col(text_col), max_chars))
-                      .alias("tri")))
+    ex = _exploded_trigrams(docs, text_col, max_chars, id_col)
     stats = model.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
     scored = ex.join(F.broadcast(model.select("tri", "logp")), "tri", "left")
     agg = scored.groupBy(id_col).agg(
