@@ -27,7 +27,13 @@ __all__ = ["ngrams", "decontaminate"]
 
 def ngrams(text: Column, n: int) -> Column:
     """array<string> of word ``n``-grams (lowercased, whitespace
-    tokenized) in document order; empty below ``n`` words."""
+    tokenized) in document order; empty below ``n`` words.
+
+    Column-level convenience (small-scale / tests): the lambda slices
+    back into the ``ws`` expression, which re-evaluates the split per
+    gram.  The hot path (:func:`decontaminate`) uses the staged
+    DataFrame form :func:`_with_keys` instead — split once, zip with
+    shifted copies (BENCH.md round-4 finding #3)."""
     ws = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
     m = F.size(ws) - (n - 1)
     return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
@@ -35,9 +41,27 @@ def ngrams(text: Column, n: int) -> Column:
                     lambda i: F.array_join(F.slice(ws, i, n), " ")))
 
 
-def _keys(text: Column, n: int) -> Column:
-    return F.transform(ngrams(text, n),
-                       lambda g: F.substring(F.md5(g), 1, 16))
+def _with_keys(df: DataFrame, text_col: str, n: int,
+               keep: "list[Column | str]") -> DataFrame:
+    """(*keep, _keys) — the distinct md5-16 n-gram keys of each row,
+    with the word split STAGED in its own projection so it is evaluated
+    once, and the grams built by zipping the staged array with its n−1
+    shifted copies (never re-splitting per gram index)."""
+    ws = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                  lambda w: w != "")
+    staged = df.select(*keep, ws.alias("_ws"))
+    w = F.col("_ws")
+    m = F.size(w) - (n - 1)
+    zipped = F.arrays_zip(w.alias("w0"),
+                          *[F.slice(w, j + 1, 1 << 30).alias(f"w{j}")
+                            for j in range(1, n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]))
+    keys = F.transform(
+        F.slice(grams, 1, F.greatest(m, F.lit(0))),
+        lambda g: F.substring(F.md5(g), 1, 16))
+    return staged.select(*staged.columns[:-1],
+                         F.array_distinct(keys).alias("_keys"))
 
 
 def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 13,
@@ -55,26 +79,25 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 13,
     flag (``hit_frac > max_hit_frac``; the default 0.0 flags a single
     shared n-gram, GPT-3's rule).  With ``keep_col=None`` contaminated
     rows are filtered out instead."""
-    ev = eval_docs.select(
-        F.col(eval_id_col).alias("_eval_id"),
-        F.explode(F.array_distinct(_keys(F.col(eval_text_col), n)))
-        .alias("_key")).distinct()
+    ev = _with_keys(eval_docs, eval_text_col, n,
+                    [F.col(eval_id_col).alias("_eval_id")]) \
+        .select("_eval_id", F.explode("_keys").alias("_key")).distinct()
     from pyspark.sql.types import ArrayType
 
-    exploded = train.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(_keys(F.col(text_col), n)))
-        .alias("_key"))
+    # one staged key pass per train row serves BOTH the candidate
+    # explode and the n_ngrams count (previously two full recomputes)
+    keyed = _with_keys(train, text_col, n, list(train.columns))
+    exploded = keyed.select(
+        F.col(id_col).alias("_id"), F.explode("_keys").alias("_key"))
     # only MATCHING pairs survive the broadcast join; the per-doc agg
     # and the join-back are over this tiny hit set, never the corpus
     hits = exploded.join(F.broadcast(ev), "_key").groupBy("_id").agg(
         F.count_distinct("_key").alias("n_hits"),
         F.array_sort(F.collect_set("_eval_id")).alias("eval_ids"))
     eval_id_type = ArrayType(eval_docs.schema[eval_id_col].dataType)
-    out = train.withColumn(
-        "n_ngrams",
-        F.size(F.array_distinct(_keys(F.col(text_col), n))).cast("long"),
-    ).join(F.broadcast(hits), train[id_col] == hits["_id"], "left") \
+    out = keyed.withColumn(
+        "n_ngrams", F.size("_keys").cast("long")).drop("_keys") \
+        .join(F.broadcast(hits), keyed[id_col] == hits["_id"], "left") \
         .drop("_id") \
         .withColumn("n_hits",
                     F.coalesce("n_hits", F.lit(0)).cast("long")) \
