@@ -279,9 +279,16 @@ def similarity_score(df: DataFrame, gold_text: str, text_col: str = "text",
     # ngram = lower → stem → shingle (stemming always precedes shingling)
     raw = _raw_tokens(F.coalesce(F.col(text_col), F.lit("")))
     mi, ma = ngrams
+    dropcols = ["_sim_toks"]
     if mi > 1:
-        toks = _stemmed(raw) if stem == "porter" else raw
-        toks = _shingles(toks, mi, ma)
+        # stage the token array in its own column BEFORE shingling:
+        # _join_at slices back into it per gram index, and an inline
+        # split/stem expression would be re-evaluated per gram
+        # (BENCH.md round-4 finding #3); an attribute slice is linear
+        df = df.withColumn(
+            "_sim_raw", _stemmed(raw) if stem == "porter" else raw)
+        toks = _shingles(F.col("_sim_raw"), mi, ma)
+        dropcols.append("_sim_raw")
     else:
         toks = _stop_filtered(raw, stopwords) if stopwords else raw
         if stem == "porter":
@@ -298,7 +305,7 @@ def similarity_score(df: DataFrame, gold_text: str, text_col: str = "text",
         F.lit(0.0), lambda a, x: a + x)
     norm = F.sqrt(F.aggregate(tf, F.lit(0.0), lambda a, c: a + c * c))
     score = F.when(norm > 0, dot / (norm * F.lit(gnorm))).otherwise(0.0)
-    return df.withColumn(out_col, score).drop("_sim_toks")
+    return df.withColumn(out_col, score).drop(*dropcols)
 
 
 def score_outlinks_by_parent(parse_out: DataFrame, page_scores: DataFrame,
