@@ -437,6 +437,7 @@ def vision_token_batches(images: DataFrame, token_budget: int,
                          group_col: str | None = None,
                          order_col: str | None = None,
                          require_fit: bool = False,
+                         extra_tokens: "Column | str | None" = None,
                          parallelism: int | None = None) -> DataFrame:
     """NaViT-style token-budget batch packing: assign images (in
     deterministic ``order_col`` order, optionally within a
@@ -451,6 +452,11 @@ def vision_token_batches(images: DataFrame, token_budget: int,
     straddler).  ``require_fit=True`` instead drops images whose own
     token count exceeds the budget before packing.
 
+    ``extra_tokens`` (column or name) adds per-row non-vision tokens to
+    the budget arithmetic — e.g. a caption's token count for
+    VLM-style interleaved image+text sequences, where each example
+    consumes patch tokens AND its caption's text tokens.
+
     Scale shape: the running sum is the packing module's two-level
     cumsum — per-group it range-partitions on (group, order) so no
     group ever collapses into a single task, per-(partition, group)
@@ -460,6 +466,10 @@ def vision_token_batches(images: DataFrame, token_budget: int,
     from .packing import _global_offsets, _grouped_offsets
 
     n = vision_tokens(patch=patch)
+    if extra_tokens is not None:
+        ex = F.col(extra_tokens) if isinstance(extra_tokens, str) \
+            else extra_tokens
+        n = n + F.coalesce(ex.cast("long"), F.lit(0))
     keep = [id_col] + ([group_col] if group_col else [])
     d = images.select(*keep,
                       F.col(order_col or id_col).alias("_ord"),

@@ -557,3 +557,24 @@ def test_eval_phash_decontaminate(spark):
         if "Exchange hashpartitioning" in line:
             keys = line.split("hashpartitioning(")[1].rsplit(",", 1)[0]
             assert keys.count("#") == 1, line
+
+
+def test_vision_token_batches_with_caption_tokens(spark):
+    """VLM packing: each example budgets patch tokens PLUS its caption's
+    text tokens."""
+    from coherencebot_spark.datapipe.image_corpus import (
+        vision_token_batches)
+
+    df = spark.createDataFrame(
+        [("a", 14, 14, 10), ("b", 14, 14, 30), ("c", 14, 14, 0),
+         ("d", 14, 28, None)],
+        "image_id string, w int, h int, cap_toks int")
+    out = {r.image_id: r for r in
+           vision_token_batches(df, token_budget=25, patch=14,
+                                extra_tokens="cap_toks").collect()}
+    # a: 1+10=11, b: 1+30=31, c: 1+0=1, d: 2+null→2; id order a,b,c,d
+    assert {k: v.n_tokens for k, v in out.items()} == \
+        {"a": 11, "b": 31, "c": 1, "d": 2}
+    starts = {"a": 0, "b": 11, "c": 42, "d": 43}
+    assert {k: (v.batch_id, v.batch_offset) for k, v in out.items()} == \
+        {k: (s // 25, s % 25) for k, s in starts.items()}
