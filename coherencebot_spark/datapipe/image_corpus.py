@@ -134,6 +134,11 @@ class ImageCorpusConfig:
     junk_min_entropy: float = 1.5
     junk_max_solid: float = 0.90
     junk_min_std: float = 2.0
+    # blur floor (Laplacian variance of luma).  None = off: smooth
+    # synthetic gradients are legitimate content in the toy world, so
+    # the default gate stays pixel-statistics-only; real corpora set
+    # ~20-100 to drop defocused/heavily-recompressed frames
+    junk_min_sharpness: float | None = None
     # sharding
     shard_bytes: int = 1 << 30     # 1 GiB target per output shard
 
@@ -275,8 +280,12 @@ def junk_image_gate(images: DataFrame,
     A row survives when ALL of
     ``px_entropy >= junk_min_entropy`` (luma histogram entropy, bits),
     ``solid_frac <= junk_max_solid`` (modal quantized-RGB share), and
-    ``px_std >= junk_min_std`` (luma standard deviation).  Null stats
-    (null payload) fail the gate.
+    ``px_std >= junk_min_std`` (luma standard deviation); when
+    ``cfg.junk_min_sharpness`` is set, also
+    ``px_sharpness >= junk_min_sharpness`` (Laplacian-variance blur
+    floor — drops defocused / heavily-blurred frames that still carry
+    enough tonal spread to clear the entropy and std floors).  Null
+    stats (null payload) fail the gate.
 
     Decode is one map-side Arrow pass over the scan
     (:func:`..datapipe.multimodal.with_image_quality_stats`); no
@@ -289,10 +298,13 @@ def junk_image_gate(images: DataFrame,
     ok = ((F.col("px_entropy") >= cfg.junk_min_entropy)
           & (F.col("solid_frac") <= cfg.junk_max_solid)
           & (F.col("px_std") >= cfg.junk_min_std))
+    if cfg.junk_min_sharpness is not None:
+        ok = ok & (F.col("px_sharpness") >= cfg.junk_min_sharpness)
     ok = F.coalesce(ok, F.lit(False))
     if keep_col is not None:
         return stats.withColumn(keep_col, ok)
-    return stats.filter(ok).drop("px_std", "px_entropy", "solid_frac")
+    return stats.filter(ok).drop("px_std", "px_entropy", "solid_frac",
+                                 "px_sharpness")
 
 
 def eval_phash_decontaminate(train: DataFrame, eval_images: DataFrame,

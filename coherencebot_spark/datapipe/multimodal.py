@@ -92,6 +92,11 @@ def with_image_quality_stats(content: DataFrame, bytes_col: str = "bytes",
     * ``solid_frac``  — fraction of pixels in the modal 12-bit
       (4-bit/channel) quantized RGB color; 1.0 for tracking pixels /
       placeholder blanks, near-1 for single-color banners.
+    * ``px_sharpness`` — variance of the 4-neighbor Laplacian of the
+      luma plane (the classic blur detector): ~0 for solid colors and
+      smooth gradients (heavily blurred / defocused content), large for
+      in-focus detail.  Images smaller than 3×3 have no Laplacian
+      interior and score 0.0.
 
     These are the inputs to the junk-image gate
     (:func:`..datapipe.image_corpus.junk_image_gate`): the decoded-pixel
@@ -102,10 +107,11 @@ def with_image_quality_stats(content: DataFrame, bytes_col: str = "bytes",
     """
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            std, ent, solid = [], [], []
+            std, ent, solid, sharp = [], [], [], []
             for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
                 if data is None:
-                    std.append(None); ent.append(None); solid.append(None)
+                    std.append(None); ent.append(None)
+                    solid.append(None); sharp.append(None)
                     continue
                 px = decode_rgb(bytes(data), fmt)
                 flat = px.reshape(-1, 3).astype(np.float64)
@@ -121,14 +127,23 @@ def with_image_quality_stats(content: DataFrame, bytes_col: str = "bytes",
                     (flat[:, 2].astype(np.int64) >> 4)
                 solid.append(float(np.bincount(q, minlength=4096).max()
                                    / q.size))
+                l2 = luma.reshape(px.shape[0], px.shape[1])
+                if l2.shape[0] < 3 or l2.shape[1] < 3:
+                    sharp.append(0.0)
+                else:
+                    lap = (4.0 * l2[1:-1, 1:-1] - l2[:-2, 1:-1]
+                           - l2[2:, 1:-1] - l2[1:-1, :-2] - l2[1:-1, 2:])
+                    sharp.append(float(lap.var()))
             res = pdf.copy()
             res["px_std"], res["px_entropy"], res["solid_frac"] = \
                 std, ent, solid
+            res["px_sharpness"] = sharp
             yield res
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in content.schema) \
-        + ", px_std double, px_entropy double, solid_frac double"
+        + (", px_std double, px_entropy double, solid_frac double"
+           ", px_sharpness double")
     return content.mapInPandas(stats, schema=schema)
 
 

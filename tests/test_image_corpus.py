@@ -406,6 +406,7 @@ def test_junk_image_stats_and_gate(spark):
     assert st["img0082"].px_std == 0.0
     assert st["img0082"].px_entropy == 0.0
     assert st["img0082"].solid_frac == 1.0
+    assert st["img0082"].px_sharpness == 0.0
     assert st["img0083"].solid_frac == pytest.approx(62 / 64, abs=1e-9)
     assert st["img0083"].px_entropy < 0.5
     for healthy in ("img0080", "img0081"):
@@ -427,6 +428,35 @@ def test_junk_image_stats_and_gate(spark):
     # map-side only: one Arrow stage over the scan, no exchange
     p = junk_image_gate(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
+
+
+def test_junk_gate_sharpness_floor(spark):
+    """Laplacian-variance blur floor: a linear luma ramp (the blur
+    limit — zero second derivative) fails a positive sharpness floor
+    even though its tonal spread clears the entropy/std floors; noisy
+    natural content passes.  Off by default: the ramp survives the
+    stock gate."""
+    import numpy as np
+    from coherencebot_spark.datapipe.image_corpus import (
+        ImageCorpusConfig, junk_image_gate)
+    from coherencebot_spark.datapipe.multimodal import (
+        with_image_quality_stats)
+
+    ramp = np.repeat(np.arange(64, dtype=np.uint8) * 4,
+                     64 * 3).reshape(64, 64, 3)
+    rows = [_img_row(85), _img_row(86, px=ramp, caption="smooth ramp")]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    st = {r.image_id: r for r in with_image_quality_stats(df).collect()}
+    assert st["img0086"].px_sharpness < 4.0      # quantization residue only
+    assert st["img0086"].px_std > 10.0           # ...yet tonally wide
+    assert st["img0085"].px_sharpness > 100.0    # synthetic detail
+
+    stock = {r.image_id for r in junk_image_gate(df).collect()}
+    assert stock == {"img0085", "img0086"}
+    cfg = ImageCorpusConfig(junk_min_sharpness=10.0)
+    strict = {r.image_id for r in junk_image_gate(df, cfg).collect()}
+    assert strict == {"img0085"}
 
 
 def test_junk_gate_stage_in_pipeline(spark):
