@@ -2623,6 +2623,43 @@ def _q_caption_alignment(spark, sf_dir):
     return out.select("image_id", "alignment")
 
 
+def _retrieval_pairs(spark, sf_dir):
+    # same synthetic pairing as caption_alignment: even vec_id rows are
+    # "image embeddings", the succeeding odd row is the paired "caption"
+    em = _t(spark, sf_dir, "embeddings")
+    a = (em.filter("vec_id % 2 = 0")
+         .select(F.col("vec_id").alias("image_id"),
+                 F.col("embedding").alias("img_emb")))
+    b = em.select((F.col("vec_id") - 1).alias("image_id"),
+                  F.col("embedding").alias("cap_emb"))
+    return a.join(b, "image_id")
+
+
+def _q_retrieval_hits(spark, sf_dir):
+    # image→caption retrieval eval: for each image, rank of its own
+    # caption among the whole caption pool by cosine (ties to asc id),
+    # reported as (pair_rank ≤ k or null, hit).  Spark: broadcast
+    # crossJoin + window via the library; DuckDB: the same rank window
+    # over an explicit cross join.
+    from coherencebot_spark.datapipe.image_corpus import (
+        retrieval_hits_at_k)
+
+    out = retrieval_hits_at_k(_retrieval_pairs(spark, sf_dir), k=5)
+    return out.select("image_id",
+                      F.col("pair_rank").cast("long").alias("pair_rank"),
+                      "hit")
+
+
+def _q_retrieval_recall(spark, sf_dir):
+    # one-row recall@k summary of the same eval
+    from coherencebot_spark.datapipe.image_corpus import (
+        retrieval_recall_at_k)
+
+    return retrieval_recall_at_k(_retrieval_pairs(spark, sf_dir), k=5) \
+        .select(F.col("k").cast("long").alias("k"),
+                "n_pairs", "n_hits", "recall")
+
+
 def _q_image_shard_manifest(spark, sf_dir):
     # byte-budgeted output shards over the image corpus (4 MiB budget,
     # w*h*3 raw-pixel size proxy): Spark's distributed two-level cumsum
@@ -2785,6 +2822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_filter": _q_image_corpus_filter,
         "phash_near_dups": _q_phash_near_dups,
         "caption_alignment": _q_caption_alignment,
+        "retrieval_hits": _q_retrieval_hits,
+        "retrieval_recall": _q_retrieval_recall,
         "eval_decontaminate": _q_eval_decontaminate,
         "image_shard_manifest": _q_image_shard_manifest,
         "thumbnail_key": _q_thumbnail_key,
@@ -5014,6 +5053,65 @@ def oracle_sql() -> dict[str, str]:
                                END, 4) AS alignment
                   FROM p)
             SELECT image_id, alignment FROM s WHERE alignment >= 0.05
+        """,
+        "retrieval_hits": """
+            WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            p AS (SELECT a.vec_id AS image_id, a.v AS iv, b.v AS cv
+                  FROM em a JOIN em b ON b.vec_id = a.vec_id + 1
+                  WHERE a.vec_id % 2 = 0),
+            scored AS (
+              SELECT q.image_id, c.image_id AS cap_id,
+                     CASE WHEN sqrt(list_dot_product(q.iv, q.iv))
+                               * sqrt(list_dot_product(c.cv, c.cv)) = 0
+                          THEN 0.0
+                          ELSE list_dot_product(q.iv, c.cv)
+                               / (sqrt(list_dot_product(q.iv, q.iv))
+                                  * sqrt(list_dot_product(c.cv, c.cv)))
+                     END AS cosine
+              FROM p q CROSS JOIN p c),
+            ranked AS (
+              SELECT image_id, cap_id,
+                     ROW_NUMBER() OVER (PARTITION BY image_id
+                                        ORDER BY cosine DESC, cap_id ASC)
+                       AS rnk
+              FROM scored)
+            SELECT p.image_id,
+                   CASE WHEN r.rnk <= 5 THEN r.rnk END AS pair_rank,
+                   COALESCE(r.rnk <= 5, FALSE) AS hit
+            FROM p LEFT JOIN ranked r
+              ON r.image_id = p.image_id AND r.cap_id = p.image_id
+        """,
+        "retrieval_recall": """
+            WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            p AS (SELECT a.vec_id AS image_id, a.v AS iv, b.v AS cv
+                  FROM em a JOIN em b ON b.vec_id = a.vec_id + 1
+                  WHERE a.vec_id % 2 = 0),
+            scored AS (
+              SELECT q.image_id, c.image_id AS cap_id,
+                     CASE WHEN sqrt(list_dot_product(q.iv, q.iv))
+                               * sqrt(list_dot_product(c.cv, c.cv)) = 0
+                          THEN 0.0
+                          ELSE list_dot_product(q.iv, c.cv)
+                               / (sqrt(list_dot_product(q.iv, q.iv))
+                                  * sqrt(list_dot_product(c.cv, c.cv)))
+                     END AS cosine
+              FROM p q CROSS JOIN p c),
+            ranked AS (
+              SELECT image_id, cap_id,
+                     ROW_NUMBER() OVER (PARTITION BY image_id
+                                        ORDER BY cosine DESC, cap_id ASC)
+                       AS rnk
+              FROM scored)
+            SELECT CAST(5 AS BIGINT) AS k,
+                   COUNT(*)::BIGINT AS n_pairs,
+                   SUM(CASE WHEN r.rnk <= 5 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_hits,
+                   ROUND(AVG(CASE WHEN r.rnk <= 5 THEN 1.0 ELSE 0.0 END), 4)
+                     AS recall
+            FROM p LEFT JOIN ranked r
+              ON r.image_id = p.image_id AND r.cap_id = p.image_id
         """,
         "image_corpus_filter": r"""
             WITH img AS (

@@ -68,6 +68,8 @@ __all__ = [
     "image_exact_dedup",
     "eval_phash_decontaminate",
     "junk_image_gate",
+    "retrieval_hits_at_k",
+    "retrieval_recall_at_k",
     "caption_dedup",
     "aspect_bucket",
     "DEFAULT_ASPECT_LADDER",
@@ -366,6 +368,70 @@ def eval_phash_decontaminate(train: DataFrame, eval_images: DataFrame,
             .withColumn(keep_col, F.coalesce(~F.col("_hit"), F.lit(True))) \
             .drop("_hit")
     return train.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def retrieval_hits_at_k(pairs: DataFrame, k: int,
+                        id_col: str = "image_id",
+                        img_col: str = "img_emb",
+                        cap_col: str = "cap_emb",
+                        method: str = "brute",
+                        **ann_kwargs) -> DataFrame:
+    """Image→caption retrieval eval over paired embeddings: for every
+    image, rank ALL captions in the pool by cosine and report where its
+    own caption landed — the CLIP-style recall@k diagnostic (does the
+    embedding space actually align the modalities this corpus trains?).
+
+    Returns ``(image_id, pair_rank, hit)``: ``pair_rank`` = 1-based
+    rank of the true caption among the pool (null when outside the
+    top-k), ``hit`` = rank ≤ k.  Ties break to ascending id so the
+    verdict is deterministic and engine-portable; embeddings are cast
+    to double before scoring for the same reason.
+
+    ``method='brute'`` is exact (crossJoin + window — retrieval eval
+    pools are small by construction: rank-vs-everything is only
+    meaningful on a few thousand pairs, and a 10^4 pool is a 10^8-row
+    scored frame, still one modest stage).  ``method='lsh'`` routes
+    the caption pool through :func:`..datapipe.similarity
+    .cosine_topk_lsh` (pass dim/n_planes/... through ``ann_kwargs``)
+    for bigger pools — hits become a recall-bounded underestimate,
+    the honest direction for a gate."""
+    from .similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    caps = pairs.select(F.col(id_col).alias("_cap_id"),
+                        F.col(cap_col).cast("array<double>").alias("_v"))
+    imgs = pairs.select(F.col(id_col),
+                        F.col(img_col).cast("array<double>").alias("_v"))
+    if method == "brute":
+        topk = cosine_topk_bruteforce(caps, imgs, k, id_col="_cap_id",
+                                      vec_col="_v", qid_col=id_col)
+    elif method == "lsh":
+        topk = cosine_topk_lsh(caps, imgs, k, id_col="_cap_id",
+                               vec_col="_v", qid_col=id_col, **ann_kwargs)
+    else:
+        raise ValueError(f"unknown retrieval method {method!r}")
+    own = topk.filter(F.col("_cap_id") == F.col(id_col)) \
+        .select(id_col, F.col("rank").alias("pair_rank"))
+    return pairs.select(id_col).join(F.broadcast(own), id_col, "left") \
+        .select(id_col, "pair_rank",
+                F.col("pair_rank").isNotNull().alias("hit"))
+
+
+def retrieval_recall_at_k(pairs: DataFrame, k: int,
+                          id_col: str = "image_id",
+                          img_col: str = "img_emb",
+                          cap_col: str = "cap_emb",
+                          method: str = "brute",
+                          **ann_kwargs) -> DataFrame:
+    """One-row summary of :func:`retrieval_hits_at_k`:
+    ``(k, n_pairs, n_hits, recall)`` with recall rounded to 4 decimals
+    (engine-portable compare)."""
+    hits = retrieval_hits_at_k(pairs, k, id_col=id_col, img_col=img_col,
+                               cap_col=cap_col, method=method, **ann_kwargs)
+    return hits.agg(
+        F.lit(int(k)).alias("k"),
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("hit").cast("long")).alias("n_hits"),
+        F.round(F.avg(F.col("hit").cast("double")), 4).alias("recall"))
 
 
 def caption_dedup(images: DataFrame,

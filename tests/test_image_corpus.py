@@ -475,6 +475,44 @@ def test_junk_gate_stage_in_pipeline(spark):
     assert not {"px_std", "px_entropy", "solid_frac"} & set(out.columns)
 
 
+def test_retrieval_recall_at_k(spark):
+    """Controlled pool: one-hot image embeddings, three true captions
+    plus one whose caption points at image 0's axis — its own caption
+    ranks LAST among its all-zero cosines (tie → asc id), so it misses
+    k=2 while the rest hit at rank 1."""
+    from coherencebot_spark.datapipe.image_corpus import (
+        retrieval_hits_at_k, retrieval_recall_at_k)
+
+    def onehot(i):
+        v = [0.0] * 4
+        v[i] = 1.0
+        return v
+
+    rows = [(i, onehot(i), onehot(0) if i == 3 else onehot(i))
+            for i in range(4)]
+    pairs = spark.createDataFrame(
+        rows, "image_id long, img_emb array<double>, cap_emb array<double>")
+
+    hits = {r.image_id: (r.pair_rank, r.hit)
+            for r in retrieval_hits_at_k(pairs, k=2).collect()}
+    assert hits[1] == (1, True) and hits[2] == (1, True)
+    # image 0: its own caption AND image 3's caption are both e0 — the
+    # cosine ties at 1.0 and asc-id tie-break keeps cap 0 at rank 1
+    assert hits[0] == (1, True)
+    # image 3: every caption is orthogonal to e3; own cap ranks 4th
+    assert hits[3] == (None, False)
+
+    rec = retrieval_recall_at_k(pairs, k=2).collect()[0]
+    assert (rec.k, rec.n_pairs, rec.n_hits, rec.recall) == (2, 4, 3, 0.75)
+
+    # LSH method routes through cosine_topk_lsh and stays a subset:
+    # anything it reports as a hit the exhaustive ranking also ranks ≤ k
+    lsh = {r.image_id: r.hit for r in retrieval_hits_at_k(
+        pairs, k=2, method="lsh", dim=4, n_planes=2, n_tables=2).collect()}
+    assert set(lsh) == set(hits)
+    assert all(hits[i][1] for i, h in lsh.items() if h)
+
+
 def test_vision_token_batches_semantics(spark):
     """NaViT packing: deterministic order, per-group running offsets,
     rows never split (a batch overflows by < one image), require_fit
