@@ -765,6 +765,29 @@ def _q_ann_ivf(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def _q_ann_pq(spark, sf_dir):
+    # product-quantization ANN under the full oracle: m=8 subspaces over
+    # the 64-dim embeddings, codebooks='first' (8 seed rows — the
+    # DuckDB-recomputable posture, same reasoning as ann_ivf; trained-
+    # codebook QUALITY is covered by the pytest recall check), ADC-cosine
+    # scoring through per-query lookup tables over the m-int codes.
+    # Every fold on both engines is the same left-to-right sum, so
+    # scores and ranks are bit-identical.
+    from coherencebot_spark.datapipe.similarity import (
+        cosine_topk_pq, pq_train)
+
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = pq_train(em, m=8, n_centroids=8, method="first")
+    q = em.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_pq(em, q, k=5, codebooks=books, route="literal")
+    return out.select("query_id", "vec_id",
+                      F.round("score", 4).alias("score"), "rank")
+
+
 def _q_free_generator(spark, sf_dir):
     # FreeGenerator over a url list with case/default-port noise and dups:
     # normalize → filter → dedup → fetchlist defaults
@@ -2760,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "free_generator": _q_free_generator,
         "html_outlinks": _q_html_outlinks,
         "html_page_fields": _q_html_page_fields,
@@ -4411,6 +4435,68 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, c,
                      ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY c DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_pq": """
+            WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                        AS cid
+                      FROM em ORDER BY vec_id LIMIT 8),
+            subs AS (SELECT unnest(range(8)) AS s),
+            -- per-subspace codebooks from the 8 seed rows, plus each
+            -- centroid's squared norm (same left-to-right fold as Spark)
+            cbn AS (SELECT subs.s, seeds.cid,
+                           seeds.v[(subs.s*8+1):(subs.s*8+8)] AS cv,
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                             list_transform(
+                               seeds.v[(subs.s*8+1):(subs.s*8+8)],
+                               x -> x * x)), (a, b) -> a + b) AS n2
+                    FROM seeds CROSS JOIN subs),
+            sub AS (SELECT vec_id, subs.s, v[(subs.s*8+1):(subs.s*8+8)]
+                             AS sv
+                    FROM em CROSS JOIN subs),
+            -- encode: nearest centroid per (vector, subspace) by L2,
+            -- ties to the smaller centroid id
+            enc AS (SELECT vec_id, s, cid FROM (
+                      SELECT sub.vec_id, sub.s, cbn.cid,
+                             ROW_NUMBER() OVER (
+                               PARTITION BY sub.vec_id, sub.s
+                               ORDER BY list_reduce(
+                                 list_prepend(0.0::DOUBLE,
+                                   list_transform(
+                                     list_zip(sub.sv, cbn.cv),
+                                     z -> (z[1]-z[2]) * (z[1]-z[2]))),
+                                 (a, b) -> a + b) ASC, cbn.cid ASC) AS r
+                      FROM sub JOIN cbn USING (s)) WHERE r = 1),
+            q AS (SELECT vec_id AS query_id, v,
+                         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(v, x -> x * x)),
+                           (a, b) -> a + b)) AS qnorm
+                  FROM em WHERE vec_id < 3),
+            -- ADC tables: t[s][c] = <q_s, codebook[s][c]>
+            qt AS (SELECT q.query_id, c.s, c.cid, q.qnorm, c.n2,
+                          list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(
+                              list_zip(q.v[(c.s*8+1):(c.s*8+8)], c.cv),
+                              z -> z[1] * z[2])), (a, b) -> a + b) AS ip
+                   FROM q CROSS JOIN cbn c),
+            scored AS (
+              SELECT e.vec_id, t.query_id, t.qnorm,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list(t.ip ORDER BY t.s)), (a, b) -> a + b) AS ipsum,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list(t.n2 ORDER BY t.s)), (a, b) -> a + b) AS nsum
+              FROM enc e JOIN qt t ON t.s = e.s AND t.cid = e.cid
+              GROUP BY e.vec_id, t.query_id, t.qnorm)
+            SELECT query_id, vec_id, ROUND(score, 4) AS score, rank FROM (
+              SELECT query_id, vec_id,
+                     CASE WHEN qnorm * sqrt(nsum) = 0 THEN 0.0
+                          ELSE ipsum / (qnorm * sqrt(nsum)) END AS score,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY CASE WHEN qnorm * sqrt(nsum) = 0 THEN 0.0
+                                     ELSE ipsum / (qnorm * sqrt(nsum)) END
+                                DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
         """,

@@ -11,12 +11,20 @@
   xxhash64 arithmetic, so no driver-side randomness and no collect.
 * **IVF-style variant** — k-means-lite: deterministic seed centroids, one
   assignment pass, probe nearest ``nprobe`` centroids.
+* **Product quantization (PQ)** — the billion-scale memory layout: each
+  vector compresses to m small ints (per-subspace codebooks trained on a
+  deterministic bounded sample), scoring is ADC-cosine through per-query
+  lookup tables over the codes, optional exact rerank of the top
+  candidates.  The scored scan touches m ints per row instead of d
+  floats.
 
 All pure DataFrame; a Pandas-UDF path (numpy matmul per Arrow batch) is
 provided for the dense rerank where JVM expression overhead dominates.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -595,3 +603,230 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed codes + asymmetric-distance scoring
+# --------------------------------------------------------------------------
+
+def pq_train(vectors: DataFrame, m: int = 8, n_centroids: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             method: str = "sample", sample: int = 65536,
+             iters: int = 3, seed: int = 42) -> list:
+    """Train per-subspace PQ codebooks: the vector is split into ``m``
+    equal subvectors and each subspace gets its own ``n_centroids``-entry
+    codebook, so a d-float vector compresses to m small ints (Jégou et
+    al. 2011 — the memory layout every billion-scale ANN index uses:
+    64 floats → 8 codes is a 32× cut in what scoring has to touch).
+
+    ``method='sample'`` (default): train driver-side on a DETERMINISTIC
+    hash-sample of at most ``sample`` rows (smallest ``xxhash64(id,
+    seed)``, ties to id — the classic bounded-sample k-means posture:
+    the corpus never collects, only the sample does), Lloyd ``iters``
+    passes per subspace with first-k-of-sample init and empty clusters
+    keeping their previous centroid.  ``method='first'``: codebook c =
+    subvectors of the c-th row by id ascending, no refinement — the
+    degenerate-but-DuckDB-reproducible twin used by the oracle entry,
+    same posture as ``ivf_seed_codebook(method='first')``.
+
+    Returns ``codebooks``: list of m lists of n_centroids lists of
+    float (python floats, exact float32→float64 widening — both engines
+    see identical literals)."""
+    m = int(m)
+    if method == "first":
+        rows = (vectors.orderBy(F.asc(id_col)).limit(int(n_centroids))
+                .select(vec_col).collect())
+        vecs = [list(r[0]) for r in rows]
+    elif method == "sample":
+        rows = (vectors
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))),
+                         F.asc(id_col))
+                .limit(int(sample)).select(vec_col).collect())
+        vecs = [list(r[0]) for r in rows]
+    else:
+        raise ValueError(f"pq_train: unknown method {method!r}")
+    if not vecs:
+        raise ValueError("pq_train: empty corpus")
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    w = dim // m
+    k = min(int(n_centroids), len(vecs))
+    X = np.asarray(vecs, dtype="float64")
+    books = []
+    for s in range(m):
+        Xs = X[:, s * w:(s + 1) * w]
+        C = Xs[:k].copy()
+        if method == "sample":
+            for _ in range(max(int(iters), 0)):
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
+                    if len(Xs) * k * w <= 2_000_000 else \
+                    (Xs * Xs).sum(1)[:, None] - 2.0 * (Xs @ C.T) \
+                    + (C * C).sum(1)[None, :]
+                a = np.argmin(d2, axis=1)
+                for c in range(k):
+                    mem = Xs[a == c]
+                    if len(mem):
+                        C[c] = mem.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(vectors: DataFrame, codebooks: list,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              code_col: str = "code", route: str = "auto") -> DataFrame:
+    """Encode every vector to its m-int PQ code (nearest centroid per
+    subspace by squared L2, ties to the smaller centroid id) — a pure
+    Scan→Project map, no join, no exchange, same posture as
+    :func:`ivf_assign`.
+
+    ``route='literal'`` embeds the codebooks as array literals and
+    evaluates the distances as ``zip_with``/``aggregate`` folds —
+    interpreted, but bit-identical to the DuckDB oracle twin (the fold
+    adds left-to-right).  ``route='pandas'`` is the scale path: one
+    Arrow-batched numpy argmin per subspace (same assignments; float
+    accumulation order differs, so use 'literal' where bit-exact oracle
+    parity matters — the same contract as ivf_assign vs
+    ivf_assign_pandas).  ``route='auto'`` picks 'pandas' past the same
+    m·k·w expression budget the IVF assignment uses."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    w = len(codebooks[0][0])
+    if route == "auto":
+        route = "pandas" if m * k * w > 2048 else "literal"
+    if route == "pandas":
+        C = [np.asarray(b, dtype="float64") for b in codebooks]
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def _enc(col: pd.Series) -> pd.Series:
+            M = np.stack(col.to_numpy()).astype("float64")
+            codes = np.empty((len(M), m), dtype="int32")
+            for s in range(m):
+                Xs = M[:, s * w:(s + 1) * w]
+                d2 = (Xs * Xs).sum(1)[:, None] - 2.0 * (Xs @ C[s].T) \
+                    + (C[s] * C[s]).sum(1)[None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            return pd.Series(list(codes))
+
+        return vectors.select(id_col, _enc(F.col(vec_col)).alias(code_col))
+    if route != "literal":
+        raise ValueError(f"pq_encode: unknown route {route!r}")
+    elem = vectors.schema[vec_col].dataType.elementType.simpleString()
+    parts = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * w + 1, w)
+        structs = []
+        for c, cvec in enumerate(codebooks[s]):
+            carr = F.array(*[F.lit(float(x)).cast(elem) for x in cvec])
+            d2 = F.aggregate(
+                F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            structs.append(F.struct((F.lit(0.0) - d2).alias("nd"),
+                                    F.lit(-c).alias("nc")))
+        best = F.array_max(F.array(*structs))
+        parts.append((-best["nc"]).cast("int"))
+    return vectors.select(id_col, F.array(*parts).alias(code_col))
+
+
+def cosine_topk_pq(vectors: DataFrame, queries: DataFrame, k: int,
+                   codebooks: list | None = None, m: int = 8,
+                   n_centroids: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "query_id", method: str = "sample",
+                   seed: int = 42, rerank: int = 0,
+                   route: str = "auto") -> DataFrame:
+    """ANN top-k by PQ asymmetric distance (ADC, inner-product form):
+    the corpus is scored through its m-int codes against per-query
+    lookup tables — the big side never touches its float vectors after
+    the one-off encode, so the scan that matters reads m small ints per
+    row instead of d floats (the reason PQ is the billion-scale layout).
+
+    Tables: ``t[s][c] = <q_s, codebook[s][c]>`` — built driver-side
+    from the (small by construction) query frame with plain
+    left-to-right sums, bit-matching both the JVM unrolled score below
+    and the DuckDB ``list_reduce`` twin.  Score = ADC **cosine**
+    ``Σ_s t[s][code[s]] / (‖q‖·√(Σ_s n[s][code[s]]))`` where
+    ``n[s][c] = ‖codebook[s][c]‖²`` is a query-independent norm table
+    (codes address it the same way): plain inner-product ADC is NOT
+    rank-equivalent to cosine on unnormalized vectors — large-norm
+    reconstructions outrank the true neighbor — and the exact
+    self-reconstruction then scores exactly 1.  Both tables are
+    unrolled codegen chains over broadcast/literal arrays; zero-norm
+    reconstructions score 0.0; ranking ties break to ascending id.
+
+    ``rerank > 0``: take the top ``rerank`` ADC candidates per query
+    and re-score them EXACTLY (true cosine against the real vectors —
+    only candidate ids join back, a broadcast semi-join on the narrow
+    side), then cut to k: the standard two-stage PQ + exact-rerank
+    recipe; output column becomes ``cosine``.  With ``rerank=0`` the
+    output carries the raw ADC ``score``."""
+    if codebooks is None:
+        codebooks = pq_train(vectors, m=m, n_centroids=n_centroids,
+                             id_col=id_col, vec_col=vec_col,
+                             method=method, seed=seed)
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    codes = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col,
+                      route=route)
+    qrows = queries.select(qid_col, vec_col).collect()
+    tbl_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r[1]]
+        qn = 0.0
+        for x in qv:
+            qn = qn + x * x
+        tables = []
+        for s in range(m):
+            qs = qv[s * w:(s + 1) * w]
+            row = []
+            for cvec in codebooks[s]:
+                acc = 0.0
+                for i in range(w):
+                    acc = acc + qs[i] * cvec[i]
+                row.append(acc)
+            tables.append(row)
+        tbl_rows.append((r[0], tables, math.sqrt(qn)))
+    qtype = queries.schema[qid_col].dataType.simpleString()
+    tdf = queries.sparkSession.createDataFrame(
+        tbl_rows,
+        f"{qid_col} {qtype}, _tbl array<array<double>>, _qnorm double")
+    # query-independent norm table: n[s][c] = ||codebook[s][c]||²,
+    # embedded as literals (same left-to-right fold as the twin)
+    nrows = []
+    for s in range(m):
+        row = []
+        for cvec in codebooks[s]:
+            acc = 0.0
+            for x in cvec:
+                acc = acc + float(x) * float(x)
+            row.append(acc)
+        nrows.append(row)
+    ntbl = F.array(*[F.array(*[F.lit(v) for v in row]) for row in nrows])
+    scored = codes.crossJoin(F.broadcast(tdf))
+    ip = F.lit(0.0)
+    rn = F.lit(0.0)
+    for s in range(m):
+        cidx = F.element_at(F.col("code"), s + 1) + 1
+        ip = ip + F.element_at(F.element_at(F.col("_tbl"), s + 1), cidx)
+        rn = rn + F.element_at(F.element_at(ntbl, s + 1), cidx)
+    denom = F.col("_qnorm") * F.sqrt(rn)
+    score = F.when(denom == 0, F.lit(0.0)).otherwise(ip / denom)
+    scored = scored.select(qid_col, id_col, score.alias("score"))
+    wnd = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(wnd))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= int(k))
+    cand = ranked.filter(F.col("rank") <= int(rerank)) \
+        .select(qid_col, id_col)
+    qv = F.broadcast(queries.select(qid_col, F.col(vec_col).alias("_qv")))
+    exact = (vectors.join(F.broadcast(cand.select(id_col).distinct()),
+                          id_col, "left_semi")
+             .join(F.broadcast(cand), id_col)
+             .join(qv, qid_col))
+    cos = (_dot(F.col(vec_col), F.col("_qv"))
+           / (_norm(F.col(vec_col)) * _norm(F.col("_qv"))))
+    exact = exact.select(qid_col, id_col, cos.alias("cosine"))
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= int(k)))
