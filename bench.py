@@ -465,6 +465,20 @@ def bench_ops(spark, frontier_path: str) -> dict[str, float]:
                    codebook="sample", max_cluster=4000) \
         .where("is_dup").count()
     out["semantic_dedup"] = round(time.time() - t, 3)
+
+    # PQ ANN at the scale posture: codebooks trained on a 16k hash
+    # sample, Arrow numpy encode, ADC-cosine over 4-int codes, exact
+    # rerank of the top 100 candidates per query
+    from coherencebot_spark.datapipe.similarity import (
+        cosine_topk_pq, pq_train)
+
+    t = time.time()
+    books = pq_train(vsyn, m=4, n_centroids=256, sample=16384, iters=2)
+    qpq = vsyn.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cosine_topk_pq(vsyn, qpq, k=10, codebooks=books, route="pandas",
+                   rerank=100).count()
+    out["ann_pq"] = round(time.time() - t, 3)
     return out
 
 
