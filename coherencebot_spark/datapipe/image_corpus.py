@@ -469,7 +469,8 @@ DEFAULT_ASPECT_LADDER = (
 
 def aspect_bucket(images: DataFrame,
                   ladder: tuple = DEFAULT_ASPECT_LADDER,
-                  id_col: str = "image_id") -> DataFrame:
+                  id_col: str = "image_id",
+                  keep_all: bool = False) -> DataFrame:
     """Aspect-ratio bucketing (the NovelAI/SDXL training trick: batch
     images of similar aspect so the resize-crop loss is minimal): each
     image goes to the ladder entry minimizing |ln(w/h) − ln(bw/bh)|,
@@ -478,7 +479,10 @@ def aspect_bucket(images: DataFrame,
     Pure projection — the ladder is a literal struct array and the
     argmin is an ``array_min`` over (distance, index), so bucketing adds
     zero exchanges; downstream batching reuses the shard manifest per
-    bucket.  Returns (id, w, h, bucket_id, bucket_w, bucket_h)."""
+    bucket.  Returns (id, w, h, bucket_id, bucket_w, bucket_h) — or,
+    with ``keep_all``, every input column plus the three bucket columns
+    (the shape :func:`..datapipe.multimodal.resize_to_bucket` consumes:
+    it still needs the payload)."""
     log_aspect = F.log(F.col("w").cast("double") / F.col("h"))
     cands = F.array(*[
         F.struct(
@@ -491,7 +495,8 @@ def aspect_bucket(images: DataFrame,
     best = F.array_min(cands)["i"]
     bw = F.element_at(F.array(*[F.lit(w) for w, _ in ladder]), best + 1)
     bh = F.element_at(F.array(*[F.lit(h) for _, h in ladder]), best + 1)
-    return images.select(id_col, "w", "h",
+    lead = list(images.columns) if keep_all else [id_col, "w", "h"]
+    return images.select(*lead,
                          best.alias("bucket_id"),
                          bw.alias("bucket_w"), bh.alias("bucket_h"))
 

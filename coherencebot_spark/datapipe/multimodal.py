@@ -147,6 +147,26 @@ def with_image_quality_stats(content: DataFrame, bytes_col: str = "bytes",
     return content.mapInPandas(stats, schema=schema)
 
 
+def _bilinear_rgb(px: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Per-channel bilinear resample of an (h, w, 3) uint8 plane to
+    (th, tw, 3) — center-aligned sample grid, edge-clamped."""
+    ch = []
+    for c in range(3):
+        g = px[:, :, c].astype(np.float64)
+        ys = np.clip((np.arange(th) + 0.5) * g.shape[0] / th - 0.5,
+                     0, g.shape[0] - 1)
+        xs = np.clip((np.arange(tw) + 0.5) * g.shape[1] / tw - 0.5,
+                     0, g.shape[1] - 1)
+        y0, x0 = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        y1 = np.minimum(y0 + 1, g.shape[0] - 1)
+        x1 = np.minimum(x0 + 1, g.shape[1] - 1)
+        wy, wx = (ys - y0)[:, None], (xs - x0)[None, :]
+        top = g[np.ix_(y0, x0)] * (1 - wx) + g[np.ix_(y0, x1)] * wx
+        bot = g[np.ix_(y1, x0)] * (1 - wx) + g[np.ix_(y1, x1)] * wx
+        ch.append(top * (1 - wy) + bot * wy)
+    return np.clip(np.round(np.stack(ch, axis=-1)), 0, 255).astype(np.uint8)
+
+
 def resize_images(content: DataFrame, target: int = 32,
                   bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
     """Decode → bilinear resize to target×target → re-encode PNG.
@@ -162,20 +182,46 @@ def resize_images(content: DataFrame, target: int = 32,
                     out.append(None)
                     continue
                 px = decode_rgb(bytes(data), fmt)
-                # per-channel bilinear to target×target
-                ch = []
-                for c in range(3):
-                    g = px[:, :, c].astype(np.float64)
-                    ys = np.clip((np.arange(target) + 0.5) * g.shape[0] / target - 0.5, 0, g.shape[0] - 1)
-                    xs = np.clip((np.arange(target) + 0.5) * g.shape[1] / target - 0.5, 0, g.shape[1] - 1)
-                    y0, x0 = np.floor(ys).astype(int), np.floor(xs).astype(int)
-                    y1, x1 = np.minimum(y0 + 1, g.shape[0] - 1), np.minimum(x0 + 1, g.shape[1] - 1)
-                    wy, wx = (ys - y0)[:, None], (xs - x0)[None, :]
-                    top = g[np.ix_(y0, x0)] * (1 - wx) + g[np.ix_(y0, x1)] * wx
-                    bot = g[np.ix_(y1, x0)] * (1 - wx) + g[np.ix_(y1, x1)] * wx
-                    ch.append(top * (1 - wy) + bot * wy)
-                small = np.clip(np.round(np.stack(ch, axis=-1)), 0, 255).astype(np.uint8)
-                out.append(images.encode_png(small))
+                out.append(images.encode_png(
+                    _bilinear_rgb(px, target, target)))
+            res = pdf[keep].copy()
+            res["resized_png"] = out
+            yield res
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in content.schema if f.name != bytes_col
+    ) + ", resized_png binary"
+    return content.mapInPandas(rs, schema=schema)
+
+
+def resize_to_bucket(content: DataFrame,
+                     bytes_col: str = "bytes", fmt_col: str = "fmt",
+                     w_col: str = "bucket_w",
+                     h_col: str = "bucket_h") -> DataFrame:
+    """Decode → bilinear resize to each row's OWN target dims (the
+    aspect-bucket columns produced by
+    :func:`..datapipe.image_corpus.aspect_bucket`) → re-encode PNG —
+    the materialization step of aspect-ratio-bucketed training prep:
+    after it, every image in a bucket shares exact pixel dims and can
+    be stacked into one tensor batch.
+
+    Same Arrow posture as :func:`resize_images` (one map-side pass,
+    bytes never shuffle, per-image release); null payloads and null
+    targets yield a null output instead of failing the batch."""
+    keep = [c for c in content.columns if c != bytes_col]
+
+    def rs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for data, fmt, tw, th in zip(pdf[bytes_col], pdf[fmt_col],
+                                         pdf[w_col], pdf[h_col]):
+                if data is None or tw is None or th is None:
+                    out.append(None)
+                    continue
+                px = decode_rgb(bytes(data), fmt)
+                out.append(images.encode_png(
+                    _bilinear_rgb(px, int(th), int(tw))))
             res = pdf[keep].copy()
             res["resized_png"] = out
             yield res

@@ -329,6 +329,32 @@ def test_aspect_bucket_assignment(spark):
     assert "Exchange" not in p, p
 
 
+def test_resize_to_bucket(spark):
+    """Bucketed resize materialization: every surviving image decodes to
+    exactly its bucket's dims (stackable into one tensor batch); null
+    payload rows yield a null without failing the Arrow batch; the pass
+    is map-side only."""
+    import numpy as np
+    from coherencebot_spark.datapipe.image_corpus import aspect_bucket
+    from coherencebot_spark.datapipe.multimodal import resize_to_bucket
+    from coherencebot_spark.synth import images as simg
+
+    rows = [_img_row(60, w=100, h=100), _img_row(61, w=70, h=140),
+            ("img0062", None, 64, 64, "png", "null payload", 0)]
+    df = aspect_bucket(spark.createDataFrame(rows, SCHEMA),
+                       ladder=((32, 32), (24, 48)), keep_all=True)
+    out = {r.image_id: r for r in resize_to_bucket(df).collect()}
+    assert "bytes" not in resize_to_bucket(df).columns
+    for iid, bw, bh in (("img0060", 32, 32), ("img0061", 24, 48)):
+        assert (out[iid].bucket_w, out[iid].bucket_h) == (bw, bh)
+        px = simg.decode(bytes(out[iid].resized_png), "png")
+        assert px.shape == (bh, bw, 3)
+    assert out["img0062"].resized_png is None
+
+    p = resize_to_bucket(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
 def test_caption_alignment_gate(spark):
     from coherencebot_spark.datapipe.image_corpus import caption_alignment
 
