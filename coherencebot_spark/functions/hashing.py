@@ -346,3 +346,247 @@ def bloom_contains_col(spark, df: DataFrame, col: str, bloom: BloomFilter,
         .withColumn("_h2", F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long"))
         .mapInPandas(check, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (URL-seen pre-filter with DELETION, north rule's second
+# membership structure) — Fan et al., "Cuckoo Filter: Practically Better
+# Than Bloom", CoNEXT'14
+# ---------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Bucketized cuckoo filter: ``nb`` (power-of-two) buckets × 4 slots
+    of 16-bit fingerprints; an item lives in one of two candidate buckets
+    ``i1 = h1 mod nb`` and ``i2 = i1 XOR mix(fp)`` (partial-key cuckoo
+    hashing — the XOR form is an involution, so either copy can find its
+    alternate without the original key).
+
+    Why it exists next to :class:`BloomFilter`: it supports **delete** —
+    a bloom can never un-see a URL, so frontier purges (CrawlDbFilter,
+    gone-expiry) force a full shard rebuild; the cuckoo shard removes the
+    purged fingerprints in place.  Cost: ~4 bytes/item at the 0.5 load
+    factor used here vs ~1.2 for a 1% bloom — bought back by a far lower
+    fpp (≤ 2·4/2^16 ≈ 0.012%).
+
+    Deletion caveat (inherent to the structure): only delete items that
+    were actually inserted.  Deleting a never-inserted URL that collides
+    with another's (bucket, fingerprint) would remove the OTHER item's
+    copy — when both were inserted each holds its own slot, so
+    inserted-item deletes are always safe.
+
+    The bulk ``add`` is vectorized two-choice placement (semi-sort by
+    bucket, rank-vs-free-slots, one scatter per round); only the residue
+    that misses both candidate buckets (rare at load ≤ 0.5) walks the
+    classic per-item eviction loop, with a DETERMINISTIC kick-slot
+    (kick mod 4) so builds are reproducible."""
+
+    __slots__ = ("nb", "table")
+    SLOTS = 4
+
+    def __init__(self, nb: int, table: np.ndarray | None = None):
+        assert nb & (nb - 1) == 0, "nb must be a power of two"
+        self.nb = nb
+        self.table = table if table is not None else \
+            np.zeros((nb, self.SLOTS), dtype=np.uint16)
+
+    @staticmethod
+    def params(capacity: int, load: float = 0.5) -> int:
+        nb = 64
+        while nb * CuckooFilter.SLOTS * load < capacity:
+            nb <<= 1
+        return nb
+
+    # -- hashing -----------------------------------------------------------
+    def _fph(self, fp: np.ndarray) -> np.ndarray:
+        h = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        h ^= h >> np.uint64(13)
+        return h & np.uint64(self.nb - 1)
+
+    def _derive(self, h1: np.ndarray, h2: np.ndarray):
+        fp = ((h2 % np.uint64(0xFFFF)) + np.uint64(1)).astype(np.uint16)
+        i1 = (h1 & np.uint64(self.nb - 1)).astype(np.int64)
+        i2 = (i1.view(np.uint64) ^ self._fph(fp)).astype(np.int64)
+        return fp, i1, i2
+
+    # -- bulk insert -------------------------------------------------------
+    def _bulk_place(self, b: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """Place as many (bucket, fp) pairs as fit in their buckets' free
+        slots; returns the placed mask (input order)."""
+        placed = np.zeros(len(b), dtype=bool)
+        if not len(b):
+            return placed
+        order = np.argsort(b, kind="stable")
+        bs, fps = b[order], fp[order]
+        uniq, starts, counts = np.unique(bs, return_index=True,
+                                         return_counts=True)
+        rank = np.arange(len(bs)) - np.repeat(starts, counts)
+        free = self.table[uniq] == 0                       # (u, 4)
+        fits = rank < np.repeat(free.sum(1), counts)
+        slot_order = np.argsort(~free, axis=1, kind="stable")
+        urep = np.repeat(np.arange(len(uniq)), counts)
+        slots = slot_order[urep, np.minimum(rank, self.SLOTS - 1)]
+        self.table[bs[fits], slots[fits]] = fps[fits]
+        placed[order] = fits
+        return placed
+
+    def _insert_evict(self, b: int, f: int, max_kicks: int = 500) -> None:
+        cur_b, cur_f = int(b), int(f)
+        for kick in range(max_kicks):
+            row = self.table[cur_b]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                self.table[cur_b, empty[0]] = cur_f
+                return
+            s = kick % self.SLOTS
+            cur_f, displaced = int(row[s]), cur_f
+            self.table[cur_b, s] = displaced
+            cur_b = int(np.uint64(cur_b)
+                        ^ self._fph(np.array([cur_f], dtype=np.uint16))[0])
+        raise RuntimeError(
+            "CuckooFilter over capacity: eviction walk exceeded "
+            f"{max_kicks} kicks — size with params(capacity) (load 0.5)")
+
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pairs = np.unique(np.stack([h1, h2], axis=1), axis=0)  # re-adds
+        fp, i1, i2 = self._derive(pairs[:, 0], pairs[:, 1])    # are free
+        pend = ~self._bulk_place(i1, fp)
+        if pend.any():
+            sub = np.flatnonzero(pend)
+            done = self._bulk_place(i2[sub], fp[sub])
+            pend[sub[done]] = False
+        for j in np.flatnonzero(pend):
+            self._insert_evict(i1[j], int(fp[j]))
+
+    # -- queries -----------------------------------------------------------
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._derive(h1, h2)
+        return ((self.table[i1] == fp[:, None]).any(1)
+                | (self.table[i2] == fp[:, None]).any(1))
+
+    def delete(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Remove ONE stored copy per distinct (h1, h2); returns the
+        removed mask over the deduped pairs.  Per-item loop — purge sets
+        are a small fraction of a cycle by construction."""
+        pairs = np.unique(np.stack([h1, h2], axis=1), axis=0)
+        fp, i1, i2 = self._derive(pairs[:, 0], pairs[:, 1])
+        removed = np.zeros(len(pairs), dtype=bool)
+        for j in range(len(pairs)):
+            for b in (i1[j], i2[j]):
+                s = np.flatnonzero(self.table[b] == fp[j])
+                if len(s):
+                    self.table[b, s[0]] = 0
+                    removed[j] = True
+                    break
+        return removed
+
+
+def _cuckoo_hashed(df: DataFrame, col: str, n_buckets: int, bucket_expr):
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(col)),
+                             F.lit(n_buckets)).cast("int")
+    return df.select(
+        bucket_expr.alias("bucket"),
+        F.xxhash64(F.col(col)).cast("long").alias("_h1"),
+        F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long").alias("_h2"),
+    )
+
+
+def build_cuckoo_sharded(df: DataFrame, col: str, capacity: int,
+                         n_buckets: int = 256,
+                         bucket_expr=None) -> DataFrame:
+    """Sharded cuckoo build, mirror of :func:`build_bloom_sharded`:
+    one filter per host-bucket, built where the data lives, never
+    driver-collected.  Returns ``(bucket int, nb long, table binary)``."""
+    nb = CuckooFilter.params(max(capacity // n_buckets, 1024))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(nb)
+        cf.add(pdf["_h1"].to_numpy().astype(np.int64).view(np.uint64),
+               pdf["_h2"].to_numpy().astype(np.int64).view(np.uint64))
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "nb": [nb], "table": [cf.table.tobytes()],
+        })
+
+    return _cuckoo_hashed(df, col, n_buckets, bucket_expr) \
+        .groupBy("bucket") \
+        .applyInPandas(build, schema="bucket int, nb long, table binary")
+
+
+def cuckoo_contains_sharded(probe: DataFrame, col: str, filters: DataFrame,
+                            out_col: str = "maybe_seen",
+                            n_buckets: int = 256,
+                            bucket_expr=None) -> DataFrame:
+    """Membership against sharded cuckoo filters — same cogroup shape as
+    :func:`bloom_contains_sharded` (one shard crosses the wire per bucket
+    group; bucket with no shard → definitely new)."""
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(col)),
+                             F.lit(n_buckets)).cast("int")
+    p = probe.withColumn("_bkt", bucket_expr).withColumn(
+        "_h1", F.xxhash64(F.col(col)).cast("long")
+    ).withColumn("_h2", F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long"))
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        list(probe.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    probe_cols = probe.columns
+
+    def check(pl: pd.DataFrame, fl: pd.DataFrame) -> pd.DataFrame:
+        out = pl[probe_cols].copy()
+        if len(fl):
+            cf = CuckooFilter(
+                int(fl["nb"].iloc[0]),
+                np.frombuffer(fl["table"].iloc[0], dtype=np.uint16)
+                .reshape(-1, CuckooFilter.SLOTS).copy())
+            out[out_col] = cf.contains(
+                pl["_h1"].to_numpy().astype(np.int64).view(np.uint64),
+                pl["_h2"].to_numpy().astype(np.int64).view(np.uint64))
+        else:
+            out[out_col] = False
+        return out
+
+    return (
+        p.groupBy("_bkt")
+        .cogroup(filters.groupBy("bucket"))
+        .applyInPandas(check, schema=out_schema)
+    )
+
+
+def cuckoo_delete_sharded(filters: DataFrame, deletes: DataFrame, col: str,
+                          n_buckets: int = 256,
+                          bucket_expr=None) -> DataFrame:
+    """Delete the ``deletes[col]`` fingerprints from sharded cuckoo
+    filters — the operation a bloom cannot do (frontier purges would
+    otherwise force a full shard rebuild).  Cogroup by bucket: shards
+    with no deletes pass through untouched; each touched shard removes
+    its purged fingerprints in place.  Returns the NEW filters frame
+    (same schema); the caller swaps + unpersists, snapshot-style."""
+    d = _cuckoo_hashed(deletes, col, n_buckets, bucket_expr) \
+        .withColumnRenamed("bucket", "_bkt")
+
+    def apply_deletes(fl: pd.DataFrame, dl: pd.DataFrame) -> pd.DataFrame:
+        if not len(fl):
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                                 "nb": pd.Series([], dtype="int64"),
+                                 "table": pd.Series([], dtype=object)})
+        if not len(dl):
+            return fl[["bucket", "nb", "table"]]
+        cf = CuckooFilter(
+            int(fl["nb"].iloc[0]),
+            np.frombuffer(fl["table"].iloc[0], dtype=np.uint16)
+            .reshape(-1, CuckooFilter.SLOTS).copy())
+        cf.delete(dl["_h1"].to_numpy().astype(np.int64).view(np.uint64),
+                  dl["_h2"].to_numpy().astype(np.int64).view(np.uint64))
+        return pd.DataFrame({"bucket": fl["bucket"].iloc[:1],
+                             "nb": fl["nb"].iloc[:1],
+                             "table": [cf.table.tobytes()]})
+
+    return (
+        filters.groupBy("bucket")
+        .cogroup(d.groupBy("_bkt"))
+        .applyInPandas(apply_deletes, schema="bucket int, nb long, table binary")
+    )

@@ -97,6 +97,53 @@ def test_sharded_url_seen_matches_monolithic(spark):
     shard.unpersist()
 
 
+def test_cuckoo_url_seen_and_remove(spark):
+    """Cuckoo backend: same no-false-negative contract as the bloom
+    shards, plus the operation the bloom can't do — remove() un-sees
+    purged URLs in place (frontier purge support) without touching any
+    surviving URL's membership."""
+    from coherencebot_spark.operators.seen import ShardedUrlSeenFilter
+
+    frontier = spark.createDataFrame(
+        [frow(f"https://h{i % 40}.example.org/p{i}") for i in range(800)],
+        FRONTIER)
+    cf = ShardedUrlSeenFilter.from_frontier(frontier, capacity=800,
+                                            n_buckets=16, backend="cuckoo")
+    assert cf.blooms.count() > 4
+
+    links = spark.createDataFrame(
+        [(f"https://h{i % 40}.example.org/p{i}",) for i in range(600, 1000)],
+        "url string")
+    kept = {r.url for r in cf.drop_definitely_new(links).collect()}
+    seen_urls = {f"https://h{i % 40}.example.org/p{i}"
+                 for i in range(600, 800)}
+    assert seen_urls <= kept                      # no false negatives
+    # cuckoo fpp ≈ 0.012% — definitely-new URLs essentially all drop
+    assert len(kept - seen_urls) <= 2
+
+    # purge p600-p699: after remove() they read definitely-new again,
+    # every survivor stays seen
+    purged = spark.createDataFrame(
+        [(f"https://h{i % 40}.example.org/p{i}",) for i in range(600, 700)],
+        "url string")
+    cf2 = cf.remove(purged)
+    kept2 = {r.url for r in cf2.drop_definitely_new(links).collect()}
+    survivors = {f"https://h{i % 40}.example.org/p{i}"
+                 for i in range(700, 800)}
+    assert survivors <= kept2                     # survivors untouched
+    purged_set = {f"https://h{i % 40}.example.org/p{i}"
+                  for i in range(600, 700)}
+    assert len(kept2 & purged_set) <= 2           # purged are unseen now
+    cf2.unpersist()
+
+    # bloom backend refuses remove() with an actionable error
+    bl = ShardedUrlSeenFilter.from_frontier(frontier, capacity=800,
+                                            n_buckets=16, backend="bloom")
+    with pytest.raises(ValueError, match="cuckoo"):
+        bl.remove(purged)
+    bl.unpersist()
+
+
 def test_elastic_bulk_round_trip(spark, tmp_path):
     """indexer-elastic analogue: _bulk NDJSON with index + delete actions
     parses back exactly (escaping-safe ids, hex binaries)."""
