@@ -56,6 +56,12 @@ class CrawlConfig:
     # updatedb shuffle (sharded per-host-bucket blooms, built once —
     # the frontier key-set is frozen when additions are off)
     use_url_seen: bool = False
+    # membership structure for the URL-seen shards (north rule
+    # "bloom/cuckoo"): 'bloom' (~1.2 B/url, fpp 1%) or 'cuckoo'
+    # (~4 B/url, fpp ≤0.012% and in-place deletion — see
+    # functions/hashing.CuckooFilter).  Shards on disk self-describe;
+    # switching backend mid-crawl triggers a one-time full shard rebuild
+    url_seen_backend: str = "bloom"
     # broadcast the fetchlist-sized small sides (generate selection,
     # updatedb delta, dedup phash) so the frontier never shuffles full
     # rows — use when topN/fetchlist fits a broadcast; with an Iceberg

@@ -171,9 +171,22 @@ class CrawlDriver:
         (false negatives → double-insert on the next cycle; the
         committed-cycle resume path is an early-return no-op and could
         never repair it)."""
-        from ..functions.hashing import build_bloom_sharded
+        from ..functions.hashing import (build_bloom_sharded,
+                                         build_cuckoo_sharded)
 
         n_buckets = int(self.cfg.host_buckets)
+        want_cuckoo = self.cfg.url_seen_backend == "cuckoo"
+        switched = False
+        if os.path.exists(self._blooms_path):
+            # backend switched mid-crawl: a touched-only dynamic
+            # overwrite would leave stale other-backend shards in the
+            # untouched buckets — rebuild everything, staged to a side
+            # path (the rebuild's own lineage may still probe the OLD
+            # shards; deleting them first races the job) then swapped
+            have = self.spark.read.parquet(self._blooms_path).columns
+            if ("table" in have) != want_cuckoo:
+                switched = True
+                touched = None
         if frontier_df is not None:
             frontier = frontier_df
         else:
@@ -183,13 +196,26 @@ class CrawlDriver:
         hist = self.frontier.history()
         cap = ((hist[-1]["metrics"] or {}).get("frontier_size")
                if hist else None) or max(frontier.count(), 1024)
-        built = build_bloom_sharded(
+        builder = (build_cuckoo_sharded
+                   if self.cfg.url_seen_backend == "cuckoo"
+                   else build_bloom_sharded)
+        built = builder(
             frontier, "url", int(cap), n_buckets,
             bucket_expr=F.col("bucket").cast("int"),
         )
-        (built.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(self._blooms_path))
+        if switched:
+            import shutil
+            staged = self._blooms_path + ".next"
+            if os.path.exists(staged):
+                shutil.rmtree(staged)
+            (built.write.mode("overwrite")
+             .partitionBy("bucket").parquet(staged))
+            shutil.rmtree(self._blooms_path)
+            os.rename(staged, self._blooms_path)
+        else:
+            (built.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(self._blooms_path))
 
     def _load_or_build_blooms(self) -> DataFrame:
         if not os.path.exists(self._blooms_path):
@@ -197,13 +223,20 @@ class CrawlDriver:
         return self.spark.read.parquet(self._blooms_path)
 
     def _probe_seen(self, parse_out: DataFrame):
-        """(non-linked rows, linked rows with a ``maybe_seen`` flag)."""
-        from ..functions.hashing import bloom_contains_sharded
+        """(non-linked rows, linked rows with a ``maybe_seen`` flag).
+        The prober follows the SHARDS' schema, not the config — shards
+        on disk self-describe (cuckoo rows carry ``table``, bloom rows
+        ``bits``), so a backend switch stays correct between the config
+        change and the next shard refresh."""
+        from ..functions.hashing import (bloom_contains_sharded,
+                                         cuckoo_contains_sharded)
 
         blooms = self._load_or_build_blooms()
+        prober = (cuckoo_contains_sharded if "table" in blooms.columns
+                  else bloom_contains_sharded)
         linked = parse_out.filter(F.col("status") == int(Msg.LINKED))
         rest = parse_out.filter(F.col("status") != int(Msg.LINKED))
-        probed = bloom_contains_sharded(
+        probed = prober(
             linked, "url", blooms, n_buckets=int(self.cfg.host_buckets),
             bucket_expr=self._host_bucket_expr(),
         )

@@ -159,6 +159,48 @@ def test_url_seen_additions_on_cycle_identity(spark, tmp_path):
         assert os.path.exists(str(sub / "seen" / "url_seen_blooms"))
 
 
+def test_url_seen_cuckoo_backend_cycle_identity(spark, tmp_path):
+    """cfg.url_seen_backend='cuckoo' drives the whole loop through the
+    sharded cuckoo filters (north rule "bloom/cuckoo") — additions-ON,
+    multi-cycle, frontier IDENTICAL to the unfiltered plan; and a
+    mid-crawl backend switch triggers the one-time full shard rebuild
+    (self-describing shards: cuckoo rows carry ``table``)."""
+    import os
+
+    def snap(d):
+        return sorted(
+            (r.url, r.status, r.fetch_time, r.retries, float(r.score))
+            for r in d.frontier.read(spark).collect()
+        )
+
+    base = CrawlDriver(spark, str(tmp_path / "base"), CFG, **FETCH_KW)
+    ck = CrawlDriver(spark, str(tmp_path / "ck"),
+                     CFG.with_(use_url_seen=True,
+                               url_seen_backend="cuckoo"), **FETCH_KW)
+    for d in (base, ck):
+        d.inject(seeds_df(spark), T0)
+    for k in range(2):
+        t = T0 + 1000 + k * 3_600_000
+        base.run_cycle(k, t)
+        ck.run_cycle(k, t)
+        assert snap(base) == snap(ck), f"cycle {k}"
+    shards = spark.read.parquet(
+        os.path.join(str(tmp_path / "ck"), "url_seen_blooms"))
+    assert "table" in shards.columns          # cuckoo, not bloom, shards
+
+    # switch the SAME crawl back to bloom: next cycle must rebuild the
+    # store wholesale (no stale cuckoo shards left behind) and still
+    # match the unfiltered plan
+    ck.cfg = ck.cfg.with_(url_seen_backend="bloom")
+    t = T0 + 1000 + 2 * 3_600_000
+    base.run_cycle(2, t)
+    ck.run_cycle(2, t)
+    assert snap(base) == snap(ck)
+    shards = spark.read.parquet(
+        os.path.join(str(tmp_path / "ck"), "url_seen_blooms"))
+    assert "bits" in shards.columns and "table" not in shards.columns
+
+
 def test_free_generate(spark):
     """FreeGenerator: fetchlist straight from a URL list — normalized,
     deduped, FETCHLIST-shaped, reference partitioning."""
