@@ -2745,6 +2745,77 @@ def _shipped(fn):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in {
+    # Ordering note (r5): the driver's correctness gate checks the FIRST
+    # 50 entries only.  Rounds 1-4 verified the 50 original entries
+    # (CORRECTNESS_r01-r04.json); this round rotates the 57 entries added
+    # since then to the front so the union of driver files covers all of
+    # them.  Positions 51-57 hold the seven rotated entries whose sibling
+    # (same operator path, different mode flag) already sits inside the
+    # window: lang_detect/lang_index (lang_id), readhostdb_get/stats
+    # (readhostdb_dump), retrieval_recall (retrieval_hits),
+    # index_criteria_referrer (index_criteria_title),
+    # politeness_clock_domain (politeness_clock_threads).  Every entry
+    # regardless of position stays under the repo's own full gate
+    # (scripts/check_oracle.py, 107/107).
+        "link_depth": _q_link_depth,
+        "automaton_filter": _q_automaton_filter,
+        "path_filter": _q_path_filter,
+        "outlink_filter": _q_outlink_filter,
+        "nb_classify": _q_nb_classify,
+        "feed_parse": _q_feed_parse,
+        "ext_boost": _q_ext_boost,
+        "validator_filter": _q_validator_filter,
+        "crawl_completion": _q_crawl_completion,
+        "domain_stats_suffix": _q_domain_stats_suffix,
+        "segment_merge": _q_segment_merge,
+        "orphan_mark": _q_orphan_mark,
+        "segment_stats": _q_segment_stats,
+        "readhostdb_dump": _q_readhostdb_dump,
+        "protocol_status_stats": _q_protocol_status_stats,
+        "politeness_clock_threads": _q_politeness_clock_threads,
+        "dedup_phash_meta": _q_dedup_phash_meta,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "lm_typicality": _q_lm_typicality,
+        "fingerprint": _q_fingerprint,
+        "index_basic": _q_index_basic,
+        "index_more": _q_index_more,
+        "index_links": _q_index_links,
+        "index_gates": _q_index_gates,
+        "index_criteria_title": _q_index_criteria_title,
+        "index_replace": _q_index_replace,
+        "index_org": _q_index_org,
+        "any23_structured_data": _q_any23_structured_data,
+        "zip_parse": _q_zip_parse,
+        "ext_parse": _q_ext_parse,
+        "file_protocol": _q_file_protocol,
+        "crawl_stats_format": _q_crawl_stats_format,
+        "fetcher_events": _q_fetcher_events,
+        "dedup_components": _q_dedup_components,
+        "cluster_safe_split": _q_cluster_safe_split,
+        "source_cap": _q_source_cap,
+        "data_mix": _q_data_mix,
+        "pii_scrub": _q_pii_scrub,
+        "gopher_repetition": _q_gopher_repetition,
+        "decontaminate": _q_decontaminate,
+        "chunk_manifest": _q_chunk_manifest,
+        "image_corpus_filter": _q_image_corpus_filter,
+        "phash_near_dups": _q_phash_near_dups,
+        "caption_alignment": _q_caption_alignment,
+        "retrieval_hits": _q_retrieval_hits,
+        "eval_decontaminate": _q_eval_decontaminate,
+        "image_shard_manifest": _q_image_shard_manifest,
+        "thumbnail_key": _q_thumbnail_key,
+        "cleaning_job": _q_cleaning_job,
+        # -- siblings of in-window entries (see note above) --
+        "readhostdb_get": _q_readhostdb_get,
+        "readhostdb_stats": _q_readhostdb_stats,
+        "politeness_clock_domain": _q_politeness_clock_domain,
+        "lang_detect": _q_lang_detect,
+        "lang_index": _q_lang_index,
+        "index_criteria_referrer": _q_index_criteria_referrer,
+        "retrieval_recall": _q_retrieval_recall,
+        # -- driver-green in CORRECTNESS_r01-r04 --
         "readdb_status_counts": _q_readdb_status_counts,
         "readdb_stats": _q_readdb_stats,
         "readdb_topn": _q_readdb_topn,
@@ -2795,63 +2866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_summary": _q_text_summary,
         "webgraph_degrees": _q_webgraph_degrees,
         "linkrank": _q_linkrank,
-        "link_depth": _q_link_depth,
-        "automaton_filter": _q_automaton_filter,
-        "path_filter": _q_path_filter,
-        "outlink_filter": _q_outlink_filter,
-        "nb_classify": _q_nb_classify,
-        "feed_parse": _q_feed_parse,
-        "ext_boost": _q_ext_boost,
-        "validator_filter": _q_validator_filter,
-        "crawl_completion": _q_crawl_completion,
-        "domain_stats_suffix": _q_domain_stats_suffix,
-        "segment_merge": _q_segment_merge,
-        "orphan_mark": _q_orphan_mark,
-        "segment_stats": _q_segment_stats,
-        "readhostdb_dump": _q_readhostdb_dump,
-        "readhostdb_get": _q_readhostdb_get,
-        "readhostdb_stats": _q_readhostdb_stats,
-        "protocol_status_stats": _q_protocol_status_stats,
-        "politeness_clock_threads": _q_politeness_clock_threads,
-        "politeness_clock_domain": _q_politeness_clock_domain,
-        "dedup_phash_meta": _q_dedup_phash_meta,
-        "lang_id": _q_lang_id,
-        "lang_detect": _q_lang_detect,
-        "lang_index": _q_lang_index,
-        "quality_score": _q_quality,
-        "lm_typicality": _q_lm_typicality,
-        "fingerprint": _q_fingerprint,
-        "index_basic": _q_index_basic,
-        "index_more": _q_index_more,
-        "index_links": _q_index_links,
-        "index_gates": _q_index_gates,
-        "index_criteria_title": _q_index_criteria_title,
-        "index_criteria_referrer": _q_index_criteria_referrer,
-        "index_replace": _q_index_replace,
-        "index_org": _q_index_org,
-        "any23_structured_data": _q_any23_structured_data,
-        "zip_parse": _q_zip_parse,
-        "ext_parse": _q_ext_parse,
-        "file_protocol": _q_file_protocol,
-        "crawl_stats_format": _q_crawl_stats_format,
-        "fetcher_events": _q_fetcher_events,
-        "dedup_components": _q_dedup_components,
-        "cluster_safe_split": _q_cluster_safe_split,
-        "source_cap": _q_source_cap,
-        "data_mix": _q_data_mix,
-        "pii_scrub": _q_pii_scrub,
-        "gopher_repetition": _q_gopher_repetition,
-        "decontaminate": _q_decontaminate,
-        "chunk_manifest": _q_chunk_manifest,
-        "image_corpus_filter": _q_image_corpus_filter,
-        "phash_near_dups": _q_phash_near_dups,
-        "caption_alignment": _q_caption_alignment,
-        "retrieval_hits": _q_retrieval_hits,
-        "retrieval_recall": _q_retrieval_recall,
-        "eval_decontaminate": _q_eval_decontaminate,
-        "image_shard_manifest": _q_image_shard_manifest,
-        "thumbnail_key": _q_thumbnail_key,
-        "cleaning_job": _q_cleaning_job,
     }.items()}
 
 
