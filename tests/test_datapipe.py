@@ -370,6 +370,55 @@ def test_pq_encode_and_topk(spark):
     assert recall >= 0.4, recall
 
 
+def test_pq_encode_pandas_null_guard(spark):
+    """The pandas encode route must not fail the batch on null or
+    ragged vectors (np.stack would): null/wrong-length rows get null
+    codes, valid rows encode exactly as before."""
+    from coherencebot_spark.datapipe.similarity import pq_encode, pq_train
+
+    vecs, m = vectors_df(spark)
+    books = pq_train(vecs, m=4, n_centroids=8, method="first")
+    dirty = vecs.unionByName(spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],
+        "vec_id long, embedding array<float>"))
+    got = {r.vec_id: r.code
+           for r in pq_encode(dirty, books, route="pandas").collect()}
+    assert got[900] is None and got[901] is None
+    assert list(got[3]) == [3, 3, 3, 3]
+    assert sum(v is not None for v in got.values()) == 64
+
+
+def test_pq_adc_tables_vectorized_route(spark):
+    """Past 1024 collected queries the ADC lookup tables build with one
+    batched einsum instead of the per-query Python loop — results for
+    the same query must agree with the loop route."""
+    from pyspark.sql import functions as F
+
+    from coherencebot_spark.datapipe.similarity import (
+        cosine_topk_pq, pq_train)
+
+    vecs, m = vectors_df(spark)
+    books = pq_train(vecs, m=4, n_centroids=8, method="first")
+    small_q = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(3)],
+        "query_id long, embedding array<float>")
+    # same 3 query vectors plus 1027 distinct fillers → numpy route
+    big_q = small_q.unionByName(spark.createDataFrame(
+        [(100 + j, [float((j * p + 1) % 7) for p in range(1, 9)])
+         for j in range(1027)],
+        "query_id long, embedding array<float>"))
+    small = cosine_topk_pq(vecs, small_q, k=5, codebooks=books,
+                           route="literal")
+    big = cosine_topk_pq(vecs, big_q, k=5, codebooks=books,
+                         route="literal")
+    s = {(r.query_id, r.rank): r.vec_id for r in small.collect()}
+    b = {(r.query_id, r.rank): r.vec_id
+         for r in big.filter(F.col("query_id") < 3).collect()}
+    assert s == b
+    for qid in range(3):
+        assert b[(qid, 1)] == qid              # exact reconstruction
+
+
 def test_ivf_assign_is_shuffle_free(spark):
     """Centroid assignment must be a pure projection: the codebook lives in
     the plan as literals, so the physical plan for the assignment shows NO

@@ -531,12 +531,16 @@ def test_retrieval_recall_at_k(spark):
     rec = retrieval_recall_at_k(pairs, k=2).collect()[0]
     assert (rec.k, rec.n_pairs, rec.n_hits, rec.recall) == (2, 4, 3, 0.75)
 
-    # LSH method routes through cosine_topk_lsh and stays a subset:
-    # anything it reports as a hit the exhaustive ranking also ranks ≤ k
-    lsh = {r.image_id: r.hit for r in retrieval_hits_at_k(
+    # LSH method routes through cosine_topk_lsh, then re-ranks every
+    # claimed hit EXACTLY against the full pool — so it stays a subset
+    # of the brute hits by construction AND each claimed hit carries
+    # the exhaustive rank, not the candidate-subset rank
+    lsh = {r.image_id: (r.pair_rank, r.hit) for r in retrieval_hits_at_k(
         pairs, k=2, method="lsh", dim=4, n_planes=2, n_tables=2).collect()}
     assert set(lsh) == set(hits)
-    assert all(hits[i][1] for i, h in lsh.items() if h)
+    for i, (rank, h) in lsh.items():
+        if h:
+            assert hits[i] == (rank, True)
 
 
 def test_vision_token_batches_semantics(spark):

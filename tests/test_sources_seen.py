@@ -144,6 +144,43 @@ def test_cuckoo_url_seen_and_remove(spark):
     bl.unpersist()
 
 
+def test_cuckoo_sharded_survives_host_skew(spark):
+    """Host-aligned buckets are skewed: one bucket can hold many times
+    ``capacity // n_buckets`` URLs.  Each shard sizes its table from its
+    OWN row count, so a hot bucket builds instead of exhausting the
+    eviction walk (the failure mode a global split had), and the shard
+    schema's per-row ``nb`` lets shard sizes differ."""
+    from coherencebot_spark.functions.hashing import (
+        CuckooFilter, build_cuckoo_sharded, cuckoo_contains_sharded)
+
+    # 4000 URLs on ONE host (one bucket), 16 buckets, capacity hint says
+    # 4000/16 = 250 per shard — 16x under the hot bucket's true load
+    from pyspark.sql import functions as F
+
+    hostb = F.pmod(F.xxhash64(F.col("host")), F.lit(16)).cast("int")
+    frontier = spark.createDataFrame(
+        [frow(f"https://hot.example.org/p{i}") for i in range(4000)],
+        FRONTIER)
+    shards = build_cuckoo_sharded(frontier, "url", capacity=4000,
+                                  n_buckets=16, bucket_expr=hostb)
+    rows = shards.collect()
+    assert len(rows) == 1                      # one host → one bucket
+    # sized from the shard's rows, not the global split
+    assert rows[0].nb >= CuckooFilter.params(4000)
+    probe = spark.createDataFrame(
+        [(f"https://hot.example.org/p{i}", "hot.example.org")
+         for i in range(0, 8000, 2)],
+        "url string, host string")
+    got = {r.url: r.maybe_seen
+           for r in cuckoo_contains_sharded(probe, "url", shards,
+                                            n_buckets=16,
+                                            bucket_expr=hostb).collect()}
+    inserted = {u for u in got if int(u.rsplit("p", 1)[1]) < 4000}
+    assert all(got[u] for u in inserted)       # no false negatives
+    fresh = [u for u in got if u not in inserted]
+    assert sum(got[u] for u in fresh) <= 2     # fpp stays tiny
+
+
 def test_elastic_bulk_round_trip(spark, tmp_path):
     """indexer-elastic analogue: _bulk NDJSON with index + delete actions
     parses back exactly (escaping-safe ids, hex binaries)."""
