@@ -1308,6 +1308,107 @@ def _q_ext_boost(spark, sf_dir):
         "url", F.round("score", 4).alias("score"))
 
 
+def _q_link_scoring(spark, sf_dir):
+    # scoring-link (LinkAnalysisScoringFilter.java:56-60,97-100) vs
+    # scoring-opic through the REAL updatedb operator on identical
+    # inputs: LINKED cash rows raise scores under opic (SC4) but leave
+    # them untouched under link (updateDbScore no-op; new links keep
+    # initialScore 0).  DuckDB twin computes both from first principles.
+    from coherencebot_spark.config import DEFAULT
+    from coherencebot_spark.operators.updatedb import updatedb
+    from coherencebot_spark.status import Fetch, Msg
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 900")
+    t0 = 1_700_000_000_000
+
+    def u(c):
+        return F.concat(F.lit("https://h"), (c % 50).cast("string"),
+                        F.lit(".example.org/p/"), c.cast("string"))
+
+    def h(c):
+        return F.concat(F.lit("h"), (c % 50).cast("string"),
+                        F.lit(".example.org"))
+
+    d = F.col("doc_id")
+    frontier = docs.filter(d % 3 != 2).select(
+        u(d).alias("url"), h(d).alias("host"),
+        F.lit(2).cast("int").alias("status"),
+        F.lit(t0 - 1000).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(2_592_000).cast("long").alias("fetch_interval"),
+        (F.col("n_chars").cast("float") / 100.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    fetched = docs.filter((d % 3 != 2) & (d % 2 == 0))
+    flog = fetched.select(
+        u(d).alias("url"), h(d).alias("host"),
+        F.lit(int(Fetch.SUCCESS)).cast("int").alias("status"),
+        F.lit(t0 + 100).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(2_592_000).cast("long").alias("fetch_interval"),
+        (F.col("n_chars").cast("float") / 100.0).cast("float").alias("score"),
+        F.lit(None).cast("binary").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(1).cast("int").alias("proto_status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+    )
+    # two outlinks per fetched page, cash = page score / 2 each
+    links = None
+    for off in (1, 5):
+        t = d + off
+        part = fetched.select(
+            u(t).alias("url"), h(t).alias("host"),
+            F.lit(int(Msg.LINKED)).cast("int").alias("status"),
+            (F.col("n_chars").cast("float") / 200.0).cast("float")
+            .alias("score"),
+            F.lit(None).cast("binary").alias("signature"),
+            u(d).alias("from_url"),
+            F.lit("a").alias("anchor"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+        links = part if links is None else links.unionByName(part)
+    opic = updatedb(frontier, flog, links, t0, DEFAULT) \
+        .select("url", F.col("score").alias("score_opic"))
+    link = updatedb(frontier, flog, links, t0,
+                    DEFAULT.with_(scoring_filter="link")) \
+        .select("url", F.col("score").alias("score_link"))
+    # round 4: true values carry <= 3 decimals (n/100, n/200 sums), so
+    # the 4dp boundary is 5e-5 away — far above float32 quantization
+    return opic.join(link, "url").select(
+        "url", F.round("score_opic", 4).alias("score_opic"),
+        F.round("score_link", 4).alias("score_link"))
+
+
+def _q_readdb_dump(spark, sf_dir):
+    # S11 `readdb -dump` with the full CrawlDbDumpMapper predicate set
+    # (CrawlDbReader.java:861-923): status + ANCHORED regex (matches())
+    # + Jexl expr (SQL) + retry floor, all pushable-to-scan raw-column
+    # predicates; the deterministic -sample variant is pytest-covered
+    # (the reference's Math.random() has no cross-engine twin).
+    from coherencebot_spark.operators.readdb import dump
+
+    o = _t(spark, sf_dir, "orders")
+    frontier = o.select(
+        F.concat(F.lit("https://h"),
+                 (F.col("o_custkey") % 40).cast("string"),
+                 F.lit(".example.org/o/"),
+                 F.col("o_orderkey").cast("string")).alias("url"),
+        F.when(F.col("o_orderstatus") == "F", 2)
+        .when(F.col("o_orderstatus") == "P", 1)
+        .otherwise(3).cast("int").alias("status"),
+        (F.col("o_orderkey") % 4).cast("int").alias("retries"),
+        F.col("o_totalprice").cast("float").alias("score"),
+        F.lit(2_592_000).cast("long").alias("fetch_interval"),
+    )
+    out = dump(frontier, status=2, regex=r"https://h[0-3]\.example\.org/.*",
+               expr="score > 50000", min_retry=1)
+    return out.select("url", "status", "retries",
+                      F.round("score", 2).alias("score"))
+
+
 def _q_automaton_filter(spark, sf_dir):
     # urlfilter-automaton: first-match-wins FULL-match rule chain; DuckDB
     # twin via regexp_full_match over the same default rules
@@ -2815,6 +2916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_index": _q_lang_index,
         "index_criteria_referrer": _q_index_criteria_referrer,
         "retrieval_recall": _q_retrieval_recall,
+        # -- new in r5 --
+        "link_scoring": _q_link_scoring,
+        "readdb_dump": _q_readdb_dump,
         # -- driver-green in CORRECTNESS_r01-r04 --
         "readdb_status_counts": _q_readdb_status_counts,
         "readdb_stats": _q_readdb_stats,
@@ -4275,6 +4379,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, round(score, 4) AS score
             FROM s
             QUALIFY row_number() OVER (ORDER BY sort_score DESC, url) <= 150
+        """,
+        "readdb_dump": """
+            WITH fr AS (
+              SELECT 'https://h' || CAST(o_custkey % 40 AS VARCHAR)
+                       || '.example.org/o/' || o_orderkey AS url,
+                     CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1
+                                        ELSE 3 END AS status,
+                     CAST(o_orderkey % 4 AS INTEGER) AS retries,
+                     CAST(o_totalprice AS FLOAT) AS score
+              FROM orders
+            )
+            SELECT url, status, retries, ROUND(score, 2) AS score
+            FROM fr
+            WHERE status = 2
+              AND regexp_full_match(url, 'https://h[0-3]\\.example\\.org/.*')
+              AND score > 50000
+              AND retries >= 1
+        """,
+        "link_scoring": """
+            WITH fr AS (
+              SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.org/p/' || doc_id AS url,
+                     CAST(CAST(n_chars AS FLOAT) / 100.0 AS FLOAT) AS score
+              FROM documents WHERE doc_id < 900 AND doc_id % 3 <> 2
+            ),
+            cash AS (
+              SELECT 'https://h' || CAST((doc_id + off) % 50 AS VARCHAR)
+                       || '.example.org/p/' || (doc_id + off) AS url,
+                     SUM(CAST(CAST(n_chars AS FLOAT) / 200.0 AS FLOAT))
+                       AS cash
+              FROM documents, (SELECT UNNEST([1, 5]) AS off)
+              WHERE doc_id < 900 AND doc_id % 3 <> 2 AND doc_id % 2 = 0
+              GROUP BY 1
+            )
+            SELECT COALESCE(fr.url, cash.url) AS url,
+                   ROUND(CAST(COALESCE(fr.score, 0.0)
+                              + COALESCE(cash.cash, 0.0) AS FLOAT), 4)
+                     AS score_opic,
+                   ROUND(CAST(COALESCE(fr.score, 0.0) AS FLOAT), 4)
+                     AS score_link
+            FROM fr FULL OUTER JOIN cash ON fr.url = cash.url
         """,
         "automaton_filter": """
             WITH u AS (

@@ -518,18 +518,18 @@ def main() -> None:
     frontier_path = os.path.join(workdir, "frontier")
     results_queries: dict[str, float] = {}
 
-    # --- synthesize once + micro benches at local[CPUS] ---
+    # --- synthesize once (untimed) ---
     spark = build_session(master=f"local[{CPUS}]",
                           shuffle_partitions=max(CPUS, 8),
-                          app_name="cbspark-bench")
+                          app_name="cbspark-bench-synth")
     synthesize_frontier(spark, frontier_path)
-    warmup(spark, frontier_path)
-    results_queries.update(bench_ops(spark, frontier_path))
-    # headline: the full-tier cycle on all silicon (local[CPUS])
-    headline_sec, headline_counts = run_cycle(spark, frontier_path)
     spark.stop()
 
-    # --- headline + scaling: same cycle at local[8] vs local[32].
+    # --- scaling pair FIRST (VERDICT r4 #3): the north-rule number runs
+    # before this process's own micro/headline load warms the box and
+    # before the round's close-out window, when the shared VM is
+    # historically busiest ---
+    # same cycle at local[4] vs local[16].
     # The host VM shows heavy CPU-steal windows (identical runs swing up
     # to 6x), so reps are INTERLEAVED across parallelism levels — a
     # throttle window hits both levels, not just one — and each level
@@ -584,10 +584,12 @@ def main() -> None:
         "cycle_sec_n_reps": all_reps[lo],
         "cycle_sec_4n_reps": all_reps[hi],
     }
-    results_queries["crawl_cycle"] = round(headline_sec, 3)
 
-    # --- bucketed/MERGE path (VERDICT r3 #1): merge vs full-rewrite cycle
-    # at the same fetch workload — the 10^10 claim, measured ---
+    # --- bucketed/MERGE path, now the HEADLINE (VERDICT r4 #4): merge vs
+    # full-rewrite cycle at the same fetch workload — the 10^10 posture
+    # and the scripts/run_crawl.py default.  Full workload prose lives in
+    # BENCH.md (the driver parses the final JSON line only if it fits a
+    # 2000-char tail window — r4's verbose line did not) ---
     bucketed = None
     if os.environ.get("BENCH_BUCKETED", "1") == "1":
         try:
@@ -598,33 +600,117 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — never lose the main metrics
             bucketed = {"error": f"{type(e).__name__}: {e}"}
 
+    # --- micro benches + the r2 full-rewrite cycle (continuity series,
+    # BENCH.md r1-r4) at local[CPUS] ---
+    spark = build_session(master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8),
+                          app_name="cbspark-bench")
+    warmup(spark, frontier_path)
+    results_queries.update(bench_ops(spark, frontier_path))
+    headline_sec, headline_counts = run_cycle(spark, frontier_path)
+    spark.stop()
+    results_queries["crawl_cycle"] = round(headline_sec, 3)
+
     shutil.rmtree(workdir, ignore_errors=True)
-    print(json.dumps({
+
+    merge_ok = bucketed and "merge_cycle_sec" in (bucketed or {})
+    if merge_ok:
+        value = bucketed["merge_cycle_sec"]
+        results_queries["crawl_cycle_merge"] = value
+        thr_merge = round(bucketed["merge"]["fetchlist_rows"] / value, 1)
+    else:
+        value = round(headline_sec, 3)
+        thr_merge = None
+    compact_bucketed = None
+    if bucketed:
+        compact_bucketed = ({"error": bucketed["error"]}
+                            if "error" in bucketed else {
+            "version": "r5-headline",
+            "merge_sec": bucketed["merge_cycle_sec"],
+            "full_sec": bucketed["full_cycle_sec"],
+            "merge_reps": bucketed["merge_cycle_reps"],
+            "full_reps": bucketed["full_cycle_reps"],
+            "touched_buckets": bucketed["merge"]["touched_buckets"],
+            "fetchlist_rows": bucketed["merge"]["fetchlist_rows"],
+            "frontier_rows": bucketed["merge"]["frontier_rows"],
+            "detail": "BENCH.md",
+        })
+    out = {
         "metric": "crawl_cycle_sec",
-        "value": round(headline_sec, 3),
+        "value": value,
         "unit": "sec",
-        # versioned cycle composition so round-over-round wall times
-        # compare like-for-like (VERDICT r2: the r1→r2 142s-vs-48s jump
-        # was a workload change — mixed codecs + per-row validation —
-        # not a regression)
+        # headline = CrawlDriver(bucketed=True) MERGE cycle, 6M-row
+        # frontier, due rows in 13/256 host-buckets (production posture;
+        # workload prose in BENCH.md).  version r2 = the r1-r4 headline
+        # (full-rewrite cycle), kept in queries.crawl_cycle + throughput
+        # for round-over-round continuity.
         "cycle_workload": {
-            "version": "r2",
-            "payload": "synthetic mixed 32-128px png/jpeg/bmp, real bytes",
-            "validation": "per-row decode + pixel-diff (PSNR>=40dB lossy) "
-                          "+ caption equality",
-            "steps": "generate,fetch,parse,updatedb,dedup_phash",
+            "version": "r5-bucketed-merge" if merge_ok else "r2",
             "frontier_rows": N_FRONTIER,
-            "topn": TOPN,
+            "due_buckets": 13, "host_buckets": 256,
+            "detail": "BENCH.md",
         },
         "queries": results_queries,
         "sf": SF_DIR,
         "frontier_rows": N_FRONTIER,
         "fetchlist_rows": headline_counts["fetch_rows"],
-        "throughput": {f"urls_per_sec_local{CPUS}":
-                       round(headline_counts["fetch_rows"] / headline_sec, 1)},
+        "throughput": {
+            f"urls_per_sec_local{CPUS}_merge": thr_merge,
+            f"urls_per_sec_local{CPUS}_r2_full":
+                round(headline_counts["fetch_rows"] / headline_sec, 1),
+        },
+        "runs": _collect_runs(),
         "scaling": scaling,
-        "bucketed_workload": bucketed,
-    }))
+        "bucketed_workload": compact_bucketed,
+    }
+    save = os.environ.get("BENCH_SAVE_RUN")
+    if save:
+        _save_run(save, out)
+    line = json.dumps(out)
+    if len(line) > 1900:  # keep the driver's tail-window parse alive
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
+
+
+def _run_summary(out: dict) -> dict:
+    """Compact per-run record embedded in later runs' output — so the
+    driver's end-of-round file carries every rep of every disclosed run
+    (VERDICT r4 #8: BENCH.md narrative vs driver-file divergence)."""
+    sc = out.get("scaling") or {}
+    bw = out.get("bucketed_workload") or {}
+    return {
+        "eff": sc.get("efficiency_n_to_4n"),
+        "ceil": sc.get("hardware_ceiling_efficiency"),
+        "n_reps": sc.get("cycle_sec_n_reps"),
+        "4n_reps": sc.get("cycle_sec_4n_reps"),
+        "merge_reps": bw.get("merge_reps"),
+        "full_reps": bw.get("full_reps"),
+        "r2_cycle": (out.get("queries") or {}).get("crawl_cycle"),
+    }
+
+
+_RUNS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "dist", "bench_runs")
+
+
+def _save_run(name: str, out: dict) -> None:
+    os.makedirs(_RUNS_DIR, exist_ok=True)
+    with open(os.path.join(_RUNS_DIR, f"{name}.json"), "w") as f:
+        json.dump(_run_summary(out), f)
+
+
+def _collect_runs() -> dict:
+    runs = {}
+    if os.path.isdir(_RUNS_DIR):
+        for fn in sorted(os.listdir(_RUNS_DIR)):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(_RUNS_DIR, fn)) as f:
+                        runs[fn[:-5]] = json.load(f)
+                except (OSError, ValueError):
+                    pass
+    return runs
 
 
 if __name__ == "__main__":

@@ -35,6 +35,12 @@ class CrawlConfig:
     min_score: float = 0.0                # generate.min.score
     ext_boost_extensions: tuple = ()      # scoring.ext.extensions (scoring-ext)
     ext_boost: float = 10.0               # scoring.ext.boost
+    # scoring filter plugin: "opic" (scoring-opic, default plugin set) or
+    # "link" (scoring-link LinkAnalysisScoringFilter: updateDb/distribute
+    # are no-ops — scores come solely from the WebGraph/LinkRank
+    # ScoreUpdater job — and indexer boost = normalize * db score)
+    scoring_filter: str = "opic"
+    link_normalize_score: float = 1.0     # link.analyze.normalize.score
     min_interval_s: int = -1              # generate.min.interval
     restrict_status: int | None = None    # generate.restrict.status
     expr: str | None = None               # Jexl expr -> SQL string (C9)

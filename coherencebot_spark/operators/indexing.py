@@ -30,6 +30,8 @@ Filters re-expressed (reference file:line cited per function):
   * org_filter        — the fork's index-org ``OrgIndexer.java:84-251``
     (org-metadata lookup keyed by org.slug else domain; the HTTP API is an
     injectable lookup table — no network in this sandbox)
+  * link_score_filter — scoring-link
+    ``LinkAnalysisScoringFilter.java:66-73`` indexerScore (doc boost)
 
 Chain runner: ``apply_chain(doc, [f1, f2, ...])`` applies in order, like
 ``indexingfilter.order``.
@@ -121,6 +123,28 @@ def basic_filter(max_title_length: int = 100, add_domain: bool = False,
                    .withColumn("title",
                                F.when(F.length(title) > 0, title))
                    .withColumn("tstamp", F.col("fetch_time")))
+
+    return _apply
+
+
+# ----------------------------------------------------------- scoring-link
+
+
+def link_score_filter(normalize: float = 1.0) -> Filter:
+    """scoring-link ``LinkAnalysisScoringFilter.indexerScore``
+    (``LinkAnalysisScoringFilter.java:66-73``): the document boost is
+    ``link.analyze.normalize.score * dbDatum.score`` — the db score the
+    WebGraph/LinkRank ScoreUpdater wrote back — replacing whatever
+    ``initScore`` the chain carried; a doc with no db datum keeps the
+    incoming boost.  The db score rides the J5 document frame as the
+    frontier ``score`` column, so this is one Project, no join."""
+
+    def _apply(doc: DataFrame) -> DataFrame:
+        boost = F.lit(float(normalize)) * F.col("score")
+        if _has(doc, "boost"):
+            boost = F.when(F.col("score").isNotNull(), boost) \
+                .otherwise(F.col("boost"))
+        return doc.withColumn("boost", boost.cast("float"))
 
     return _apply
 

@@ -72,13 +72,22 @@ def parse_train_lines(lines: list[str]) -> list[tuple[str, str]]:
 
 
 def train_nb(examples: DataFrame, label_col: str = "label",
-             text_col: str = "text") -> NBModel:
+             text_col: str = "text",
+             max_vocab: int = 1_000_000) -> NBModel:
     """Distributed Train.start: per-class example counts, token counts
     (INCLUDING interior empty tokens — ``linearray.length``), word→freq
     maps (empty tokens skipped — ``updateHashMap``), and the shared
     unique-word count (empty tokens INCLUDED — ``uniquewords.add`` has no
     guard).  Classes: ``"0"`` = irrelevant, anything else = relevant
-    (Train.java:104-120's if/else)."""
+    (Train.java:104-120's if/else).
+
+    The frequency maps are collected to the driver — correct by the
+    reference's contract (``parsefilter-naivebayes`` trains on a
+    seed-scale labeled file, and the model is broadcast whole to every
+    classify task, so it must fit in one process either way).
+    ``max_vocab`` makes misuse loud: pointing the trainer at a corpus
+    instead of a training file fails fast with an actionable error
+    instead of silently materializing a corpus-sized dict."""
     toks = examples.select(
         (F.col(label_col) == "0").alias("is_ir"),
         java_tokens(F.col(text_col)).alias("toks"))
@@ -92,6 +101,15 @@ def train_nb(examples: DataFrame, label_col: str = "label",
         word_rows = (toks.select("is_ir", F.explode("toks").alias("w"))
                      .persist())
         vocab_size = word_rows.select("w").distinct().count()
+        if vocab_size > max_vocab:
+            word_rows.unpersist()
+            raise ValueError(
+                f"train_nb: vocabulary {vocab_size} exceeds max_vocab="
+                f"{max_vocab}. The naive-bayes trainer collects per-word "
+                "frequencies to the driver (the reference broadcasts the "
+                "whole model); it is meant for a seed-scale labeled "
+                "training file, not a corpus. Raise max_vocab only if "
+                "the model must really hold this many words.")
         freq = {(r["is_ir"], r["w"]): r["c"]
                 for r in word_rows.filter(F.col("w") != "")
                 .groupBy("is_ir", "w").count()

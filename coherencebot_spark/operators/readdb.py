@@ -76,18 +76,33 @@ def url_lookup(frontier: DataFrame, url: str,
 
 def dump(frontier: DataFrame, status: int | None = None,
          regex: str | None = None, expr: str | None = None,
-         min_retry: int | None = None) -> DataFrame:
+         min_retry: int | None = None,
+         sample: float | None = None) -> DataFrame:
     """`readdb -dump` with pushed-down predicates
-    (CrawlDbDumpMapper, CrawlDbReader.java:861-923)."""
+    (CrawlDbDumpMapper, CrawlDbReader.java:861-923).
+
+    Parity notes: the reference's ``-regex`` uses ``Matcher.matches()``
+    (:906-911) — a FULL match — so the pattern is anchored here;
+    ``-sample`` (:891-893) is ``Math.random() > sample`` per row in the
+    reference — non-deterministic by design; here it is a deterministic
+    url-hash threshold so dumps are reproducible and engine-portable.
+    The raw-column comparisons (status/retry) reach the parquet scan as
+    PushedFilters (asserted in tests), so a filtered dump of a 10^10-row
+    frontier is row-group-pruned I/O, not a full decode."""
     df = frontier
     if status is not None:
         df = df.filter(F.col("status") == int(status))
     if regex is not None:
-        df = df.filter(F.col("url").rlike(regex))
+        df = df.filter(F.col("url").rlike("^(?:" + regex + ")$"))
     if expr is not None:
         df = df.filter(F.expr(expr))
     if min_retry is not None:
         df = df.filter(F.col("retries") >= int(min_retry))
+    if sample is not None and float(sample) < 1.0:
+        thresh = int(float(sample) * (1 << 32))
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col("url"), F.lit(0x5A)), F.lit(1 << 32))
+            < thresh)
     return df
 
 

@@ -12,6 +12,15 @@
   block, so url/topic extraction is pure JVM regexp over distributed
   splits — a 3 GB dump parses in parallel instead of through one SAX
   stream.
+* :func:`resolve_urls` — ``tools/ResolveUrls.java:60-130``: probe DNS
+  resolution for every distinct host of a url list.  The reference runs
+  a 100-thread pool on one box; here the probe is a mapInPandas over the
+  DISTINCT-host frame (the same injectable-resolver shape as
+  ``operators.hostdb.update_hostdb`` — no network in this sandbox, so
+  the resolver callable is required and a fake is used in tests).
+* :func:`show_properties` — ``tools/ShowProperties.java:35-65``: dump
+  the effective configuration as (key, value) rows; the CrawlConfig
+  dataclass IS the engine's Configuration.
 * ``tools/Benchmark.java`` is superseded by the repo-level ``bench.py``
   (documented in COVERAGE.md).
 """
@@ -226,6 +235,61 @@ def format_crawl_stats(seed_lines: DataFrame, completion: DataFrame,
 # (ref net/URLFilterChecker.java:72-83, net/URLNormalizerChecker.java:77-89;
 #  util/AbstractChecker.java provides the stdin/telnet front end)
 # ---------------------------------------------------------------------------
+
+def resolve_urls(urls: DataFrame, resolve_fn, url_col: str = "url",
+                 summary: bool = False) -> DataFrame:
+    """``tools/ResolveUrls.java:60-130`` — DNS-probe every DISTINCT host
+    of a url list.  ``resolve_fn(hosts: pd.Series) -> pd.Series[bool]``
+    is the injectable resolver (``InetAddress.getByName`` succeeded?) —
+    same contract as the hostdb DNS hook; there is no network in this
+    sandbox and no default resolver on purpose.
+
+    Returns ``(host, resolved)`` per distinct host, or with
+    ``summary=True`` the reference's closing totals line as one row
+    ``(total, resolved, errored)``.  Scale shape: distinct-host
+    aggregation then a mapInPandas probe over hosts only — the url list
+    itself never reaches Python."""
+    if resolve_fn is None:
+        raise ValueError(
+            "resolve_urls needs a resolver callable "
+            "(hosts pd.Series -> pd.Series[bool]): real DNS requires "
+            "network access — inject socket.gethostbyname there in a "
+            "connected deployment, a fake in tests.")
+    hosts = urls.select(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")).alias("host")) \
+        .filter(F.col("host").isNotNull()).distinct()
+
+    def probe(it):
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame({
+                    "host": pdf["host"],
+                    "resolved": resolve_fn(pdf["host"]).astype(bool),
+                })
+
+    out = hosts.mapInPandas(probe, schema="host string, resolved boolean")
+    if not summary:
+        return out
+    return out.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("resolved").cast("long")).alias("resolved"),
+        (F.count("*") - F.sum(F.col("resolved").cast("long")))
+        .alias("errored"))
+
+
+def show_properties(cfg=None) -> list[tuple[str, str]]:
+    """``tools/ShowProperties.java:35-65`` — dump the effective
+    configuration as sorted (key, value) pairs.  The reference iterates
+    the Hadoop ``Configuration``; the engine's configuration object is
+    the :class:`~coherencebot_spark.config.CrawlConfig` dataclass."""
+    import dataclasses
+
+    from ..config import DEFAULT
+
+    cfg = cfg or DEFAULT
+    return sorted((f.name, str(getattr(cfg, f.name)))
+                  for f in dataclasses.fields(cfg))
+
 
 def check_url_filters(urls: DataFrame, chain=None,
                       url_col: str = "line") -> DataFrame:

@@ -398,11 +398,17 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
     base_score = cascade(o["score"], link_new_score, eff_score, eff_score,
                          eff_score)
 
-    # OPIC updateDbScore (SC4): score = (old ?? result).score + Σ cash
-    score = (
-        F.when(has_old, o["score"]).otherwise(base_score)
-        + F.coalesce(F.col("link_cash"), F.lit(0.0))
-    ).cast("float")
+    # OPIC updateDbScore (SC4): score = (old ?? result).score + Σ cash.
+    # scoring-link (LinkAnalysisScoringFilter.java:56-60,97-100):
+    # distributeScoreToOutlinks and updateDbScore are both no-ops — the
+    # db score only ever changes via the WebGraph ScoreUpdater job
+    # (webgraph.update_scores), so no cash term; new linked rows keep
+    # initialScore 0.0 (:75-78, same constant as the OPIC path's
+    # link_new_score).
+    score = F.when(has_old, o["score"]).otherwise(base_score)
+    if cfg.scoring_filter != "link":
+        score = score + F.coalesce(F.col("link_cash"), F.lit(0.0))
+    score = score.cast("float")
 
     # drop the generate marker (reducer:319-320) — ONLY on the fetch/link
     # path; old-only pass-through rows (generated but not fetched this

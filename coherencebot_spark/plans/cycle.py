@@ -78,7 +78,16 @@ class CrawlDriver:
         discovered links, and the snapshot carries untouched buckets forward
         by reference — cycle cost ∝ touched data, not frontier size (the
         10^10-row requirement).  Every ``full_rewrite_every`` cycles a full
-        snapshot compacts the merge chain."""
+        snapshot compacts the merge chain.
+
+        ``bucketed=True`` is the documented PRODUCTION posture (and the
+        ``scripts/run_crawl.py`` default): at any frontier a cycle
+        touches a bounded fraction of, the merge commit's cost tracks
+        touched buckets while the full rewrite pays the whole frontier
+        every cycle (measured: BENCH.md r4, 60-71s vs 82s at 5% touched
+        on 6M rows, identical results).  The constructor default stays
+        False only because the full rewrite is the simpler object for
+        unit tests and tiny ad-hoc crawls."""
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg

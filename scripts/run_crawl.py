@@ -33,9 +33,19 @@ def main() -> None:
     ap.add_argument("--t0", type=int, default=1_700_000_000_000,
                     help="epoch-ms clock origin (injected, deterministic)")
     ap.add_argument("--n-hosts", type=int, default=1000)
-    ap.add_argument("--bucketed", action="store_true",
+    # bucketed/MERGE frontier commits are the production default (cycle
+    # cost ∝ touched buckets — the 10^10 posture; wall-clocked in
+    # BENCH.md r4: a 5%-touched cycle costs 60-71s vs 82s full on the
+    # same input, byte-identical results).  --full-rewrite keeps the
+    # whole-frontier rewrite for small crawls / A-B runs.
+    ap.add_argument("--bucketed", action="store_true", default=True,
                     help="MERGE-style frontier commits: cycle cost ∝ "
-                         "touched buckets (the 10^10 mode)")
+                         "touched buckets (the 10^10 mode; DEFAULT)")
+    ap.add_argument("--full-rewrite", dest="bucketed",
+                    action="store_false",
+                    help="rewrite the full frontier every cycle "
+                         "(reference CrawlDb-update semantics at small "
+                         "scale)")
     ap.add_argument("--hostdb-every", type=int, default=1,
                     help="update hostdb every N cycles (0 = never; "
                          "ref src/bin/crawl --hostdbupdate)")

@@ -109,3 +109,23 @@ def test_model_file_round_trip(spark, tmp_path):
     p = str(tmp_path / "naivebayes-model")
     write_model(m, p)
     assert read_model(p) == m
+
+
+def test_train_nb_vocab_guard(spark):
+    """The trainer collects per-word frequencies to the driver (seed-scale
+    training file by contract); max_vocab fails fast with an actionable
+    error when pointed at corpus-sized input."""
+    import pytest
+
+    from coherencebot_spark.operators.nbayes import train_nb
+
+    def w(p, i):  # letter-only words: the tokenizer strips digits
+        return p + "abcdefghij"[i // 10] + "abcdefghij"[i % 10]
+
+    ex = spark.createDataFrame(
+        [("1", f"{w('x', i)} {w('y', i)} {w('z', i)}") for i in range(40)]
+        + [("0", w("q", i)) for i in range(10)], "label string, text string")
+    with pytest.raises(ValueError, match="max_vocab"):
+        train_nb(ex, max_vocab=50)
+    m = train_nb(ex, max_vocab=1000)
+    assert m.vocab_size > 50

@@ -190,3 +190,76 @@ def test_hostdb_homepage_recorded(spark):
     hdb2 = update_hostdb(spark.createDataFrame(rows2, FRONTIER), hostdb=hdb)
     md2 = {r.host: (r.metadata or {}) for r in hdb2.collect()}
     assert md2["a.org"].get("homepage_url") == "http://a.org/"
+
+
+def test_readdb_dump_predicates_and_pushdown(spark, tmp_path):
+    """`readdb -dump` parity (CrawlDbReader.java:861-923): the regex is a
+    FULL match (Matcher.matches()), -sample is a deterministic url-hash
+    threshold, and the raw-column predicates (status, retries) reach the
+    parquet scan as PushedFilters."""
+    from coherencebot_spark.operators.readdb import dump
+
+    rows = [frow(f"http://h{i % 9}.example.org/p{i}", f"h{i % 9}.example.org",
+                 Db.FETCHED if i % 2 == 0 else Db.UNFETCHED)
+            for i in range(200)]
+    for r, i in zip(rows, range(200)):
+        r["retries"] = i % 4
+    path = str(tmp_path / "frontier")
+    spark.createDataFrame(rows, FRONTIER).write.parquet(path)
+    f = spark.read.parquet(path)
+
+    # full-match semantics: a pattern matching only a url PREFIX selects
+    # nothing (Java matches() would reject it too)
+    assert dump(f, regex=r"http://h1\.example\.org").count() == 0
+    got = {r.url for r in dump(f, status=int(Db.FETCHED),
+                               regex=r"http://h[12]\.example\.org/.*",
+                               min_retry=2).collect()}
+    expect = {r["url"] for r in rows
+              if r["status"] == int(Db.FETCHED) and r["retries"] >= 2
+              and r["url"].split("//")[1].split(".")[0] in ("h1", "h2")}
+    assert got == expect and got
+
+    # deterministic sample: same fraction → same rows, and roughly |f|·p
+    s1 = {r.url for r in dump(f, sample=0.3).collect()}
+    s2 = {r.url for r in dump(f, sample=0.3).collect()}
+    assert s1 == s2
+    assert 20 <= len(s1) <= 100
+
+    # pushdown: status/retries land in the parquet scan's PushedFilters
+    plan = dump(f, status=int(Db.FETCHED), min_retry=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re as _re
+    pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "status" in pushed and "retries" in pushed, pushed
+
+
+def test_resolve_urls_and_show_properties(spark):
+    """tools/ResolveUrls.java distinct-host probe with an injected
+    resolver; ShowProperties config dump."""
+    import pandas as pd
+    import pytest
+
+    from coherencebot_spark.operators.tools import (resolve_urls,
+                                                    show_properties)
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.example.org/p{i}",) for i in range(30)]
+        + [("not a url",)], "url string")
+
+    def fake(hosts: pd.Series) -> pd.Series:
+        return hosts.str.startswith("h1") | hosts.str.startswith("h3")
+
+    got = {r.host: r.resolved for r in resolve_urls(urls, fake).collect()}
+    assert len(got) == 5                     # distinct hosts only
+    assert got["h1.example.org"] and got["h3.example.org"]
+    assert not got["h0.example.org"]
+    s = resolve_urls(urls, fake, summary=True).collect()[0]
+    assert (s.total, s.resolved, s.errored) == (5, 2, 3)
+    with pytest.raises(ValueError, match="resolver"):
+        resolve_urls(urls, None)
+
+    props = dict(show_properties())
+    assert props["scoring_filter"] == "opic"
+    assert props["interval_default_s"] == str(30 * 86400)
+    assert show_properties() == sorted(show_properties())
