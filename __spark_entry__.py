@@ -1382,6 +1382,25 @@ def _q_link_scoring(spark, sf_dir):
         F.round("score_link", 4).alias("score_link"))
 
 
+def _q_resolve_urls(spark, sf_dir):
+    # tools/ResolveUrls.java distinct-host probe; the resolver is
+    # injectable (no network) — the oracle injects a deterministic fake
+    # (host-length parity) so DuckDB can replay the verdict exactly
+    from coherencebot_spark.operators.tools import resolve_urls
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 137).cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+
+    def fake(hosts):
+        return hosts.str.len() % 2 == 0
+
+    return resolve_urls(urls, fake)
+
+
 def _q_readdb_dump(spark, sf_dir):
     # S11 `readdb -dump` with the full CrawlDbDumpMapper predicate set
     # (CrawlDbReader.java:861-923): status + ANCHORED regex (matches())
@@ -2919,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 --
         "link_scoring": _q_link_scoring,
         "readdb_dump": _q_readdb_dump,
+        "resolve_urls": _q_resolve_urls,
         # -- driver-green in CORRECTNESS_r01-r04 --
         "readdb_status_counts": _q_readdb_status_counts,
         "readdb_stats": _q_readdb_stats,
@@ -4379,6 +4399,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, round(score, 4) AS score
             FROM s
             QUALIFY row_number() OVER (ORDER BY sort_score DESC, url) <= 150
+        """,
+        "resolve_urls": """
+            SELECT DISTINCT
+                   'host' || CAST(doc_id % 137 AS VARCHAR)
+                     || '.example.org' AS host,
+                   length('host' || CAST(doc_id % 137 AS VARCHAR)
+                          || '.example.org') % 2 = 0 AS resolved
+            FROM documents
         """,
         "readdb_dump": """
             WITH fr AS (

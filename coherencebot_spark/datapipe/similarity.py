@@ -747,7 +747,8 @@ def cosine_topk_pq(vectors: DataFrame, queries: DataFrame, k: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    qid_col: str = "query_id", method: str = "sample",
                    seed: int = 42, rerank: int = 0,
-                   route: str = "auto") -> DataFrame:
+                   route: str = "auto",
+                   _table_threshold: int = 1024) -> DataFrame:
     """ANN top-k by PQ asymmetric distance (ADC, inner-product form):
     the corpus is scored through its m-int codes against per-query
     lookup tables — the big side never touches its float vectors after
@@ -782,7 +783,7 @@ def cosine_topk_pq(vectors: DataFrame, queries: DataFrame, k: int,
     codes = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col,
                       route=route)
     qrows = queries.select(qid_col, vec_col).collect()
-    if len(qrows) <= 1024:
+    if len(qrows) <= _table_threshold:
         # plain left-to-right sums: bit-matches the DuckDB list_reduce
         # twin (oracle query sets are small by construction)
         tbl_rows = []
