@@ -333,3 +333,137 @@ def check_url_normalizers(urls: DataFrame, normalizers=None,
 
     return urls.select(
         F.col(url_col), _norm(F.col(url_col)).alias("result"))
+
+
+# ---------------------------------------------------------------------------
+# Single-URL end-to-end checkers — ParserChecker / IndexingFiltersChecker
+# (ref parse/ParserChecker.java:143-301, indexer/IndexingFiltersChecker.java:
+#  143-304; util/AbstractChecker.java is the stdin/telnet front end).
+# The reference runs ONE url through the real protocol + parse + indexing
+# stacks and prints a text dump; the rebuild does the same through the
+# engine's real fetch()/parse()/apply_chain() plans — driver-side by
+# design (it is a one-row debugging tool, not a pipeline stage).
+# ---------------------------------------------------------------------------
+
+def _single_url_run(spark, url: str, cfg, backend, payload_batch_fn, t0):
+    from ..operators.fetch import fetch
+    from ..operators.parse import parse
+    from ..schemas import FETCHLIST
+    from ..status import Db
+
+    from ..functions.urls import normalize_urls
+    norm = normalize_urls(pd.Series([url])).iloc[0] or url
+
+    host = norm.split("://", 1)[-1].split("/", 1)[0].split(":")[0]
+    row = dict(url=norm, host=host, status=int(Db.UNFETCHED),
+               fetch_time=t0 - 10, retries=0, fetch_interval=2_592_000,
+               score=1.0, signature=None, modified_time=0, metadata=None,
+               segnum=1, partition_id=0, sort_key=0)
+    fl = spark.createDataFrame([row], schema=FETCHLIST)
+    log, content = fetch(fl, t0, cfg, backend=backend,
+                         payload_batch_fn=payload_batch_fn)
+    parsed = parse(log, content, cfg)
+    return norm, log, content, parsed
+
+
+def check_parser(spark, url: str, cfg=None, backend=None,
+                 payload_batch_fn=None, dump_text: bool = False,
+                 t0: int = 1_700_000_000_000) -> str:
+    """``bin/nutch parsechecker`` — fetch ONE url through the (injectable)
+    protocol backend, parse it, and return the reference-shaped dump:
+    contentType/signature header, then per parse row the status, title,
+    outlink list and parse metadata (ParserChecker.java:269-296; the
+    reference prints ParseData.toString()).  Fetch failures return the
+    ``Fetch failed with protocol status: ...`` line (:210)."""
+    from ..config import DEFAULT as _DEFAULT
+    from ..status import Fetch, Msg
+
+    cfg = cfg or _DEFAULT
+    norm, log, content, parsed = _single_url_run(
+        spark, url, cfg, backend, payload_batch_fn, t0)
+    lines = [f"fetching: {norm}"]
+    lrows = log.collect()
+    if not lrows or lrows[0].status != int(Fetch.SUCCESS):
+        names = {v: k for k, v in vars(Fetch).items() if isinstance(v, int)}
+        got = names.get(lrows[0].status, lrows[0].status) if lrows \
+            else "no row (time limit / breaker)"
+        lines.append(f"Fetch failed with protocol status: {got}")
+        return "\n".join(lines) + "\n"
+    crows = {r.url: r for r in content.collect()}
+    c = crows.get(norm)
+    mime = f"image/{c.fmt}" if c is not None and c.fmt else \
+        "application/octet-stream"
+    lines.append(f"contentType: {mime}")
+    prows = parsed.collect()
+    me = [r for r in prows if r.url == norm
+          and r.status == int(Msg.SIGNATURE)]
+    links = [r for r in prows if r.status == int(Msg.LINKED)]
+    if me and me[0].signature is not None:
+        lines.append(f"signature: {bytes(me[0].signature).hex()}")
+    lines.append(norm)
+    lines.append("Status: success(1,0)")
+    lines.append(f"Title: {c.caption if c is not None else ''}")
+    lines.append(f"Outlinks: {len(links)}")
+    for r in sorted(links, key=lambda r: r.url):
+        lines.append(f"  outlink: toUrl: {r.url} anchor: {r.anchor or ''}")
+    metas = [r for r in prows if r.url == norm
+             and r.status == int(Msg.PARSE_META) and r.metadata]
+    for r in metas:
+        for k in sorted(r.metadata):
+            lines.append(f"  parseMeta: {k} = {r.metadata[k]}")
+    if dump_text and c is not None:
+        lines.append(c.caption or "")
+    return "\n".join(lines) + "\n"
+
+
+def check_indexing_filters(spark, url: str, cfg=None, backend=None,
+                           payload_batch_fn=None, filters=None,
+                           t0: int = 1_700_000_000_000) -> str:
+    """``bin/nutch indexchecker`` — ONE url through fetch → parse → the
+    indexing filter chain, dumping each doc field as ``name :\\t value``
+    truncated to 100 chars (IndexingFiltersChecker.java:290-302), or
+    ``Document discarded by indexing filter`` when the chain rejects it
+    (:288).  ``filters`` defaults to the production cycle chain
+    (basic + anchor)."""
+    from ..config import DEFAULT as _DEFAULT
+    from ..operators.indexing import anchor_filter, apply_chain, basic_filter
+    from ..sources.sinks import build_index_documents
+    from ..status import Db, Fetch
+
+    cfg = cfg or _DEFAULT
+    norm, log, content, parsed = _single_url_run(
+        spark, url, cfg, backend, payload_batch_fn, t0)
+    lines = [f"fetching: {norm}", f"parsing: {norm}"]
+    lrows = log.collect()
+    if not lrows or lrows[0].status != int(Fetch.SUCCESS):
+        lines.append("Fetch failed with protocol status: "
+                     f"{lrows[0].status if lrows else 'none'}")
+        return "\n".join(lines) + "\n"
+    lr = lrows[0]
+    frontier = spark.createDataFrame(
+        [(norm, lr.host, int(Db.FETCHED), int(lr.fetch_time), 0,
+          2_592_000, float(lr.score), None, 0, None)],
+        "url string, host string, status int, fetch_time long, "
+        "retries int, fetch_interval long, score float, "
+        "signature binary, modified_time long, "
+        "metadata map<string,string>")
+    narrow = content.select("url", "image_id", "w", "h", "fmt",
+                            "caption", "phash")
+    docs = (build_index_documents(frontier, narrow)
+            .withColumn("text", F.coalesce(F.col("caption"), F.lit("")))
+            .withColumn("title", F.lit(None).cast("string"))
+            .withColumn("anchors", F.lit(None).cast("array<string>")))
+    chain = filters if filters is not None else [
+        basic_filter(add_domain=True), anchor_filter()]
+    out = apply_chain(docs.filter(~F.col("_delete")), chain).collect()
+    if not out:
+        lines.append("Document discarded by indexing filter")
+        return "\n".join(lines) + "\n"
+    d = out[0].asDict()
+    d["id"] = norm
+    for name in sorted(d):
+        if name.startswith("_") or d[name] is None:
+            continue
+        s = str(d[name])
+        lines.append(f"{name} :\t{s[:100]}")
+    return "\n".join(lines) + "\n"
