@@ -2684,6 +2684,76 @@ def _q_decontaminate(spark, sf_dir):
         "contaminated")
 
 
+def _q_gopher_quality(spark, sf_dir):
+    # full Gopher quality rule set (Rae et al. 2021 A1.1) over five
+    # constructed text shapes (plain prose / bullet list / ellipsis
+    # trails / symbol soup / too-short); the DuckDB twin re-computes
+    # EVERY measurement relationally with list lambdas over the same
+    # constructed text — nothing is stated per construction.
+    from coherencebot_spark.datapipe.cleaning import gopher_quality_filter
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    sid = F.col("doc_id").cast("string")
+    mode = F.col("doc_id") % 5
+    prose = F.concat(
+        F.repeat(F.lit("the quick brown fox jumps over that lazy dog and "
+                       "we have to be with all of them now "), 4),
+        F.lit("tail "), sid)
+    bullets = F.concat(
+        F.repeat(F.lit("- item one of the list we have\n"), 9),
+        F.lit("- last "), sid)
+    dots = F.concat(
+        F.repeat(F.lit("we trail off here and there...\n"), 9),
+        F.lit("end "), sid, F.lit("..."))
+    symbols = F.concat(prose, F.repeat(F.lit(" #"), 30))
+    shorty = F.concat(F.lit("too few words here "), sid)
+    text = (F.when(mode == 0, prose)
+            .when(mode == 1, bullets)
+            .when(mode == 2, dots)
+            .when(mode == 3, symbols)
+            .otherwise(shorty))
+    src = d.select("doc_id", text.alias("text"))
+    out = gopher_quality_filter(src)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stopwords", "keep")
+
+
+def _q_c4_clean(spark, sf_dir):
+    # C4 line+page cleaning (Raffel et al. 2020 §2.2) over constructed
+    # pages: kept/short/unpunctuated/javascript lines plus per-mode page
+    # poisons (lorem ipsum / curly braces / too-few-sentences); the twin
+    # filters the SAME lines with list lambdas and re-joins the clean
+    # text — value-compared verbatim, not per construction.
+    from coherencebot_spark.datapipe.cleaning import c4_clean_lines
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    sid = F.col("doc_id").cast("string")
+    mode = F.col("doc_id") % 4
+    good1 = F.concat(F.lit("This is sentence number "), sid,
+                     F.lit(" with enough words to pass."))
+    stem = F.concat(
+        good1,
+        F.lit("\nShort line.\nno punctuation line with many words here\n"
+              "Please enable javascript to view this page properly.\n"
+              "Another valid sentence appears right here with words!\n"
+              "A third complete sentence finishes the page nicely."))
+    text = (F.when(mode == 1, F.concat(
+                stem, F.lit("\nLorem ipsum dolor sit amet right here.")))
+            .when(mode == 2, F.concat(
+                stem, F.lit("\nA curly { brace } appears in this line.")))
+            .when(mode == 3, F.concat(
+                good1,
+                F.lit("\nShort line.\nno punctuation line with many words"
+                      " here")))
+            .otherwise(stem))
+    src = d.select("doc_id", text.alias("text"))
+    out = c4_clean_lines(src)
+    return out.select("doc_id", "n_lines", "n_lines_kept", "n_sentences",
+                      "keep", "clean_text")
+
+
 def _q_chunk_manifest(spark, sf_dir):
     # concat-and-chunk packing manifest at chunk=97 tokens (prime, so
     # documents straddle boundaries constantly); the DuckDB twin is a
@@ -2971,11 +3041,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": _q_phash_near_dups,
         "caption_alignment": _q_caption_alignment,
         "retrieval_hits": _q_retrieval_hits,
-        "eval_decontaminate": _q_eval_decontaminate,
-        "image_shard_manifest": _q_image_shard_manifest,
+        "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
         "resolve_urls": _q_resolve_urls,
         "pdf_headings": _q_pdf_headings,
         # -- siblings of in-window entries (see note above) --
+        "eval_decontaminate": _q_eval_decontaminate,
+        "image_shard_manifest": _q_image_shard_manifest,
         "readhostdb_get": _q_readhostdb_get,
         "readhostdb_stats": _q_readhostdb_stats,
         "politeness_clock_domain": _q_politeness_clock_domain,
@@ -5300,6 +5372,132 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS dup_char_frac,
                    doc_id % 3 <> 0 AS keep
             FROM documents WHERE doc_id < 400
+        """,
+        "gopher_quality": r"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN repeat('the quick brown fox jumps over that '
+                    || 'lazy dog and we have to be with all of them now ',
+                    4) || 'tail ' || doc_id
+                  WHEN 1 THEN repeat('- item one of the list we have'
+                    || chr(10), 9) || '- last ' || doc_id
+                  WHEN 2 THEN repeat('we trail off here and there...'
+                    || chr(10), 9) || 'end ' || doc_id || '...'
+                  WHEN 3 THEN repeat('the quick brown fox jumps over that '
+                    || 'lazy dog and we have to be with all of them now ',
+                    4) || 'tail ' || doc_id || repeat(' #', 30)
+                  ELSE 'too few words here ' || doc_id
+                END AS text
+              FROM documents WHERE doc_id < 400
+            ), parts AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(text, '\s+'),
+                            w -> w <> '') AS ws,
+                list_filter(string_split(text, chr(10)),
+                            l -> trim(l) <> '') AS ls
+              FROM src
+            ), m AS (
+              SELECT doc_id, text, ws, ls,
+                len(ws) AS n_words,
+                GREATEST(len(ls), 1) AS n_lines,
+                CASE WHEN len(ws) > 0 THEN
+                  list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                    / len(ws) ELSE 0.0 END AS mwl,
+                CASE WHEN len(ws) > 0 THEN
+                  (len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE
+                    / len(ws) ELSE 0.0 END AS symr,
+                len(list_filter(ls, l -> regexp_matches(l,
+                  '^\s*[-*•‣▪]')))::DOUBLE / GREATEST(len(ls), 1) AS bullf,
+                len(list_filter(ls, l -> regexp_matches(l,
+                  '(\.\.\.|…)\s*$')))::DOUBLE / GREATEST(len(ls), 1)
+                  AS ellf,
+                CASE WHEN len(ws) > 0 THEN
+                  len(list_filter(ws, w -> regexp_matches(w,
+                    '[A-Za-z]')))::DOUBLE / len(ws) ELSE 0.0 END AS alphf,
+                (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+                ) AS nstop
+              FROM parts
+            )
+            SELECT doc_id,
+                   n_words::INT AS n_words,
+                   ROUND(mwl, 6) AS mean_word_len,
+                   ROUND(symr, 6) AS symbol_ratio,
+                   ROUND(bullf, 6) AS bullet_line_frac,
+                   ROUND(ellf, 6) AS ellipsis_line_frac,
+                   ROUND(alphf, 6) AS alpha_word_frac,
+                   nstop::INT AS n_stopwords,
+                   (n_words BETWEEN 50 AND 100000)
+                     AND mwl >= 3 AND mwl <= 10
+                     AND symr <= 0.1
+                     AND bullf < 0.9
+                     AND ellf <= 0.3
+                     AND alphf >= 0.8
+                     AND nstop >= 2 AS keep
+            FROM m
+        """,
+        "c4_clean": r"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 3 THEN
+                    'This is sentence number ' || doc_id
+                    || ' with enough words to pass.' || chr(10)
+                    || 'Short line.' || chr(10)
+                    || 'no punctuation line with many words here'
+                  ELSE
+                    'This is sentence number ' || doc_id
+                    || ' with enough words to pass.' || chr(10)
+                    || 'Short line.' || chr(10)
+                    || 'no punctuation line with many words here' || chr(10)
+                    || 'Please enable javascript to view this page properly.'
+                    || chr(10)
+                    || 'Another valid sentence appears right here with words!'
+                    || chr(10)
+                    || 'A third complete sentence finishes the page nicely.'
+                    || CASE doc_id % 4
+                         WHEN 1 THEN chr(10)
+                           || 'Lorem ipsum dolor sit amet right here.'
+                         WHEN 2 THEN chr(10)
+                           || 'A curly { brace } appears in this line.'
+                         ELSE '' END
+                END AS text
+              FROM documents WHERE doc_id < 400
+            ), m AS (
+              SELECT doc_id, text,
+                string_split(text, chr(10)) AS ls,
+                list_filter(string_split(text, chr(10)),
+                  l -> regexp_matches(l, '[.!?"”]\s*$')
+                       AND len(list_filter(regexp_split_to_array(trim(l),
+                             '\s+'), w -> w <> '')) >= 5
+                       AND NOT regexp_matches(lower(l),
+                             '\bjavascript\b')) AS kept
+              FROM src
+            ), mm AS (
+              SELECT doc_id, text, ls, kept,
+                array_to_string(kept, chr(10)) AS clean_text,
+                len(regexp_extract_all(array_to_string(kept, chr(10)),
+                    '[.!?]')) AS n_sent
+              FROM m
+            )
+            SELECT doc_id,
+                   len(list_filter(ls, l -> trim(l) <> ''))::INT AS n_lines,
+                   len(kept)::INT AS n_lines_kept,
+                   n_sent::INT AS n_sentences,
+                   (NOT contains(lower(text), 'lorem ipsum'))
+                     AND NOT contains(text, '{')
+                     AND NOT contains(text, '}')
+                     AND n_sent >= 3 AS keep,
+                   clean_text
+            FROM mm
         """,
         "decontaminate": r"""
             WITH tr AS (

@@ -23,7 +23,10 @@ Optional round-4 stages slot into the same skeleton (all default off):
 **typicality** (trigram-LM corpus-typicality gate, after quality),
 **passage_dedup** (winnowing shared-passage gate, after near dedup),
 **semantic** (SemDeDup over an embedding column, before
-decontamination).
+decontamination).  Round-5 stages: **c4** (C4 line+page cleaning right
+after scrub — the retained-line text feeds every later stage) and
+**gopher_quality** (the full Gopher document-shape rule set after the
+repetition rules).
 
 Every stage is optional and individually hard-oracled (see
 ``__spark_entry__``); this module adds the glue, a per-stage row-count
@@ -68,6 +71,12 @@ class CorpusConfig:
     # oracled/tested as-is; turn on per the recipe you're reproducing —
     # CCNet uses line_dedup + a perplexity gate ≈ typicality, Lee et al.
     # motivates passage_dedup, SemDeDup motivates semantic over embeddings)
+    # optional round-5 stages (default off)
+    c4: bool = False                    # C4 line+page cleaning after scrub
+    c4_min_line_words: int = 5
+    c4_min_sentences: int = 3
+    c4_badwords: tuple = ()
+    gopher_quality: bool = False        # full Gopher rule set (paper defaults)
     line_dedup: bool = False            # CCNet duplicated-paragraph removal
     typicality: bool = False            # trigram-LM corpus-typicality gate
     min_typicality: float = -8.0        # keep docs with avg_logp >= this
@@ -119,6 +128,21 @@ def build_training_corpus(docs: DataFrame,
     if cfg.scrub:
         out = scrub_pii(out, text_col=cfg.text_col, counts_col=None)
 
+    if cfg.c4:
+        # C4 line+page cleaning runs first in the paper's recipe: the
+        # retained-line text replaces the raw text for every later stage
+        from .cleaning import c4_clean_lines
+        out = c4_clean_lines(out, text_col=cfg.text_col,
+                             min_line_words=cfg.c4_min_line_words,
+                             min_sentences=cfg.c4_min_sentences,
+                             badwords=cfg.c4_badwords,
+                             out_col="_c4_text", keep_col="_c4_keep") \
+            .filter(F.col("_c4_keep")) \
+            .withColumn(cfg.text_col, F.col("_c4_text")) \
+            .drop("_c4_text", "_c4_keep", "n_lines", "n_lines_kept",
+                  "n_sentences")
+        audit["c4"] = out.count()
+
     if cfg.line_dedup:
         # CCNet: drop corpus-wide duplicated paragraphs BEFORE the quality
         # gates so boilerplate doesn't skew length/repetition ratios
@@ -139,6 +163,16 @@ def build_training_corpus(docs: DataFrame,
             max_dup_line_char_frac=cfg.max_dup_line_char_frac,
             max_top_bigram_char_frac=cfg.max_top_bigram_char_frac)
         audit["quality"] = out.count()
+
+    if cfg.gopher_quality:
+        # the same paper's document-shape rules (word count, mean word
+        # length, symbol/bullet/ellipsis/alpha fractions, stopwords)
+        from .cleaning import gopher_quality_filter
+        out = gopher_quality_filter(out, text_col=cfg.text_col,
+                                    keep_col="_gq_keep",
+                                    with_metrics=False) \
+            .filter(F.col("_gq_keep")).drop("_gq_keep")
+        audit["gopher_quality"] = out.count()
 
     if cfg.typicality:
         # corpus-trained trigram-LM gate — the cheap stand-in for CCNet's

@@ -136,3 +136,50 @@ def test_pipeline_round4_stages(spark):
     assert audit["line_dedup"] == 7
     assert set(audit) >= {"input", "line_dedup", "typicality",
                           "passage_dedup", "semantic_dedup"}
+
+
+def test_pipeline_round5_stages(spark):
+    """c4 / gopher_quality slots: each planted defect is removed by
+    exactly the stage that owns it."""
+    prose = ("The sun rises over the green hill and we have time to "
+             "watch it move with the morning light. ") * 4
+    rows = [
+        # clean prose page with three good sentences -> survives both
+        (0, prose + "\nAnother complete sentence sits right here today. "
+            "\nA third full sentence closes the page nicely."),
+        # javascript + short lines are stripped by c4 but page survives
+        (1, "Please enable javascript to continue browsing now.\n"
+            "Short one.\n" + prose +
+            "\nAnother complete sentence sits right here today."),
+        # lorem ipsum page -> c4 page gate drops the whole doc
+        (2, prose + "\nLorem ipsum dolor sit amet consectetur elit."),
+        # survives c4 (good lines) but fails gopher word-shape rules:
+        # no stopwords at all
+        (3, "Alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu.\n"
+            "Alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "again for good measure to pass every line word gate there.\n"
+            "Zulu yankee xray whiskey victor uniform tango sierra "
+            "romeo quebec papa oscar november mike lima kilo concluded."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CorpusConfig(
+        scrub=False, quality=False, exact_dedup=False, near_dedup=False,
+        decontaminate=False, mix=False, pack=False,
+        c4=True, gopher_quality=True,
+    )
+    out, audit = build_training_corpus(docs, None, cfg)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 2 not in ids                   # c4 page gate (lorem ipsum)
+    assert 3 not in ids                   # gopher stopword rule
+    assert {0, 1} <= ids
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "javascript" not in texts[1]   # line stripped, doc kept
+    assert "Short one." not in texts[1]
+    assert audit["c4"] == 3 and audit["gopher_quality"] == 2
