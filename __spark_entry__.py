@@ -2270,6 +2270,37 @@ def _q_index_org(spark, sf_dir):
                       "organization_region", "organization_domains")
 
 
+def _q_index_geoip(spark, sf_dir):
+    # index-geoip (GeoIPIndexingFilter.java:118-233, GeoIPDocumentCreator
+    # .java:187-232 cityDatabase mode): docs carry the fetch-stored `_ip_`;
+    # an injected geo lookup table (the licensed mmdb's export — see
+    # operators.indexing.geoip_filter) broadcast-joins by ip.  Exercises:
+    # matched rows, a matched row with null attributes (addIfNotNull
+    # parity), an ip absent from the db (AddressNotFoundException path),
+    # and latLon assembly only when both coordinates exist.
+    from coherencebot_spark.operators import indexing as ix
+
+    d = _t(spark, sf_dir, "documents")
+    j = F.col("doc_id") % 5
+    doc = d.select(
+        "doc_id",
+        F.create_map(F.lit("_ip_"),
+                     F.concat(F.lit("10.0.0."), j.cast("string")))
+        .alias("metadata"))
+    rows = [(f"10.0.0.{k}", f"City {k}", 40 + k, "NA", f"C{k}",
+             k + 0.5, -k - 0.5, f"TZ{k}") for k in range(3)]
+    rows.append(("10.0.0.3", None, None, "EU", "C3", None, None, None))
+    geodb = spark.createDataFrame(
+        rows,
+        "ip string, cityName string, cityConfidence int, "
+        "continentCode string, countryIsoCode string, "
+        "latitude double, longitude double, timeZone string")
+    out = ix.geoip_filter(geodb, "cityDatabase")(doc)
+    return out.select("doc_id", "ip", "cityName", "cityConfidence",
+                      "continentCode", "countryIsoCode", "latLon",
+                      "timeZone")
+
+
 def _q_any23_structured_data(spark, sf_dir):
     # any23 plugin pair (Any23ParseFilter + Any23IndexingFilter): pages
     # synthesized from documents carry a title + meta tags; the parse
@@ -3041,6 +3072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- position 51+: sibling variants of in-window entries --
         "lang_index": _q_lang_index,
         "index_criteria_referrer": _q_index_criteria_referrer,
+        # -- new late in r5 (after the window was frozen); repo-gate green --
+        "index_geoip": _q_index_geoip,
         # -- driver-green in CORRECTNESS_r01-r04 --
         "link_depth": _q_link_depth,
         "automaton_filter": _q_automaton_filter,
@@ -5113,6 +5146,25 @@ def oracle_sql() -> dict[str, str]:
                    WHEN doc_id % 5 = 1 THEN 'x.org'
                    ELSE 'h' || (doc_id % 5) || '.org' END
                 AS organization_domains
+            FROM documents
+        """,
+        "index_geoip": """
+            SELECT doc_id,
+              '10.0.0.' || (doc_id % 5) AS ip,
+              CASE WHEN doc_id % 5 <= 2
+                   THEN 'City ' || (doc_id % 5) END AS cityName,
+              CASE WHEN doc_id % 5 <= 2
+                   THEN 40 + (doc_id % 5) END AS cityConfidence,
+              CASE WHEN doc_id % 5 <= 2 THEN 'NA'
+                   WHEN doc_id % 5 = 3 THEN 'EU' END AS continentCode,
+              CASE WHEN doc_id % 5 <= 3
+                   THEN 'C' || (doc_id % 5) END AS countryIsoCode,
+              CASE WHEN doc_id % 5 <= 2
+                   THEN ((doc_id % 5) + 0.5)::DOUBLE::VARCHAR || ','
+                        || (-(doc_id % 5) - 0.5)::DOUBLE::VARCHAR
+                   END AS latLon,
+              CASE WHEN doc_id % 5 <= 2
+                   THEN 'TZ' || (doc_id % 5) END AS timeZone
             FROM documents
         """,
         "any23_structured_data": """

@@ -87,6 +87,14 @@ class CrawlConfig:
     robots_403_allow: bool = True         # http.robots.403.allow
     redirect_max: int = 0                 # http.redirect.max (0 = emit linked)
     content_limit: int = 1 << 20          # http.content.limit (1 MB)
+    # store.ip.address (net/protocols/Response.java:40-42): record the
+    # server's IP in the fetch metadata under ``_ip_`` — consumed by the
+    # WARC exporter (WARC-IP-Address) and index-geoip.  The synthetic
+    # protocol backend has no socket peer, so the default IP is a
+    # deterministic per-host fake (fetch.server_ip_expr); pass
+    # ``ip_expr=`` to :func:`operators.fetch.fetch` to inject real
+    # resolver output.
+    store_ip_address: bool = False
 
     # --- fetch schedule (crawl/AbstractFetchSchedule, AdaptiveFetchSchedule) ---
     schedule: str = "default"             # default | adaptive

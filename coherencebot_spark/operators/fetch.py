@@ -46,7 +46,7 @@ from typing import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig, DEFAULT
@@ -58,6 +58,28 @@ PayloadFn = Callable[[int], dict]
 # batch variant: ndarray[int64] of image indices -> DataFrame with columns
 # (image_id, bytes, w, h, fmt, caption, phash) aligned row-for-row
 PayloadBatchFn = Callable[["np.ndarray"], pd.DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# server IP (store.ip.address)
+# ---------------------------------------------------------------------------
+
+
+def server_ip_expr(host: Column) -> Column:
+    """Deterministic per-host IPv4 for ``store.ip.address``
+    (net/protocols/Response.java:40-42 stores the socket peer under
+    ``_ip_``; the sandbox's synthetic protocol backend has no socket, so
+    the stored IP is a stable hash-derived stand-in — inject real
+    resolver output via ``fetch(ip_expr=...)``).  Pure JVM expression:
+    four octets from the host's xxhash64, first octet clamped to 1-223
+    (unicast space)."""
+    h = F.xxhash64(host)
+    o1 = F.pmod(h, F.lit(223)) + 1
+    o2 = F.pmod(F.shiftright(h, 8), F.lit(256))
+    o3 = F.pmod(F.shiftright(h, 16), F.lit(256))
+    o4 = F.pmod(F.shiftright(h, 24), F.lit(256))
+    return F.concat_ws(".", o1.cast("string"), o2.cast("string"),
+                       o3.cast("string"), o4.cast("string"))
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +142,7 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
           n_images: int = 1_000_000, n_hosts: int = 1000,
           payload_partitions: int | None = None,
           cache: list | None = None,
+          ip_expr: Callable[[Column], Column] | None = None,
           ) -> tuple[DataFrame, DataFrame]:
     """Run one fetch cycle over a fetchlist.
 
@@ -308,6 +331,18 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         F.when(F.col("robots_denied"), F.lit(int(Proto.ROBOTS_DENIED)))
         .otherwise(F.col("proto_status")),
     )
+
+    # store.ip.address (Response.java:40-42): record the server IP under
+    # ``_ip_`` in the fetch metadata — WARC export and index-geoip read it
+    if cfg.store_ip_address:
+        ip = (ip_expr or server_ip_expr)(F.col("host"))
+        fl = fl.withColumn(
+            "metadata",
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(F.col("metadata"), F.expr("map()")),
+                    lambda k, _: k != "_ip_"),
+                F.create_map(F.lit("_ip_"), ip)))
 
     fetch_log = fl.select(
         "url",

@@ -998,6 +998,118 @@ def urlmeta_filter(tags: Sequence[str]) -> Filter:
     return _apply
 
 
+# -------------------------------------------------------------- index-geoip
+
+# Per-usage field sets, mirroring GeoIPDocumentCreator's add sequences.
+# Field names (including the `subDivIdoCode` spelling) match the reference
+# exactly; `latLon` is assembled from the geodb's latitude/longitude pair
+# the way createDocFromCityDb concatenates Location lat + "," + lon.
+_GEO_CITY_FIELDS = (
+    "cityName", "cityConfidence", "cityGeoNameId",
+    "continentCode", "continentGeoNameId", "continentName",
+    "countryIsoCode", "countryName", "countryConfidence", "countryGeoName",
+    "accRadius", "timeZone", "metroCode",
+    "postalCode", "postalConfidence", "countryType",
+    "subDivName", "subDivIdoCode", "subDivConfidence", "subDivGeoNameId",
+)
+_GEO_TRAIT_FIELDS = ("autonSystemNum", "autonSystemOrg", "domain", "isp",
+                     "org", "userType", "isAnonProxy")
+_GEO_USAGE_FIELDS: Mapping[str, tuple] = {
+    # createDocFromCityDb (GeoIPDocumentCreator.java:187-232)
+    "cityDatabase": _GEO_CITY_FIELDS + ("latLon",),
+    # createDocFromIspDb (:156-166)
+    "ispDatabase": ("autonSystemNum", "autonSystemOrg", "isp", "org"),
+    # createDocFromDomainDb (:168-175)
+    "domainDatabase": ("domain",),
+    # createDocFromConnectionDb (:177-185)
+    "connectionTypeDatabase": ("connType",),
+    # createDocFromInsightsService (:85-138) = city set + traits
+    "insightsService": _GEO_CITY_FIELDS + ("latLon",) + _GEO_TRAIT_FIELDS,
+}
+
+
+def geoip_filter(geodb: DataFrame, usage: str = "cityDatabase",
+                 ip_col: str | None = None) -> Filter:
+    """index-geoip (``GeoIPIndexingFilter.java:118-233``,
+    ``GeoIPDocumentCreator.java:85-232``): enrich docs with the geo
+    attributes of the server that produced them, looked up by the IP the
+    fetcher stored in content metadata under ``_ip_``
+    (``net/protocols/Response.java:40-42``, requires
+    ``store.ip.address=true``).
+
+    The reference reads a licensed MaxMind mmdb (or the paid Insights web
+    service) per row; both the binary-format reader and the database
+    itself are outside this sandbox's public-knowledge scope, so — like
+    :func:`org_filter`'s HTTP API — the database is an INJECTABLE lookup
+    table: one row per ip with whichever of the usage's attribute columns
+    the export carries (export the mmdb to parquet with the vendor's CSV
+    dump outside the sandbox; tests inject a deterministic fake).  Scale
+    shape: the geo table broadcast-joins once per job (a full GeoLite2
+    city export is ~100 MB — broadcastable; the reference opens the mmdb
+    once per task and probes per row, an equivalent access pattern with
+    worse locality), the doc side never shuffles.
+
+    ``usage`` picks the field set exactly as ``index.geoip.usage`` does:
+    cityDatabase / ispDatabase / domainDatabase / connectionTypeDatabase /
+    insightsService.  A doc whose ip is absent from the table keeps null
+    geo fields (the reference's AddressNotFoundException path: the doc
+    passes through unenriched); ``addIfNotNull`` parity means a null
+    attribute is simply a null column value.  ``latLon`` is emitted only
+    when both coordinates are present.  Documented deviation: a Nutch doc
+    field is multi-valued, so geoip's ``domain``/``org`` can pile onto
+    values earlier filters added; the columnar model instead lands a geo
+    field on a name the doc already carries as ``geoip_<field>`` (both
+    values survive, as separate columns).
+    """
+    if usage not in _GEO_USAGE_FIELDS:
+        raise ValueError(
+            f"index.geoip.usage must be one of {sorted(_GEO_USAGE_FIELDS)}, "
+            f"got {usage!r}")
+    fields = _GEO_USAGE_FIELDS[usage]
+
+    def _apply(doc: DataFrame) -> DataFrame:
+        if ip_col is not None:
+            ip = F.col(ip_col)
+        elif _has(doc, "metadata"):
+            ip = F.col("metadata").getItem("_ip_")
+        else:
+            ip = F.lit(None).cast("string")
+        doc = doc.withColumn("ip", ip)
+        side_cols = [F.col("ip").alias("_geo_ip")]
+        for f in fields:
+            if f == "latLon":
+                continue
+            side_cols.append(
+                (F.col(f) if f in geodb.columns
+                 else F.lit(None).cast("string")).alias(f"_geo_{f}"))
+        if "latLon" in fields:
+            for c in ("latitude", "longitude"):
+                side_cols.append(
+                    (F.col(c) if c in geodb.columns
+                     else F.lit(None).cast("double")).alias(f"_geo_{c}"))
+        side = geodb.select(*side_cols)
+        taken = set(doc.columns)
+        out = doc.join(F.broadcast(side),
+                       doc["ip"] == side["_geo_ip"], "left")
+        for f in fields:
+            tgt = f if f not in taken else f"geoip_{f}"
+            if f == "latLon":
+                lat, lon = F.col("_geo_latitude"), F.col("_geo_longitude")
+                out = out.withColumn(
+                    tgt,
+                    F.when(lat.isNotNull() & lon.isNotNull(),
+                           F.concat(lat.cast("string"), F.lit(","),
+                                    lon.cast("string"))))
+            else:
+                out = out.withColumn(tgt, F.col(f"_geo_{f}"))
+        drop = ["_geo_ip"] + [f"_geo_{f}" for f in fields if f != "latLon"]
+        if "latLon" in fields:
+            drop += ["_geo_latitude", "_geo_longitude"]
+        return out.drop(*drop)
+
+    return _apply
+
+
 # ---------------------------------------------------------------- exchanges
 
 

@@ -94,8 +94,26 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 
 def write_json(df: DataFrame, path: str) -> None:
-    """readdb -dump json / indexer-dummy analogue."""
+    """readdb -dump json analogue."""
     df.write.mode("overwrite").json(path)
+
+
+def write_dummy(df: DataFrame, path: str, id_col: str = "url",
+                delete: bool = False) -> None:
+    """indexer-dummy (``DummyIndexWriter.java:90-116``): debug sink —
+    one ``add\\t<id>`` line per doc, ``delete\\t<key>`` lines when
+    ``delete`` (the ``_delete`` flag column, same contract as the
+    bulk/solr writers).  The reference's single local file becomes one
+    text part per partition (lines are self-delimiting)."""
+    is_del = (F.col("_delete") if "_delete" in df.columns
+              else F.lit(False))
+    action = F.when(is_del, "delete").otherwise("add")
+    lines = df.select(F.concat_ws("\t", action, F.col(id_col))
+                      .alias("value"))
+    if not delete:
+        lines = df.filter(~is_del).select(
+            F.concat_ws("\t", F.lit("add"), F.col(id_col)).alias("value"))
+    lines.write.mode("overwrite").text(path)
 
 
 def write_kafka(df: DataFrame, bootstrap: str, topic: str) -> None:
@@ -234,8 +252,14 @@ def dump_segment_warc(fetch_log: DataFrame, content: DataFrame,
     import os
 
     os.makedirs(path, exist_ok=True)
+    # WARC-IP-Address from the stored ``_ip_`` (WARCExporter.java:185-190;
+    # present only when the crawl ran with store.ip.address=true)
+    ip = (fetch_log["metadata"].getItem("_ip_")
+          if "metadata" in fetch_log.columns
+          else F.lit(None).cast("string"))
     rec = fetch_log.join(content, "url", "inner").select(
-        "url", "fetch_time", "fmt", "caption", F.col("bytes").alias("payload")
+        "url", "fetch_time", "fmt", "caption", ip.alias("server_ip"),
+        F.col("bytes").alias("payload")
     )
 
     def write_part(rows) -> None:
@@ -257,14 +281,14 @@ def dump_segment_warc(fetch_log: DataFrame, content: DataFrame,
                 rid = _warc_uuid(f"{row['url']}@{row['fetch_time']}")
                 date = _warc_date(int(row["fetch_time"]))
                 payload = bytes(row["payload"] or b"")
-                out.write(_warc_record(
-                    "resource",
-                    {"WARC-Record-ID": f"<{rid}>",
-                     "WARC-Date": date,
-                     "WARC-Target-URI": row["url"],
-                     "Content-Type": _MIME.get(row["fmt"], "application/octet-stream")},
-                    payload,
-                ))
+                headers = {"WARC-Record-ID": f"<{rid}>",
+                           "WARC-Date": date,
+                           "WARC-Target-URI": row["url"]}
+                if row["server_ip"]:
+                    headers["WARC-IP-Address"] = row["server_ip"]
+                headers["Content-Type"] = _MIME.get(
+                    row["fmt"], "application/octet-stream")
+                out.write(_warc_record("resource", headers, payload))
                 caption = (row["caption"] or "").replace("\r", " ").replace("\n", " ")
                 out.write(_warc_record(
                     "metadata",

@@ -418,3 +418,30 @@ def test_cleaning_job(spark, tmp_path):
     docs, deletes = read_solr_xml(out)
     assert docs == []
     assert sorted(deletes) == ["http://h/dup", "http://h/gone"]
+
+
+def test_dummy_sink(spark, tmp_path):
+    """indexer-dummy (DummyIndexWriter.java:90-116): add\\t<id> lines,
+    delete\\t<key> only when the writer's delete param is on."""
+    import glob
+
+    from coherencebot_spark.sources.sinks import write_dummy
+
+    df = spark.createDataFrame(
+        [("u1", False), ("u2", False), ("gone", True)],
+        "url string, _delete boolean")
+
+    def lines(path):
+        out = []
+        for fn in glob.glob(f"{path}/part-*"):
+            with open(fn) as f:
+                out += [ln.rstrip("\n") for ln in f if ln.strip()]
+        return sorted(out)
+
+    p1 = str(tmp_path / "d1")
+    write_dummy(df, p1)
+    assert lines(p1) == ["add\tu1", "add\tu2"]
+
+    p2 = str(tmp_path / "d2")
+    write_dummy(df, p2, delete=True)
+    assert lines(p2) == ["add\tu1", "add\tu2", "delete\tgone"]
