@@ -603,6 +603,32 @@ def _q_dedup_lines(spark, sf_dir):
     return dedup_lines(d, max_count=1)
 
 
+def _q_dedup_substrings(spark, sf_dir):
+    """Lee et al. 2022 exact-substring dedup (keep-first-occurrence) over
+    a constructed corpus: every third doc carries the same 13-token
+    passage verbatim between unique prefix/tail tokens.  Expected: the
+    lowest-id carrier keeps the passage; every other carrier has its
+    covered token span excised (overlapping k=8 windows merge into one
+    span); non-carriers and sub-k docs pass through verbatim."""
+    from coherencebot_spark.datapipe.dedup_text import dedup_substrings
+    from coherencebot_spark.functions.hashing import md5_long60
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"),
+            F.lit(" opening words differ per document then"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" the exact duplicated passage of many tokens"
+                         " that repeats verbatim across documents end"))
+             .otherwise(F.concat(F.lit(" unique middle "),
+                                 F.col("doc_id").cast("string"))),
+            F.lit(" tail "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_substrings(d, k=8, hash_fn=md5_long60)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup over embeddings: corpus = base vectors (vec_id < 200)
     plus scaled copies (id+10000, v×2 — same direction, cosine ≈ 1) of
@@ -3013,12 +3039,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries only.  Rounds 1-4 driver-verified 61 distinct
     # entries (union of CORRECTNESS_r01-r04.json green rows); this window
     # holds exactly the 52-minus-2 entries that have NEVER had a driver
-    # row, so the union over all rounds covers 111/113.  The two left out
+    # row, so the union over all rounds covers 111 of the 113 entries
+    # that existed when the window froze (115 now with the late-r5
+    # index_geoip + dedup_substrings, repo-gate green).  The two left out
     # are strict variants of in-window siblings sharing the same operator
     # path: lang_index (~ lang_detect in-window + lang_id driver-green r1-3)
     # and index_criteria_referrer (~ index_criteria_title in-window).  Every
     # entry regardless of position stays under the repo's own full gate
-    # (scripts/check_oracle.py, 113/113).
+    # (scripts/check_oracle.py, 115/115).
         "path_filter": _q_path_filter,
         "outlink_filter": _q_outlink_filter,
         "nb_classify": _q_nb_classify,
@@ -3074,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_criteria_referrer": _q_index_criteria_referrer,
         # -- new late in r5 (after the window was frozen); repo-gate green --
         "index_geoip": _q_index_geoip,
+        "dedup_substrings": _q_dedup_substrings,
         # -- driver-green in CORRECTNESS_r01-r04 --
         "link_depth": _q_link_depth,
         "automaton_filter": _q_automaton_filter,
@@ -3761,6 +3790,59 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dropped
             FROM ex e LEFT JOIN common c ON trim(e.line) = c.key
             GROUP BY e.doc_id
+        """,
+        # Lee-et-al exact-substring dedup twin: same constructed corpus,
+        # md5-long60 window keys, row_number-over-key first-occurrence
+        # (equivalent to the Spark side's min(struct(id,pos)) aggregate
+        # since (doc_id, wpos) is unique per key), positional excision via
+        # DISTINCT covered positions, string_agg(ORDER BY pos) reassembly
+        "dedup_substrings": """
+            WITH built AS (
+              SELECT doc_id,
+                     'u' || doc_id || ' opening words differ per document then'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' the exact duplicated passage of many'
+                                  || ' tokens that repeats verbatim across'
+                                  || ' documents end'
+                             ELSE ' unique middle ' || doc_id END
+                     || ' tail ' || doc_id AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     list_slice(string_split(t, ' '), 1, 5000) AS toks
+              FROM built
+            ), keyed AS (
+              SELECT doc_id, wpos,
+                     CAST(('0x' || substring(md5(array_to_string(
+                            list_slice(toks, wpos::INT, wpos::INT + 7), ' ')),
+                          1, 15)) AS BIGINT) AS wkey
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 6)) AS wpos
+                    FROM tok)
+            ), flagged AS (
+              SELECT doc_id, wpos FROM (
+                SELECT doc_id, wpos,
+                       ROW_NUMBER() OVER (PARTITION BY wkey
+                                          ORDER BY doc_id, wpos) AS rn
+                FROM keyed) WHERE rn > 1
+            ), covered AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(range(wpos, wpos + 8)) AS pos
+                FROM flagged)
+            ), tokrows AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM tok
+            )
+            SELECT t.doc_id,
+                   COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                            FILTER (WHERE c.pos IS NULL), '') AS text,
+                   count(*)::INT AS n_tokens,
+                   sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)::INT
+                     AS n_removed
+            FROM tokrows t LEFT JOIN covered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            GROUP BY t.doc_id
         """,
         # SemDeDup twin: same constructed corpus (base ∪ ×2-scaled copies),
         # same first-8-by-id codebook, same left-fold cosine and the same

@@ -447,6 +447,93 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,
     return staged.select(F.col(id_col), F.explode(sel).alias("fp"))
 
 
+def dedup_substrings(docs: DataFrame, k: int = 50,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     hash_fn=None, max_tokens: int = 5000) -> DataFrame:
+    """Exact-substring dedup at k-token granularity (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    keep-first-occurrence: every k-token window whose whitespace-joined
+    form occurs more than once across the WHOLE corpus is excised from
+    every occurrence except the lexicographically first by
+    ``(id, position)``.  Overlapping excised windows merge into spans
+    automatically (removal is positional, not per-window), and the
+    surviving tokens are reassembled in original order.  Documents
+    shorter than ``k`` tokens produce no windows and pass through
+    verbatim.  Unlike :func:`shared_passage_stats` (flag-level,
+    winnowing-sampled) this CUTS the duplicated spans and is exact.
+
+    Returns (id, text, n_tokens, n_removed).
+
+    Scale shape: the token array is staged in its own projection (the
+    CollapseProject discipline — BENCH.md lesson 3) so the split runs
+    once; window keys are O(len·k) slice-and-hash work, linear per doc.
+    The global first-occurrence is a ``min(struct(id, pos))`` aggregate
+    per window key — map-side combinable, so a passage duplicated in
+    millions of documents partial-aggregates instead of sorting one hot
+    partition (the row_number formulation would); only keys with > 1
+    occurrence survive into the join-back.  Excision is relational: each
+    non-first window explodes to its k covered positions (O(dups·k),
+    bounded), distinct-merged, and anti-marked against the token table —
+    no per-doc Python, no interval-merge loop.  Three narrow combinable
+    exchanges (key agg, key join-back, per-doc reassembly), the same
+    shape as :func:`dedup_lines`; AQE skew-join covers a mega-duplicated
+    key in the join-back.  ``hash_fn``: xxhash64 default; ``md5_long60``
+    for the DuckDB-twin portable variant."""
+    from coherencebot_spark.functions.hashing import xxh64_hash
+    hf = hash_fn or xxh64_hash
+    k = int(k)
+    toks = F.slice(F.split(F.col(text_col), " "), 1, int(max_tokens))
+    staged = docs.select(F.col(id_col), toks.alias("_t"),
+                         F.size(toks).alias("_n"))
+    # (id, wpos, wkey) for every k-token window; slicing the STAGED
+    # column is a bound-reference copy (linear), not an expression
+    # re-inline (quadratic — the winnowing trap above)
+    wins = (
+        staged.where(F.col("_n") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+                    lambda i: hf(
+                        F.concat_ws(" ", F.slice(F.col("_t"), i, F.lit(k)))),
+                )
+            ).alias("_p0", "wkey"),
+        )
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("wpos"), "wkey")
+    )
+    firsts = (wins.groupBy("wkey")
+                  .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                      F.col("wpos").alias("p"))).alias("_f"),
+                       F.count("*").alias("_c"))
+                  .where(F.col("_c") > 1)
+                  .select("wkey", "_f"))
+    flagged = (wins.join(firsts, "wkey")
+                   .where((F.col(id_col) != F.col("_f.i"))
+                          | (F.col("wpos") != F.col("_f.p"))))
+    covered = (flagged.select(
+                   F.col(id_col),
+                   F.explode(F.sequence(F.col("wpos"),
+                                        F.col("wpos") + (k - 1))).alias("pos"))
+                  .distinct()
+                  .withColumn("_cut", F.lit(True)))
+    tokens = (staged.select(F.col(id_col),
+                            F.posexplode("_t").alias("_p0", "tok"))
+                    .select(F.col(id_col), (F.col("_p0") + 1).alias("pos"),
+                            "tok"))
+    j = tokens.join(covered, [id_col, "pos"], "left")
+    keep = F.col("_cut").isNull()
+    kept_struct = F.when(keep, F.struct("pos", "tok"))
+    return j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["tok"]),
+            " ").alias(text_col),
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("int").alias("n_removed"),
+    )
+
+
 def shared_passage_stats(docs: DataFrame, k: int = 8, window: int = 4,
                          id_col: str = "doc_id", text_col: str = "text",
                          hash_fn=None, max_chars: int = 2000) -> DataFrame:

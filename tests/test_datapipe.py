@@ -741,6 +741,70 @@ def test_dedup_lines_all_boilerplate_doc_kept_empty(spark):
                for r in rows)
 
 
+def test_dedup_substrings_keep_first(spark):
+    """Lee et al. exact-substring dedup: an 8-token passage shared by
+    three docs survives only in the lowest-(id, pos) occurrence; the
+    other carriers lose exactly the covered token span (overlapping
+    k-windows merge into one span); unique text is untouched."""
+    from coherencebot_spark.datapipe.dedup_text import dedup_substrings
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, passage + " one"),
+         (2, "pre2 " + passage + " post2"),
+         (3, passage),
+         (4, "totally unrelated words that never repeat anywhere at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_substrings(docs, k=4).collect()}
+    assert len(out) == 4                          # no doc ever dropped
+    assert out[1].text == passage + " one" and out[1].n_removed == 0
+    assert out[2].text == "pre2 post2" and out[2].n_removed == 8
+    assert out[3].text == "" and out[3].n_removed == 8
+    assert out[4].n_removed == 0
+    assert out[2].n_tokens == 10 and out[3].n_tokens == 8
+
+
+def test_dedup_substrings_internal_repetition(spark):
+    """Within-document repetition dedups against the doc's own first
+    occurrence: 'a b c d' ×3 collapses to one copy at k=4."""
+    from coherencebot_spark.datapipe.dedup_text import dedup_substrings
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d a b c d")], "doc_id long, text string")
+    r = dedup_substrings(docs, k=4).collect()[0]
+    assert r.text == "a b c d" and r.n_removed == 8 and r.n_tokens == 12
+
+
+def test_dedup_substrings_sub_k_docs_pass_through(spark):
+    """Docs shorter than k tokens produce no windows — identical short
+    docs pass through verbatim (exact dedup at k-token granularity is
+    deliberately blind below k; use exact_duplicates for whole-doc)."""
+    from coherencebot_spark.datapipe.dedup_text import dedup_substrings
+
+    docs = spark.createDataFrame(
+        [(1, "tiny shared doc"), (2, "tiny shared doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_substrings(docs, k=4).collect()}
+    assert out[1].text == out[2].text == "tiny shared doc"
+    assert out[1].n_removed == out[2].n_removed == 0
+
+
+def test_dedup_substrings_portable_hash_matches_default(spark):
+    """md5_long60 (DuckDB-twin) and xxhash64 keys group identically."""
+    from coherencebot_spark.datapipe.dedup_text import dedup_substrings
+    from coherencebot_spark.functions.hashing import md5_long60
+
+    docs = spark.createDataFrame(
+        [(i, ("shared passage of exactly nine tokens here now %d" % (i % 2)))
+         for i in range(6)],
+        "doc_id long, text string")
+    a = {(r.doc_id, r.text, r.n_removed)
+         for r in dedup_substrings(docs, k=5).collect()}
+    b = {(r.doc_id, r.text, r.n_removed)
+         for r in dedup_substrings(docs, k=5, hash_fn=md5_long60).collect()}
+    assert a == b
+
+
 def test_winnow_shared_passage_guarantee(spark):
     """Winnowing guarantee: a shared substring of length >= k + window - 1
     always yields at least one shared selected fingerprint."""
