@@ -513,6 +513,43 @@ def hardware_ceiling(lo: int, hi: int) -> float:
     return round(statistics.median(ratios), 3)
 
 
+def _stream(_):
+    import numpy as np
+    a = np.zeros(100_000_000 // 8)  # 100 MB working set per proc
+    for _ in range(8):
+        a = a * 0.5 + 1.0  # triad-like: read + write the full array
+    return float(a[0])
+
+
+def stream_ceiling(lo: int, hi: int) -> float:
+    """Memory-BANDWIDTH twin of :func:`hardware_ceiling`: equal
+    stream-like work per proc (100 MB triad passes), t_lo/t_hi, median
+    of 3 interleaved pairs.  Motivation (round 5): the sandbox VM was
+    rebuilt mid-round and the new host shows BIMODAL high-parallelism
+    behavior — pure-CPU scaling held ~0.9 while a 16-proc stream probe
+    intermittently degraded ~8× (then read 0.88 minutes later), and the
+    Spark cycle (partially bandwidth-bound: shuffle, Arrow, parquet,
+    per-row pixel validation) landed wherever the window put it.
+    Reporting the same-run stream ceiling alongside the pure-CPU one
+    lets the scaling JSON show which machine mode the legs drew."""
+    import multiprocessing as mp
+    import statistics
+
+    def run(n):
+        t = time.time()
+        with mp.Pool(n) as p:
+            p.map(_stream, range(n))
+        return time.time() - t
+
+    run(lo)  # warm (first pool pays numpy import + page faults)
+    ratios = []
+    for _ in range(3):
+        t_lo = run(lo)
+        t_hi = run(hi)
+        ratios.append(t_lo / t_hi)
+    return round(statistics.median(ratios), 3)
+
+
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="cbspark-bench-")
     frontier_path = os.path.join(workdir, "frontier")
@@ -540,8 +577,11 @@ def main() -> None:
     # interleaved pairs until the budget is spent (always >= 1 pair).
     lo, hi = SCALE_LO, SCALE_HI
     scale_cfg = CFG.with_(topn=SCALE_TOPN)
-    reps = int(os.environ.get("BENCH_REPS", "2"))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    # 3 pairs default (was 2): the rebuilt r5 VM's high-parallelism mode
+    # is bimodal — both hi legs of a 2-pair run can land in the slow
+    # mode (r5-B did); a third budget-gated pair buys one more draw
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2200"))
     t_scaling = time.time()
     cycle_secs: dict[int, list] = {lo: [], hi: []}
     cycle_counts: dict[int, int] = {}
@@ -567,6 +607,7 @@ def main() -> None:
     thr_lo = cycle_counts[lo] / cycle_secs[lo]
     thr_hi = cycle_counts[hi] / cycle_secs[hi]
     ceiling = hardware_ceiling(lo, hi)
+    s_ceiling = stream_ceiling(lo, hi)
     eff = round((thr_hi / thr_lo) / 4.0, 3)
     scaling = {
         "cores_n": lo,
@@ -577,6 +618,12 @@ def main() -> None:
         "efficiency_n_to_4n": eff,
         "hardware_ceiling_efficiency": ceiling,
         "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+        # memory-bandwidth twin of the pure-CPU ceiling (see
+        # stream_ceiling docstring: the rebuilt r5 VM is bimodal at high
+        # parallelism; this records which mode the legs drew)
+        "stream_ceiling_efficiency": s_ceiling,
+        "efficiency_vs_stream_ceiling":
+            round(eff / s_ceiling, 3) if s_ceiling else None,
         "cycle_sec_n": round(cycle_secs[lo], 3),
         "cycle_sec_4n": round(cycle_secs[hi], 3),
         # every rep, interleaved order — the shared VM swings identical
@@ -682,6 +729,7 @@ def _run_summary(out: dict) -> dict:
     return {
         "eff": sc.get("efficiency_n_to_4n"),
         "ceil": sc.get("hardware_ceiling_efficiency"),
+        "stream_ceil": sc.get("stream_ceiling_efficiency"),
         "n_reps": sc.get("cycle_sec_n_reps"),
         "4n_reps": sc.get("cycle_sec_4n_reps"),
         "merge_reps": bw.get("merge_reps"),
