@@ -479,6 +479,28 @@ def bench_ops(spark, frontier_path: str) -> dict[str, float]:
     cosine_topk_pq(vsyn, qpq, k=10, codebooks=books, route="pandas",
                    rerank=100).count()
     out["ann_pq"] = round(time.time() - t, 3)
+
+    # round-5 tail: BPE tokenization (26-merge replace chain, pure JVM)
+    # and DSIR importance weights (two bounded-key LMs + broadcast
+    # scoring join) over the same 1M-doc corpus
+    from coherencebot_spark.datapipe.importance import dsir_weights
+    from coherencebot_spark.datapipe.tokenizer import bpe_token_count
+
+    merges = [("t", "h"), ("th", "e"), ("the", "_"), ("a", "l"),
+              ("al", "p"), ("alp", "h"), ("alph", "a"), ("alpha", "_"),
+              ("b", "e"), ("be", "t"), ("bet", "a"), ("beta", "_"),
+              ("l", "i"), ("li", "n"), ("lin", "e"), ("line", "_"),
+              ("w", "o"), ("wo", "r"), ("wor", "d"), ("word", "s"),
+              ("u", "n"), ("un", "i"), ("uni", "q"), ("uniq", "u"),
+              ("uniqu", "e"), ("unique", "_")]
+    t = time.time()
+    bpe_token_count(dsyn, merges).agg(F.sum("n_bpe_tokens")).collect()
+    out["bpe_tokenize"] = round(time.time() - t, 3)
+
+    t = time.time()
+    dsir_weights(dsyn, dsyn.filter("doc_id % 100 = 0"),
+                 vocab_limit=100_000).agg(F.avg("dsir_logw")).collect()
+    out["dsir_weights"] = round(time.time() - t, 3)
     return out
 
 

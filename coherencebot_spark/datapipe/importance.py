@@ -73,20 +73,25 @@ def dsir_weights(docs: DataFrame, target: DataFrame, *,
 
     vocab = (bg.orderBy(F.desc("n"), F.asc("word")).limit(vocab_limit)
              .select("word", F.col("n").alias("n_bg")))
-    model = (vocab.join(tg.withColumnRenamed("n", "n_tg"), "word", "left")
-             .select("word", "n_bg",
-                     F.coalesce("n_tg", F.lit(0)).alias("n_tg")))
-
-    # scalar totals: one tiny aggregate each (the model is already
-    # bounded; this is a driver-side pair of longs, not a data collect)
-    tot = model.agg(F.sum("n_bg").alias("tb"), F.sum("n_tg").alias("tt"),
-                    F.count("*").alias("v")).first()
-    t_bg, t_tg, v = int(tot["tb"]), int(tot["tt"]), int(tot["v"])
+    # materialize the ≤vocab_limit model ONCE (the lm_typicality
+    # ExistingRDD pattern): the scoring broadcast below must not
+    # re-derive — and so re-aggregate the corpus for — the same counts
+    # the totals read
+    rows = (vocab.join(tg.withColumnRenamed("n", "n_tg"), "word", "left")
+            .select("word", "n_bg",
+                    F.coalesce("n_tg", F.lit(0)).alias("n_tg"))
+            .collect())
+    model = docs.sparkSession.createDataFrame(
+        rows, "word string, n_bg long, n_tg long")
+    t_bg = sum(r["n_bg"] for r in rows)
+    t_tg = sum(r["n_tg"] for r in rows)
+    v = len(rows)
 
     words = docs.select(
         F.col(id_col),
         F.explode_outer(_words(F.col(text_col), max_chars)).alias("word"))
-    neutral = math.log((t_bg + v) / (t_tg + v))
+    # empty vocabulary (wordless corpus): every document is neutral-0
+    neutral = math.log((t_bg + v) / (t_tg + v)) if v else 0.0
     logr = (F.log(F.coalesce(F.col("n_tg"), F.lit(0)) + 1.0)
             - F.log(F.coalesce(F.col("n_bg"), F.lit(0)) + 1.0)
             + F.lit(neutral))

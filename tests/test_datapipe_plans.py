@@ -96,3 +96,40 @@ def test_lm_typicality_plan_shape(spark):
     for line in p.splitlines():                   # text never shuffles
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_bpe_apply_is_pure_projection(spark):
+    """BPE apply is a replace chain over staged projections — zero
+    Exchanges, zero Python (no BatchEvalPython / ArrowEvalPython)."""
+    from coherencebot_spark.datapipe.tokenizer import (
+        bpe_segment, bpe_token_count)
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.concat(F.lit("table row agg line "),
+                                     F.col("doc_id").cast("string")))
+    merges = [("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+              ("r", "o"), ("ro", "w")]
+    for df in (bpe_segment(docs, merges), bpe_token_count(docs, merges)):
+        p = _plan(df)
+        assert "Exchange" not in p, p
+        assert "EvalPython" not in p, p
+
+
+def test_dsir_scoring_corpus_never_wide_shuffles(spark):
+    """The model arrives materialized (local scan — the training
+    aggregation is NOT re-derived inside the broadcast) and joins back
+    as a broadcast; the only Exchanges carry bounded-key aggregates
+    (word counts, per-doc combine) — never the text column."""
+    from coherencebot_spark.datapipe.importance import dsir_weights
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.concat(F.lit("alpha beta gamma delta "),
+                                     F.col("doc_id").cast("string")))
+    target = docs.where("doc_id % 10 = 0")
+    p = _plan(dsir_weights(docs, target, vocab_limit=100))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert ("LocalTableScan" in p or "ExistingRDD" in p), p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
