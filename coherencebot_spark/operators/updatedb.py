@@ -192,7 +192,18 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
             cache.append(delta)
         g = old.join(F.broadcast(delta), "url", "left_outer")
         if cfg.additions_allowed:
-            new_rows = delta.join(old.select("url"), "url", "left_anti").select(
+            # delta-only urls via broadcast semi→anti decomposition: the
+            # naive ``delta ANTI old.urls`` plans a sort-merge join that
+            # SHUFFLES every frontier url (≈300 MB at 6M rows, unbounded
+            # at 10^10).  Instead stream the frontier once more against
+            # the broadcast delta urls (semi join — the intersection is
+            # ≤ |delta| by construction) and anti-join delta against
+            # that small set: both joins broadcast, the frontier never
+            # enters an exchange (guide §3.2's semi-join pre-filter).
+            present = old.select("url").join(
+                F.broadcast(delta.select("url")), "url", "left_semi")
+            new_rows = delta.join(
+                F.broadcast(present), "url", "left_anti").select(
                 "url", F.lit(None).cast(old.schema["old"].dataType).alias("old"),
                 "fetch", "top_link", "link_cash", "parse_sig", "parse_meta",
             )

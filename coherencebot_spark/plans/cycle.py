@@ -243,7 +243,16 @@ class CrawlDriver:
     def _load_or_build_blooms(self) -> DataFrame:
         if not os.path.exists(self._blooms_path):
             self._refresh_seen_blooms(None)
-        return self.spark.read.parquet(self._blooms_path)
+        # localCheckpoint cuts the file-scan lineage (guide §5): every
+        # cached frame this cycle builds (parsed / seen_new / delta /
+        # new_frontier) carries the URL-seen probe in its plan, and a
+        # plan that SCANS self._blooms_path is invalidated by Spark's
+        # recacheByPath when _refresh_seen_blooms overwrites the shards
+        # — which used to silently re-execute the whole updatedb+dedup
+        # pipeline in the commit phase (measured: the commit's count job
+        # re-ran 36 stages).  Checkpointing the tiny shard frame (a few
+        # MB) makes the refresh write invisible to the cache manager.
+        return self.spark.read.parquet(self._blooms_path).localCheckpoint()
 
     def _probe_seen(self, parse_out: DataFrame):
         """(non-linked rows, linked rows with a ``maybe_seen`` flag).
@@ -393,6 +402,13 @@ class CrawlDriver:
             m.timings[phase] = round(now - _t0, 3)
             _t0 = now
 
+        def label(phase: str) -> None:
+            # job label for the UI/event log (guide §1.5) — attribution
+            # only, no execution effect
+            self.spark.sparkContext.setJobDescription(f"cycle:{phase}")
+
+        label("segment")
+
         resumed = self.fetch_log.snapshot_for_cycle(cycle_id)
         csnap = self.content.snapshot_for_cycle(cycle_id)
         if resumed and csnap:
@@ -436,6 +452,7 @@ class CrawlDriver:
             log = self.fetch_log.read(self.spark)
             content = self.content.read(self.spark)
         tick("segment")  # generate + fetch + payload + segment commit
+        label("touched_buckets")
 
         # parse + redirect-linked rows — the RAW link universe, before any
         # URL-seen filtering (metrics + linkdb must see every discovered
@@ -503,6 +520,7 @@ class CrawlDriver:
             )
             touched = [r["b"] for r in hosts.collect()]
             tick("touched_buckets")
+            label("metrics")
             frontier_all = self.frontier.read(self.spark)
             frontier = (
                 frontier_all.filter(F.col("bucket").isin(touched)).drop("bucket")
@@ -525,6 +543,12 @@ class CrawlDriver:
                 updatedb(empty_f, empty_log, seen_new, cur_time, cfg,
                          seeds_in_service=seeds_in_service)
             )
+        # dedup instantiates its input subtree twice (phash attach + dup
+        # mark-back join): persist the pre-dedup merge so one evaluation
+        # feeds both sides instead of re-running the whole updatedb plan
+        # (bench.run_cycle applies the same discipline)
+        new_frontier = new_frontier.persist()
+        upd_cache.append(new_frontier)
         new_frontier = dedup_by_phash(
             new_frontier, content, cfg,
             broadcast_content=cfg.broadcast_small_sides)
@@ -541,6 +565,7 @@ class CrawlDriver:
                 cfg, key_col="phash_meta",
             ).drop("phash_meta")
 
+        label("metrics")
         # metrics + per-partition lineage (north rule): ONE pass over the
         # fetch log yields both the per-partition lineage and (summed
         # driver-side) the global status counters — the former separate
@@ -561,14 +586,25 @@ class CrawlDriver:
         m.notmodified = status_counts.get(int(Fetch.NOTMODIFIED), 0)
         m.generated = sum(status_counts.values())
         # newly discovered URLs: linked targets not present in the (touched
-        # part of the) frontier — broadcast-anti join, linked side is tiny
-        m.new_links = (
+        # part of the) frontier.  Counted as |linked| − |frontier ∩ linked|
+        # with a broadcast semi join so the frontier side never shuffles —
+        # the former small-ANTI-big join planned a sort-merge that moved
+        # every frontier url through an exchange in full-rewrite cycles
+        # (guide §3.2 semi-join discipline; same value by set identity).
+        linked_urls = (
             po_raw.filter(F.col("status") == int(Msg.LINKED))
-            .select("url").distinct()
-            .join(frontier.select("url"), "url", "left_anti")
+            .select("url").distinct().persist()
+        )
+        n_linked = linked_urls.count()
+        n_present = (
+            frontier.select("url")
+            .join(F.broadcast(linked_urls), "url", "left_semi")
             .count()
         )
+        m.new_links = n_linked - n_present
+        linked_urls.unpersist()
         tick("metrics")  # lineage pass + new-link discovery count
+        label("url_seen_refresh")
 
         new_frontier = new_frontier.persist()
 
@@ -585,6 +621,7 @@ class CrawlDriver:
                 frontier_df=self._with_bucket(new_frontier),
             )
             tick("url_seen_refresh")  # also materializes new_frontier
+        label("frontier_commit")
 
         meta = {k: v for k, v in m.as_dict().items() if k != "per_partition"}
         if use_merge:
@@ -595,13 +632,16 @@ class CrawlDriver:
             # pre-metric legacy snapshots, and is counted for tests).
             hist = self.frontier.history()
             parent_size = (hist[-1]["metrics"] or {}).get("frontier_size")
+            label("commit:new_count")
             new_touched_rows = new_frontier.count()
             if parent_size is not None:
+                label("commit:old_count")
                 old_touched_rows = frontier.count()
                 m.frontier_size = (
                     int(parent_size) - old_touched_rows + new_touched_rows
                 )
             meta["frontier_size"] = m.frontier_size
+            label("commit:merge_write")
             self.frontier.merge_write(
                 self._with_bucket(new_frontier), touched, cycle_id=cycle_id,
                 metrics=meta, lineage=m.per_partition,
@@ -622,11 +662,13 @@ class CrawlDriver:
                 metrics=meta, lineage=m.per_partition,
             )
         tick("frontier_commit")  # updatedb/dedup execute here if not above
+        label("linkdb")
         new_frontier.unpersist()
 
         # ancillary tables (optional steps in the reference loop)
         self._update_linkdb(po_raw, cycle_id, use_merge)
         tick("linkdb")
+        label("hostdb")
         self._update_hostdb(cycle_id)
         tick("hostdb")
         if self.index_sink is not None:

@@ -46,7 +46,9 @@ def gen_pixels(i: int, w: int | None = None, h: int | None = None) -> np.ndarray
     # smooth low-frequency field + noise: more realistic spectra than pure
     # noise, and gives the lossy codec something compressible.
     base = rng.integers(0, 256, size=(h // 8 + 1, w // 8 + 1, 3), dtype=np.uint8)
-    up = np.kron(base, np.ones((8, 8, 1), dtype=np.uint8))[:h, :w, :]
+    # 8x block upsample; value-identical to np.kron(base, ones((8,8,1)))
+    # but ~3x faster (kron builds the product via an outer multiply)
+    up = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:h, :w, :]
     noise = rng.integers(-24, 25, size=(h, w, 3), dtype=np.int16)
     return np.clip(up.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
@@ -162,8 +164,11 @@ def encode_lossy(px: np.ndarray) -> bytes:
     h, w, _ = px.shape
     blocks, H, W = _blockify(px)
     d = _dct_matrix()
-    # per-channel 2D DCT: D @ B @ D.T, batched
-    coef = np.einsum("ij,bjkc,lk->bilc", d, blocks, d)
+    # per-channel 2D DCT: D @ B @ D.T, batched.  Two broadcast matmuls
+    # instead of one 3-operand einsum — c_einsum has no BLAS path and was
+    # the single hottest call of the payload pipeline (guide §4.2).
+    bt = blocks.transpose(0, 3, 1, 2)          # (b, c, 8, 8)
+    coef = ((d @ bt) @ d.T).transpose(0, 2, 3, 1)
     q = np.round(coef / _Q).astype(np.int16)
     payload = zlib.compress(q.tobytes(), 6)
     header = struct.pack("<4sHHHH", b"LDCT", w, h, W, H)
@@ -177,7 +182,9 @@ def decode_lossy(data: bytes) -> np.ndarray:
     nb = (H // 8) * (W // 8)
     coef = q.reshape(nb, 8, 8, 3).astype(np.float64) * _Q
     d = _dct_matrix()
-    blocks = np.einsum("ji,bjkc,kl->bilc", d, coef, d) + 128.0
+    # inverse 2D DCT as two broadcast matmuls (see encode_lossy)
+    ct = coef.transpose(0, 3, 1, 2)            # (b, c, 8, 8)
+    blocks = ((d.T @ ct) @ d).transpose(0, 2, 3, 1) + 128.0
     px = blocks.reshape(H // 8, W // 8, 8, 8, 3).transpose(0, 2, 1, 3, 4)
     px = px.reshape(H, W, 3)
     return np.clip(np.round(px), 0, 255).astype(np.uint8)[:h, :w, :]

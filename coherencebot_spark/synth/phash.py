@@ -47,11 +47,11 @@ def phash64(px: np.ndarray) -> int:
     coef = d @ small @ d.T
     block = coef[:8, :8].copy()
     med = np.median(np.concatenate([block.ravel()[1:]]))  # exclude DC
-    bits = (block.ravel() > med).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(val.view(np.int64))
+    bits = (block.ravel() > med).astype(np.uint8)
+    # pack row-major, first bit = MSB — same value the former
+    # shift-or loop produced, without 64 Python-level iterations
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def hamming64(a: int, b: int) -> int:

@@ -85,7 +85,11 @@ def caption_for(i: int) -> str:
     rng = np.random.default_rng(SEED + 7919 * (e + 1))
     n = int(rng.integers(5, 21))
     w = _words()
-    return f"caption {e} " + " ".join(w[int(rng.integers(len(w)))] for _ in range(n))
+    # one vectorized draw; numpy's bounded-integer sampling is applied
+    # per element in stream order, so this matches the former per-word
+    # scalar draws bit-for-bit (asserted in tests)
+    picks = rng.integers(len(w), size=n)
+    return f"caption {e} " + " ".join(w[int(p)] for p in picks)
 
 
 def payload_row(i: int) -> dict:
