@@ -68,6 +68,13 @@ class CrawlConfig:
     # functions/hashing.CuckooFilter).  Shards on disk self-describe;
     # switching backend mid-crawl triggers a one-time full shard rebuild
     url_seen_backend: str = "bloom"
+    # size gate for the URL-seen probe's broadcast route: when the
+    # frontier-size estimate prices the WHOLE shard table under this many
+    # bytes (~1.2 B/url at 1% fpp), the probe broadcasts the shards and
+    # runs shuffle-free (functions.hashing.bloom_contains_broadcast);
+    # past it — ~10^8 urls at the default — the bucket-cogroup path keeps
+    # each shard on its own bucket's wire (guide §3.1 sizing discipline)
+    url_seen_broadcast_max_bytes: int = 128 << 20
     # broadcast the fetchlist-sized small sides (generate selection,
     # updatedb delta, dedup phash) so the frontier never shuffles full
     # rows — use when topN/fetchlist fits a broadcast; with an Iceberg

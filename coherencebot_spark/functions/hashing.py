@@ -320,6 +320,67 @@ def bloom_contains_sharded(probe: DataFrame, col: str, blooms: DataFrame,
     )
 
 
+def bloom_contains_broadcast(probe: DataFrame, col: str, blooms: DataFrame,
+                             out_col: str = "maybe_seen",
+                             n_buckets: int = 256,
+                             bucket_expr=None) -> DataFrame:
+    """Broadcast twin of :func:`bloom_contains_sharded` for frontiers whose
+    TOTAL shard bytes fit executor memory: the shard table is collected
+    once and broadcast, and the probe becomes a shuffle-free
+    ``mapInPandas`` — the probe side never enters an Exchange and the
+    cogroup's per-bucket repartition disappears (guide §3.1: broadcast
+    the side that fits).  Same results bit-for-bit: probes whose bucket
+    has no shard are definitely-new → False.
+
+    Callers are responsible for the size gate (the crawl driver routes on
+    the frontier-size estimate — ~1.2 GB of shards per 10^9 URLs at 1%
+    fpp — and falls back to the cogroup path past
+    ``url_seen_broadcast_max_bytes``)."""
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    shard_rows = blooms.select("bucket", "m", "k", "bits").collect()
+    filters = {int(r["bucket"]): (int(r["m"]), int(r["k"]), r["bits"])
+               for r in shard_rows}
+    bc = probe.sparkSession.sparkContext.broadcast(filters)
+
+    p = probe.withColumn("_bkt", bucket_expr).withColumn(
+        "_h1", F.xxhash64(F.col(col)).cast("long")
+    ).withColumn("_h2", F.xxhash64(F.col(col), F.lit(0x9E3779B9)).cast("long"))
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        list(probe.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    probe_cols = probe.columns
+
+    def check(it):
+        fl = bc.value
+        built: dict[int, BloomFilter] = {}
+        for pdf in it:
+            n = len(pdf)
+            res = np.zeros(n, dtype=bool)
+            bkt = pdf["_bkt"].to_numpy()
+            h1 = pdf["_h1"].to_numpy().astype(np.int64).view(np.uint64)
+            h2 = pdf["_h2"].to_numpy().astype(np.int64).view(np.uint64)
+            for b in np.unique(bkt):
+                ent = fl.get(int(b))
+                if ent is None:
+                    continue
+                bf = built.get(int(b))
+                if bf is None:
+                    m, k, bits = ent
+                    bf = built[int(b)] = BloomFilter(
+                        m, k, np.frombuffer(bits, dtype=np.uint64))
+                mask = bkt == b
+                res[mask] = bf.contains(h1[mask], h2[mask])
+            out = pdf[probe_cols].copy()
+            out[out_col] = res
+            yield out
+
+    return p.mapInPandas(check, schema=out_schema)
+
+
 def bloom_contains_col(spark, df: DataFrame, col: str, bloom: BloomFilter,
                        out_col: str = "maybe_seen") -> DataFrame:
     """Append a boolean column: True if ``col`` is possibly in the filter."""

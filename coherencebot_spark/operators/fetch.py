@@ -381,42 +381,40 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
     def materialize(it):
         for pdf in it:
             n = len(pdf)
-            cols = {k: [None] * n for k in _COLS}
-            idx = pdf["image_idx"].to_numpy()
-            valid = np.fromiter(
-                (x is not None and not pd.isna(x) and int(x) >= 0 for x in idx),
-                dtype=bool, count=n,
-            )
+            idx = pd.to_numeric(pdf["image_idx"], errors="coerce")
+            valid = idx.notna().to_numpy() & (
+                idx.fillna(-1).to_numpy(dtype=np.int64) >= 0)
             pos = np.nonzero(valid)[0]
+            # one object-array fancy-index assignment per column instead
+            # of a per-element Python loop (7 cols × batch rows): the
+            # batch fn already returns aligned columns
+            cols = {k: np.full(n, None, dtype=object) for k in _COLS}
             if len(pos):
-                vidx = np.fromiter((int(idx[i]) for i in pos),
-                                   dtype=np.int64, count=len(pos))
+                vidx = idx.to_numpy(dtype=np.int64)[pos]
                 if pbf is not None:
                     # vectorized payload production over the whole Arrow
                     # batch — no per-row Python loop in the hot path
                     rows_df = pbf(vidx)
                     for k in cols:
-                        vals = rows_df[k].tolist()
-                        for j, i in enumerate(pos):
-                            cols[k][i] = vals[j]
+                        cols[k][pos] = rows_df[k].to_numpy(dtype=object)
                 else:
                     for i, u in zip(pos, vidx):
                         row = pf(int(u))
                         for k in cols:
                             cols[k][i] = row[k]
-            truncated = [False] * n
-            if content_limit > 0:
+            truncated = np.zeros(n, dtype=bool)
+            if content_limit > 0 and len(pos):
                 blobs = cols["bytes"]
-                for j, b in enumerate(blobs):
-                    if isinstance(b, (bytes, bytearray)) \
-                            and len(b) > content_limit:
-                        blobs[j] = b[:content_limit]
-                        truncated[j] = True
-            out = pdf[["url", "host", "score", "metadata"]].copy()
-            for k, v in cols.items():
-                out[k] = v
+                lens = np.fromiter(
+                    (len(blobs[i]) for i in pos), dtype=np.int64,
+                    count=len(pos))
+                for i in pos[lens > content_limit]:
+                    blobs[i] = blobs[i][:content_limit]
+                    truncated[i] = True
+            out = {k: pdf[k] for k in ("url", "host", "score", "metadata")}
+            out.update(cols)
             out["truncated"] = truncated
-            yield out
+            yield pd.DataFrame(out)
 
     from pyspark.sql.types import BooleanType, FloatType, MapType
 

@@ -193,7 +193,7 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
                                 count=len(raw))
             flat = pd.Series(
                 [t for r in raw for t, _ in r], dtype=object)
-            anchors = [a for r in raw for _, a in r]
+            anchors = np.array([a for r in raw for _, a in r], dtype=object)
             normed = normalize_urls(flat) if len(flat) else flat
             ok = normed.notna().to_numpy() if len(flat) else np.zeros(0, bool)
             if fchain is not None and len(flat):
@@ -217,33 +217,54 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
                     ok &= keep_ext
                 if ignore_int:
                     ok &= ~same
-            # regroup by page offsets; cap counts accepted links only
-            out_links, out_nvalid = [], np.zeros(len(raw), dtype=np.int64)
-            normed_np = normed.to_numpy(dtype=object) if len(flat) else normed
-            off = 0
-            for i, cnt in enumerate(n_all):
-                kept = []
-                for j in range(off, off + cnt):
-                    if ok[j]:
-                        kept.append({"to_url": normed_np[j],
-                                     "anchor": anchors[j]})
-                        if len(kept) == cap:
-                            break
-                off += cnt
-                out_links.append(kept)
-                out_nvalid[i] = len(kept)
-            out = {"url": pdf["url"], "score": pdf["score"],
-                   "host": pdf["host"], "outlinks": out_links,
-                   "n_all": n_all, "n_valid": out_nvalid}
+            # FLAT output — one row per KEPT link, vectorized: the former
+            # per-page regroup loop built array<struct> cells in Python
+            # only for the JVM to explode them again.  The accepted-count
+            # cap becomes a segment-wise rank: rank_j = running count of
+            # accepted links within the page, kept iff accepted and
+            # rank <= cap (identical to the loop's early break).
+            n_pages = len(raw)
+            page_of = np.repeat(np.arange(n_pages, dtype=np.int64), n_all)
+            cum = np.cumsum(ok.astype(np.int64)) if len(flat) else \
+                np.zeros(0, dtype=np.int64)
+            offsets = np.zeros(n_pages, dtype=np.int64)
+            if n_pages:
+                np.cumsum(n_all[:-1], out=offsets[1:])
+            # accepted-so-far BEFORE each page start
+            base = np.where(offsets > 0, cum[offsets - 1], 0) \
+                if len(flat) else offsets
+            rank = cum - np.repeat(base, n_all) if len(flat) else cum
+            kept = ok & (rank <= cap)
+            n_valid_page = np.zeros(n_pages, dtype=np.int64)
+            if len(flat):
+                np.add.at(n_valid_page, page_of, kept.astype(np.int64))
+            kpos = np.nonzero(kept)[0]
+            kpage = page_of[kpos]
+            url_np = pdf["url"].to_numpy(dtype=object)
+            host_np = pdf["host"].to_numpy(dtype=object)
+            score_np = pdf["score"].to_numpy()
+            out = {
+                "url": url_np[kpage],
+                "score": score_np[kpage],
+                "host": host_np[kpage],
+                "to_url": (normed.to_numpy(dtype=object)[kpos]
+                           if len(flat) else np.array([], dtype=object)),
+                "anchor": anchors[kpos] if len(flat)
+                else np.array([], dtype=object),
+                "n_all": n_all[kpage],
+                "n_valid": n_valid_page[kpage],
+            }
             if "_urlmeta" in pdf.columns:
-                out["_urlmeta"] = pdf["_urlmeta"]
+                out["_urlmeta"] = pdf["_urlmeta"].to_numpy(
+                    dtype=object)[kpage]
             yield pd.DataFrame(out)
 
     out_fields = [
         StructField("url", StringType()),
         StructField("score", FloatType()),
         StructField("host", StringType()),
-        StructField("outlinks", ArrayType(_OUTLINK)),
+        StructField("to_url", StringType()),
+        StructField("anchor", StringType()),
         StructField("n_all", LongType()),
         StructField("n_valid", LongType()),
     ]
@@ -270,20 +291,14 @@ def parse(fetch_log: DataFrame, content: DataFrame, cfg: CrawlConfig = DEFAULT,
     )
 
     meta_cols = ["_urlmeta"] if urlmeta_tags else []
-    ex = (
-        with_links
-        .filter(F.col("n_valid") > 0)
-        .select(
-            F.col("url").alias("from_url"),
-            F.col("host").alias("from_host"),
-            "score", "n_all", "n_valid", *meta_cols,
-            F.explode("outlinks").alias("ol"),
-        )
-        .select(
-            "from_url", "from_host", "score", "n_all", "n_valid", *meta_cols,
-            F.col("ol.to_url").alias("to_url"),
-            F.left(F.col("ol.anchor"), F.lit(int(cfg.linkdb_max_anchor_length))).alias("anchor"),
-        )
+    # extract already emits one flat row per kept link — no JVM explode
+    ex = with_links.select(
+        F.col("url").alias("from_url"),
+        F.col("host").alias("from_host"),
+        "score", "n_all", "n_valid", *meta_cols,
+        "to_url",
+        F.left(F.col("anchor"),
+               F.lit(int(cfg.linkdb_max_anchor_length))).alias("anchor"),
     )
 
     ex = ex.withColumn("to_host", F.lower(F.expr("parse_url(to_url, 'HOST')")))

@@ -260,16 +260,35 @@ class CrawlDriver:
         on disk self-describe (cuckoo rows carry ``table``, bloom rows
         ``bits``), so a backend switch stays correct between the config
         change and the next shard refresh."""
-        from ..functions.hashing import (bloom_contains_sharded,
+        from ..functions.hashing import (BloomFilter,
+                                         bloom_contains_broadcast,
+                                         bloom_contains_sharded,
                                          cuckoo_contains_sharded)
 
         blooms = self._load_or_build_blooms()
-        prober = (cuckoo_contains_sharded if "table" in blooms.columns
-                  else bloom_contains_sharded)
         linked = parse_out.filter(F.col("status") == int(Msg.LINKED))
         rest = parse_out.filter(F.col("status") != int(Msg.LINKED))
+        n_buckets = int(self.cfg.host_buckets)
+        prober = (cuckoo_contains_sharded if "table" in blooms.columns
+                  else bloom_contains_sharded)
+        if prober is bloom_contains_sharded:
+            # scale-adaptive probe route (guide §3.1): estimate total
+            # shard bytes from the frontier-size metric (no Spark job —
+            # the same estimate _refresh_seen_blooms sizes shards with)
+            # and broadcast the whole shard table when it fits, making
+            # the probe a shuffle-free mapInPandas.  Unknown size (no
+            # metric yet) or past the gate → the cogroup path.
+            hist = self.frontier.history()
+            cap = ((hist[-1]["metrics"] or {}).get("frontier_size")
+                   if hist else None)
+            if cap is not None:
+                m, _ = BloomFilter.params(
+                    max(int(cap) // n_buckets, 1024))
+                if (m // 8) * n_buckets <= int(
+                        self.cfg.url_seen_broadcast_max_bytes):
+                    prober = bloom_contains_broadcast
         probed = prober(
-            linked, "url", blooms, n_buckets=int(self.cfg.host_buckets),
+            linked, "url", blooms, n_buckets=n_buckets,
             bucket_expr=self._host_bucket_expr(),
         )
         return rest, probed
