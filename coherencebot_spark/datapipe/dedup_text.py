@@ -548,8 +548,14 @@ def shared_passage_stats(docs: DataFrame, k: int = 8, window: int = 4,
     (fp, flag) pairs and the per-doc rollup is the second combinable
     aggregation — the same three-narrow-exchange shape as
     :func:`dedup_lines`, never all-pairs."""
+    # the fingerprint pass (per-doc gram hash + window minima — the
+    # expensive projection) feeds BOTH the cross-doc count and the
+    # join-back: persist it so it is evaluated once, not twice (guide
+    # §5: reuse > recompute; measured 9.3 s/pass at the 1M-doc bench
+    # tier).  AQE broadcasts the shared-fp side at runtime when small,
+    # so the fps side then never shuffles for the join.
     fps = winnow_fingerprints(docs, k, window, id_col, text_col,
-                              hash_fn, max_chars)
+                              hash_fn, max_chars).persist()
     common = (fps.groupBy("fp").agg(F.count("*").alias("ndocs"))
                  .where(F.col("ndocs") > 1)
                  .select("fp", F.lit(True).alias("_shared")))
