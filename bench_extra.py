@@ -200,6 +200,8 @@ def cycle_phase(event_logs: bool = False) -> dict:
     if event_logs:
         for st in _top_stages(evdir, app_id):
             print(f"  stage {st}", flush=True)
+        shutil.rmtree("/tmp/bx_cycle_events", ignore_errors=True)
+        shutil.copytree(evdir, "/tmp/bx_cycle_events")
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 

@@ -271,13 +271,27 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     def chunk(c: int):
         return F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask))
 
+    # block-key value: the selected chunks PACKED into one long when they
+    # fit (width × chunks-per-key ≤ 63 bits) — the former string
+    # concat_ws allocated a ~20-char key per (row, combination) that then
+    # crossed the blocking exchange and drove its hash/sort; the packing
+    # is bijective per combination, so (bkey, v) groups identically and
+    # the pair set is unchanged.  String fallback for wide configs.
+    chunks_per_key = n_chunks - max_hamming
+
+    def key_val(combo):
+        if chunks_per_key * width <= 63:
+            v = chunk(combo[0]).cast("long")
+            for c in combo[1:]:
+                v = F.shiftleft(v, width).bitwiseOR(chunk(c))
+            return v.alias("v")
+        return F.concat_ws(
+            "|", *[chunk(c).cast("string") for c in combo]).alias("v")
+
     blocked = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(ki).alias("bkey"),
-                F.concat_ws("|", *[chunk(c).cast("string") for c in combo]).alias("v"),
-            )
+            F.struct(F.lit(ki).alias("bkey"), key_val(combo))
             for ki, combo in enumerate(keys)
         ])).alias("cc"),
     ).select(id_col, "simhash", "cc.bkey", "cc.v")

@@ -179,35 +179,39 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
 
     # additions_allowed decides whether delta-only urls (discovered links /
     # out-of-db fetches) enter the frontier (CrawlDbReducer.java:145-146)
+    untouched = None
     if broadcast_delta:
-        # The frontier (the 10^10 side) must NEVER shuffle its full rows:
-        # decompose the full-outer into (frontier ⟕ broadcast(delta)) ∪
-        # (delta ⟲ anti frontier.urls).  The only big-side movement left is
-        # the url column for the anti join — on a cluster with the
-        # frontier Iceberg-bucketed by url-hash, both halves become
-        # storage-partitioned joins and even that disappears; broadcast is
-        # the local-mode physical analogue (delta ≈ fetchlist-sized).
+        # The frontier (the 10^10 side) must NEVER shuffle its full rows —
+        # and the state-machine cascade below must not run over 10^10
+        # identity rows either.  Split the frontier against a NARROW
+        # broadcast of the delta's url column (guide §3.2 semi-join
+        # pre-filter; one broadcast subtree, reused by both joins):
+        #
+        #   touched   = old ⋉ broadcast(delta.urls)   (≤ |delta| rows)
+        #   untouched = old ⟲ broadcast(delta.urls)   (identity under the
+        #                                              cascade — bypasses it)
+        #
+        # then merge ONLY the touched rows with the delta in a small
+        # url-keyed join (SHUFFLE_HASH hint: both sides are
+        # fetchlist-sized, and the per-partition parallel hash build
+        # replaces the former single-threaded driver build of the WIDE
+        # delta broadcast — measured as a 6.4 s all-cores-idle gap per
+        # cycle at the bench tier).  full_outer keeps delta-only urls
+        # (the new-row branch) when additions are allowed; with the
+        # frontier Iceberg-bucketed by url-hash both frontier probes are
+        # storage-partitioned scans and nothing big ever enters an
+        # exchange.
         delta = delta.persist()
         if cache is not None:
             cache.append(delta)
-        g = old.join(F.broadcast(delta), "url", "left_outer")
-        if cfg.additions_allowed:
-            # delta-only urls via broadcast semi→anti decomposition: the
-            # naive ``delta ANTI old.urls`` plans a sort-merge join that
-            # SHUFFLES every frontier url (≈300 MB at 6M rows, unbounded
-            # at 10^10).  Instead stream the frontier once more against
-            # the broadcast delta urls (semi join — the intersection is
-            # ≤ |delta| by construction) and anti-join delta against
-            # that small set: both joins broadcast, the frontier never
-            # enters an exchange (guide §3.2's semi-join pre-filter).
-            present = old.select("url").join(
-                F.broadcast(delta.select("url")), "url", "left_semi")
-            new_rows = delta.join(
-                F.broadcast(present), "url", "left_anti").select(
-                "url", F.lit(None).cast(old.schema["old"].dataType).alias("old"),
-                "fetch", "top_link", "link_cash", "parse_sig", "parse_meta",
-            )
-            g = g.unionByName(new_rows)
+        durls = F.broadcast(delta.select("url"))
+        touched_old = old.join(durls, "url", "left_semi")
+        # derived from ``old`` (not old_src) so the frontier_unique=False
+        # dedup applies to pass-through rows too
+        untouched = old.join(durls, "url", "left_anti")
+        g = touched_old.join(
+            delta.hint("SHUFFLE_HASH"), "url",
+            "full_outer" if cfg.additions_allowed else "left_outer")
     else:
         g = old.join(delta, "url",
                      "full_outer" if cfg.additions_allowed else "left_outer")
@@ -442,6 +446,28 @@ def updatedb(frontier: DataFrame, fetch_log: DataFrame,
         modified.cast("long").alias("modified_time"),
         meta_out.alias("metadata"),
     )
+
+    if untouched is not None:
+        # untouched rows are identity under the cascade (no fetch, no
+        # link): eff_status = LINKED with has_old ⇒ every cascade arm
+        # selects the old field, link_cash coalesces to 0, and the
+        # metadata arm reduces to map-coalesce — reproduced here as a
+        # plain projection so the 10^10-row side never evaluates the
+        # state machine (asserted equal by the oracle-gated updatedb
+        # queries and the schedule/state-matrix tests)
+        uo = F.col("old")
+        result = result.unionByName(untouched.select(
+            "url",
+            uo["host"].alias("host"),
+            uo["status"].cast("int").alias("status"),
+            uo["fetch_time"].cast("long").alias("fetch_time"),
+            uo["retries"].cast("int").alias("retries"),
+            uo["fetch_interval"].cast("long").alias("fetch_interval"),
+            uo["score"].cast("float").alias("score"),
+            uo["signature"].alias("signature"),
+            uo["modified_time"].cast("long").alias("modified_time"),
+            _mcoal(uo["metadata"]).alias("metadata"),
+        ))
 
     # SC5 withdrawn filter (fork-specific): seed no longer in service
     if seeds_in_service is not None:
