@@ -62,13 +62,50 @@ def _exploded_trigrams(docs: DataFrame, text_col: str, max_chars: int,
         F.explode(F.slice(tris, 1, F.col("_len") - 2)).alias("tri"))
 
 
+def _exploded_tri_codes(docs: DataFrame, text_col: str, max_chars: int,
+                        *keep: str) -> DataFrame:
+    """(*keep, tri) with the trigram packed as a LONG code
+    ``cp0·2^42 + cp1·2^21 + cp2`` (code points < 2^21 ⇒ 63 bits, no
+    collisions).  The packing is a bijection on 3-char strings and
+    ORDER-PRESERVING versus UTF8 string comparison (UTF-8 byte order =
+    code-point order), so aggregation counts, join matches and the
+    (count DESC, key ASC) top-V tie-break are all identical to the
+    string-keyed twin — while the 116M-row aggregate and the broadcast
+    probe hash/compare an 8-byte primitive instead of allocating a
+    3-char UTF8String per trigram (guide §2.3: narrower types).  The
+    code-point array is STAGED in its own projection (CollapseProject
+    discipline) so ``split``+``ascii`` run once per row, not once per
+    shifted copy."""
+    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
+    staged = (docs.where(F.length(t) >= 3)
+                  .select(*keep, F.length(t).alias("_len"),
+                          F.transform(F.split(t, ""),
+                                      lambda c: F.ascii(c)).alias("_a")))
+    a = F.col("_a")
+    zipped = F.arrays_zip(a.alias("c0"),
+                          F.slice(a, 2, 1 << 30).alias("c1"),
+                          F.slice(a, 3, 1 << 30).alias("c2"))
+    tris = F.transform(
+        zipped,
+        lambda s: (s["c0"].cast("long") * F.lit(1 << 42)
+                   + s["c1"].cast("long") * F.lit(1 << 21)
+                   + s["c2"].cast("long")))
+    return staged.select(
+        *keep,
+        F.explode(F.slice(tris, 1, F.col("_len") - 2)).alias("tri"))
+
+
 def train_trigram_lm(docs: DataFrame, text_col: str = "text",
                      vocab_limit: int = 4096,
                      max_chars: int = 2000) -> DataFrame:
     """Train the model: top-``vocab_limit`` trigrams with add-one smoothed
     log-probabilities.  Returns (tri, c, logp) — ``c`` kept so callers can
     recompute the smoothing scalars without a second corpus pass."""
-    ex = _exploded_trigrams(docs, text_col, max_chars)
+    return _train_model(_exploded_trigrams(docs, text_col, max_chars),
+                        vocab_limit)
+
+
+def _train_model(ex: DataFrame, vocab_limit: int) -> DataFrame:
     counts = ex.groupBy("tri").agg(F.count("*").alias("c"))
     top = counts.orderBy(F.desc("c"), F.asc("tri")).limit(vocab_limit)
     stats = top.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
@@ -85,7 +122,11 @@ def score_typicality(docs: DataFrame, model: DataFrame,
     ``avg_logp`` is the mean trigram log-prob with OOV trigrams priced at
     the smoothed floor ln(1 / (total + V)).  Docs shorter than one
     trigram after truncation are dropped (no signal)."""
-    ex = _exploded_trigrams(docs, text_col, max_chars, id_col)
+    return _score(_exploded_trigrams(docs, text_col, max_chars, id_col),
+                  model, id_col)
+
+
+def _score(ex: DataFrame, model: DataFrame, id_col: str) -> DataFrame:
     stats = model.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
     scored = ex.join(F.broadcast(model.select("tri", "logp")), "tri", "left")
     agg = scored.groupBy(id_col).agg(
@@ -115,11 +156,22 @@ def lm_typicality(docs: DataFrame, id_col: str = "doc_id",
     explode inside the broadcast AND inside the stats crossJoin (three
     corpus passes per action; measured 3× the wall time at 2M docs).
     Values are identical: the logp column is computed by the train plan
-    before collection."""
-    model = train_trigram_lm(docs, text_col, vocab_limit, max_chars)
+    before collection.
+
+    Both passes run on the PACKED-LONG trigram key
+    (:func:`_exploded_tri_codes`): the packing is a bijection on 3-char
+    strings and order-preserving vs string comparison, so counts, the
+    top-V tie-break, the broadcast-join matches, and every output value
+    are identical to the string-keyed public API (guide §2.3 narrower
+    types; before/after in OPTIMIZATION_r06.md).  The public
+    :func:`train_trigram_lm` / :func:`score_typicality` keep the
+    human-readable string vocabulary."""
+    model = _train_model(
+        _exploded_tri_codes(docs, text_col, max_chars), vocab_limit)
     rows = model.collect()
     if not rows:
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} long, n_tris int, oov_tris int, avg_logp double")
     local = docs.sparkSession.createDataFrame(rows, model.schema)
-    return score_typicality(docs, local, id_col, text_col, max_chars)
+    return _score(_exploded_tri_codes(docs, text_col, max_chars, id_col),
+                  local, id_col)

@@ -40,7 +40,7 @@ from ..operators.inject import inject
 from ..operators.linkdb import invert_links, merge_linkdb
 from ..operators.parse import parse, redirect_link_rows
 from ..operators.updatedb import updatedb
-from ..schemas import FETCH_LOG, FRONTIER
+from ..schemas import FETCH_LOG, FRONTIER, empty_df
 from ..sources.snapshot import SnapshotTable
 from ..status import Fetch, Msg
 
@@ -114,6 +114,11 @@ class CrawlDriver:
         # a parquet schema read per cycle (local-fs cheap, object-store
         # LIST+HEAD per refresh at scale)
         self._seen_backend_on_disk: str | None = None
+        # session-cached URL-seen shard frame (localCheckpoint'ed): the
+        # shard table is immutable between refreshes, so the read +
+        # checkpoint job runs once per on-disk version, not once per
+        # probe (invalidated by _refresh_seen_blooms)
+        self._blooms_df = None
         # full-frontier count jobs taken for the frontier_size metric in
         # merge cycles (0 in steady state — tests assert this)
         self._full_count_jobs = 0
@@ -239,8 +244,11 @@ class CrawlDriver:
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("bucket").parquet(self._blooms_path))
         self._seen_backend_on_disk = "cuckoo" if want_cuckoo else "bloom"
+        self._blooms_df = None  # on-disk shards changed: drop the cache
 
     def _load_or_build_blooms(self) -> DataFrame:
+        if self._blooms_df is not None:
+            return self._blooms_df
         if not os.path.exists(self._blooms_path):
             self._refresh_seen_blooms(None)
         # localCheckpoint cuts the file-scan lineage (guide §5): every
@@ -252,7 +260,12 @@ class CrawlDriver:
         # pipeline in the commit phase (measured: the commit's count job
         # re-ran 36 stages).  Checkpointing the tiny shard frame (a few
         # MB) makes the refresh write invisible to the cache manager.
-        return self.spark.read.parquet(self._blooms_path).localCheckpoint()
+        # The checkpointed frame is cached on the driver object: shards
+        # are immutable between refreshes, so re-reading them for every
+        # probe was a repeated scan job of identical data (guide §5).
+        self._blooms_df = (
+            self.spark.read.parquet(self._blooms_path).localCheckpoint())
+        return self._blooms_df
 
     def _probe_seen(self, parse_out: DataFrame):
         """(non-linked rows, linked rows with a ``maybe_seen`` flag).
@@ -317,7 +330,7 @@ class CrawlDriver:
         if self.frontier.exists():
             base = self.frontier.read(self.spark).drop("bucket")
         else:
-            base = self.spark.createDataFrame([], FRONTIER)
+            base = empty_df(self.spark, FRONTIER)
         new = inject(base, seeds, cur_time, self.cfg).persist()
         n = new.count()  # seeds the incremental frontier_size chain
         sid = self._write_frontier(new, cycle_id=f"inject@{cur_time}",
@@ -556,8 +569,8 @@ class CrawlDriver:
             # definitely-new targets: same updatedb semantics against an
             # EMPTY frontier — produces exactly the new-row (linked_new)
             # branch of the cascade without probing the real frontier
-            empty_f = self.spark.createDataFrame([], FRONTIER)
-            empty_log = self.spark.createDataFrame([], FETCH_LOG)
+            empty_f = empty_df(self.spark, FRONTIER)
+            empty_log = empty_df(self.spark, FETCH_LOG)
             new_frontier = new_frontier.unionByName(
                 updatedb(empty_f, empty_log, seen_new, cur_time, cfg,
                          seeds_in_service=seeds_in_service)

@@ -162,3 +162,21 @@ ROBOTS = StructType(
         StructField("crawl_delay_ms", LongType(), True),
     ]
 )
+
+
+def empty_df(spark, schema: StructType):
+    """Schema-exact empty DataFrame with ZERO partitions.
+
+    ``spark.createDataFrame([], schema)`` parallelizes the (empty) local
+    list through Python into ``defaultParallelism`` slices — in a busy
+    cycle those tasks each wait for a Python worker before discovering
+    they have nothing to do (measured: 32 tasks × 3.6 s of occupied task
+    slots inside the commit phase).  An ``emptyRDD`` has no partitions,
+    so the frame contributes zero tasks and no Python round-trip.
+
+    ``schema`` may be a ``StructType`` or a DDL string."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)

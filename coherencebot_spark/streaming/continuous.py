@@ -37,7 +37,7 @@ def stream_seed_drops(spark: SparkSession, driver: CrawlDriver,
     current backlog and stops (the testable mode); False runs continuously.
     ``clock`` injects cur_time per batch (tests pass a fixed clock).
     """
-    from ..schemas import FRONTIER
+    from ..schemas import FRONTIER, empty_df
 
     stream = (
         spark.readStream.format("text")
@@ -50,7 +50,7 @@ def stream_seed_drops(spark: SparkSession, driver: CrawlDriver,
         base = (
             driver.frontier.read(spark)
             if driver.frontier.exists()
-            else spark.createDataFrame([], FRONTIER)
+            else empty_df(spark, FRONTIER)
         )
         new = inject(base, batch_df, clock(), cfg)
         driver.frontier.write(new, cycle_id=f"seed-drop-{batch_id}")
@@ -216,6 +216,7 @@ def stream_corpus_intake(spark: SparkSession, intake_dir: str,
     from ..datapipe.incremental import (
         doc_signatures, incremental_exact_dedup, merge_bloom_shards)
     from ..functions.hashing import build_bloom_sharded
+    from ..schemas import empty_df
 
     docs_dir = os.path.join(corpus_dir, "docs")
     sigs_dir = os.path.join(corpus_dir, "sigs")
@@ -245,7 +246,7 @@ def stream_corpus_intake(spark: SparkSession, intake_dir: str,
                                             n_buckets=n_buckets)
         else:
             fresh = incremental_exact_dedup(
-                batch, spark.createDataFrame([], "doc_id long, sig string"))
+                batch, empty_df(spark, "doc_id long, sig string"))
         fresh = fresh.persist()
         try:
             fresh.write.mode("append").parquet(docs_dir)

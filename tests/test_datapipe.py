@@ -653,6 +653,37 @@ def test_lm_typicality_scores_and_model(spark):
     assert "zzq" not in n12               # genuinely unseen trigram
 
 
+def test_lm_typicality_coded_path_matches_string_path(spark):
+    """lm_typicality's packed-long trigram pipeline (r6 optimization) must
+    be value-identical to the public string-keyed train+score composition
+    — including top-V tie-breaks (tiny vocab_limit) and non-ASCII text
+    (the packing must be order-preserving vs UTF8 comparison)."""
+    from coherencebot_spark.datapipe.lm_quality import (
+        _exploded_trigrams, _score, _train_model, lm_typicality,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the cat sat again"),
+         (2, "ĄĆŻ 中文𝄞 MIXED case ß and ΩΣ with the mat"),
+         (3, "abcdefabcdef abcdef"),
+         (4, "ab")],
+        "doc_id long, text string")
+
+    def string_path(vocab_limit):
+        model = _train_model(_exploded_trigrams(docs, "text", 2000),
+                             vocab_limit)
+        local = spark.createDataFrame(model.collect(), model.schema)
+        return _score(_exploded_trigrams(docs, "text", 2000, "doc_id"),
+                      local, "doc_id")
+
+    for v in (4096, 5):  # full vocab + a cut that forces tie-breaking
+        a = {r.doc_id: (r.n_tris, r.oov_tris, r.avg_logp)
+             for r in string_path(v).collect()}
+        b = {r.doc_id: (r.n_tris, r.oov_tris, r.avg_logp)
+             for r in lm_typicality(docs, vocab_limit=v).collect()}
+        assert a == b
+
+
 def test_lm_typicality_vocab_limit_tiebreak(spark):
     from coherencebot_spark.datapipe.lm_quality import train_trigram_lm
 
