@@ -65,6 +65,22 @@ def build_session(
         # Arrow UDFs onto scan tasks, and a mid-size table must not starve a
         # 32-core executor with 6 scan partitions (cluster deploys override)
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # fork Python workers from a daemon that has the Arrow stack
+        # (pandas/pyarrow/serializers) preloaded: a fresh fork otherwise
+        # pays the ~1-1.5 s import on its first batch, and cycle stages
+        # chaining 2-3 Python operators fork past the idle pool inside
+        # the timed phase (see pydaemon docstring; guide §4.5).  The
+        # PYTHONPATH entry keeps the module importable from any cwd.
+        .config("spark.python.daemon.module", "coherencebot_spark.pydaemon")
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                ) if p
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
