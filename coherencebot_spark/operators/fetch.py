@@ -441,8 +441,17 @@ def fetch(fetchlist: DataFrame, cycle_start: int, cfg: CrawlConfig = DEFAULT,
         # round-robin shuffle is cheap) so stragglers — slow nodes on a
         # cluster, stolen cores in this sandbox — average out instead of
         # capping the stage (speculation is off as a politeness invariant,
-        # so task granularity is the only straggler defense)
-        success = success.repartition(int(payload_partitions))
+        # so task granularity is the only straggler defense).  The caller's
+        # value is a granularity UPPER BOUND, clamped to 8 tasks per
+        # available core (guide §2: partitioning derives from the session's
+        # parallelism, not a constant tuned for one machine shape) — 8/core
+        # keeps the straggler averaging while a 2-core scaling leg stops
+        # paying the scheduler cost of 256 near-empty tasks; results are
+        # partitioning-independent (payloads are a pure per-row function).
+        sc = fetchlist.sparkSession.sparkContext
+        n_parts = max(min(int(payload_partitions),
+                          8 * sc.defaultParallelism), 1)
+        success = success.repartition(n_parts)
     content = success.mapInPandas(materialize, schema=content_schema)
 
     return fetch_log.drop("image_idx"), content
